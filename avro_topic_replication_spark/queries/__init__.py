@@ -1,0 +1,67 @@
+"""Query registry: every operator from SURVEY.md §2 as a named query.
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable plus (when the
+semantics are ANSI-SQL-expressible) a DuckDB oracle SQL string over the same
+parquet tables. The driver harness (``__spark_entry__.py``) runs both and
+compares row count + schema + order-insensitive value hash, so:
+
+- alias every computed column identically in both,
+- aggregate doubles through decimal (functions.numeric) for order
+  independence,
+- never emit a value that depends on non-deterministic order (bare
+  first/last, ties in window ORDER BY, limits without a total order).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+REGISTRY: "dict[str, Query]" = {}
+
+_MODULES = (
+    "relational",
+    "aggregates",
+    "windows",
+    "setops",
+    "scalar_funcs",
+    "llm_text",
+    "llm_dedup",
+    "llm_vectors",
+    "streaming_batch",
+)
+
+_loaded = False
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a query under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name, fn, oracle, tuple(tags), fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def all_queries() -> "dict[str, Query]":
+    global _loaded
+    if not _loaded:
+        for mod in _MODULES:
+            importlib.import_module(f"{__name__}.{mod}")
+        _loaded = True
+    return REGISTRY

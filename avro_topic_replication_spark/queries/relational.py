@@ -1,0 +1,371 @@
+"""Projection / filter / join surface (SURVEY.md §2.2 tables 2-3).
+
+The reference's only row transform is a projection + re-key
+(ReplicationApplication.java:71); everything here is [EXT] surface expressed
+with Catalyst-optimizable DataFrame ops. Scale notes per query: dimension
+joins broadcast (region/nation/customer/supplier stay far under the
+threshold even at sf100); fact-fact joins sort-merge on their keys and AQE
+handles skew at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..catalog import load_table
+from ..functions.numeric import dec_avg_sql, dec_sum, dec_sum_sql
+from . import query
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: revenue by nation (scan + filter + 4 joins + agg + sort).
+# Plan shape to preserve at scale: lineitem⋈orders sort-merge on orderkey;
+# customer/nation/region broadcast; partial aggregation map-side.
+# ---------------------------------------------------------------------------
+@query(
+    "flagship_revenue_by_nation",
+    oracle=f"""
+        SELECT n_name, r_name,
+               {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name, r_name
+    """,
+    tags=("join", "agg", "flagship"),
+)
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation over a ship-date year: the milestone-0 slice."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "proj_computed_columns",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS net_price,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross_price,
+               CAST(l_quantity AS BIGINT) AS qty_int,
+               upper(l_returnflag) AS flag_upper
+        FROM lineitem
+        WHERE l_orderkey < 100
+    """,
+    tags=("projection",),
+)
+def proj_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select/withColumn/alias/cast — per-row IEEE arithmetic is engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("gross_price"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.upper("l_returnflag").alias("flag_upper"),
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'P')
+          AND o_totalprice BETWEEN 50000 AND 200000
+          AND o_orderpriority LIKE '%URGENT%'
+          AND o_custkey IS NOT NULL
+          AND o_orderdate >= TIMESTAMP '1996-06-01'
+    """,
+    tags=("filter",),
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison, IN, BETWEEN, LIKE, null-test — all pushed to the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_custkey").isNotNull()
+        & (F.col("o_orderdate") >= _ts("1996-06-01"))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "conditional_expressions",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'debt'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'rich' END AS wealth_band,
+               coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'CAR') AS segment,
+               greatest(c_acctbal, 0.0) AS bal_floor0,
+               least(c_acctbal, 1000.0) AS bal_cap1k
+        FROM customer
+    """,
+    tags=("projection",),
+)
+def conditional_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise, coalesce, nullif, greatest/least."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("wealth_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("AUTOMOBILE")), F.lit("CAR")).alias("segment"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor0"),
+        F.least("c_acctbal", F.lit(1000.0)).alias("bal_cap1k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family
+# ---------------------------------------------------------------------------
+@query(
+    "join_left_outer",
+    oracle="""
+        SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+               COALESCE({s}, 0.0) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """.format(s=dec_sum_sql("o_totalprice")),
+    tags=("join", "agg"),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (zero counts)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dec_sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+        WITH cust AS (
+            SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+            FROM customer GROUP BY c_nationkey
+        ), supp AS (
+            SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+            FROM supplier GROUP BY s_nationkey
+        )
+        SELECT COALESCE(cust.nk, supp.nk) AS nationkey,
+               COALESCE(n_customers, 0) AS n_customers,
+               COALESCE(n_suppliers, 0) AS n_suppliers
+        FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer vs supplier counts."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nk", "full")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one big order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers who never ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+        SELECT r.r_name AS region_name, n.n_name AS nation_name
+        FROM region r CROSS JOIN nation n
+    """,
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (tiny dims only — never on facts at scale)."""
+    r = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("nation_name"))
+    return r.crossJoin(n)
+
+
+@query(
+    "join_range_bands",
+    oracle="""
+        WITH bands AS (
+            SELECT r_regionkey AS band_id,
+                   r_regionkey * 2000.0 AS lo,
+                   (r_regionkey + 1) * 2000.0 AS hi
+            FROM region
+        )
+        SELECT band_id, COUNT(*) AS n_customers,
+               {avg} AS avg_bal
+        FROM customer JOIN bands ON c_acctbal >= lo AND c_acctbal < hi
+        GROUP BY band_id
+    """.format(avg=dec_avg_sql("c_acctbal")),
+    tags=("join", "nonequi"),
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: bucket customers into derived balance bands.
+
+    The bands side is tiny -> BroadcastNestedLoopJoin, which is the right
+    physical plan; at scale, a derived band_id column + equi-join would
+    replace the theta join (see operators.joins.range_join).
+    """
+    r = load_table(spark, sf_dir, "region")
+    bands = r.select(
+        F.col("r_regionkey").alias("band_id"),
+        (F.col("r_regionkey") * 2000.0).alias("lo"),
+        ((F.col("r_regionkey") + 1) * 2000.0).alias("hi"),
+    )
+    c = load_table(spark, sf_dir, "customer")
+    from ..functions.numeric import dec_avg
+
+    return (
+        c.join(F.broadcast(bands), (c.c_acctbal >= bands.lo) & (c.c_acctbal < bands.hi))
+        .groupBy("band_id")
+        .agg(F.count("*").alias("n_customers"), dec_avg("c_acctbal").alias("avg_bal"))
+    )
+
+
+@query(
+    "join_asof_click_view",
+    oracle="""
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), views AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        ), ranked AS (
+            SELECT c.event_id AS click_id, c.user_id AS user_id,
+                   v.event_id AS view_id,
+                   row_number() OVER (
+                       PARTITION BY c.event_id
+                       ORDER BY v.ts DESC, v.event_id DESC
+                   ) AS rn
+            FROM clicks c LEFT JOIN views v
+              ON c.user_id = v.user_id AND v.ts <= c.ts
+        )
+        SELECT click_id, user_id, view_id FROM ranked WHERE rn = 1
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each click, the latest view by the same user at or
+    before the click. Composition: range join + row_number top-1 (the
+    deterministic tiebreak on event_id matters for oracle equality).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    joined = clicks.join(
+        views, (clicks.user_id == views.v_user) & (views.view_ts <= clicks.click_ts), "left"
+    )
+    w = Window.partitionBy("click_id").orderBy(F.desc("view_ts"), F.desc("view_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("click_id", "user_id", "view_id")
+    )
+
+
+@query(
+    "join_theta_ship_after_order",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_late_lines
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY o_orderpriority
+    """,
+    tags=("join", "nonequi"),
+)
+def join_theta_ship_after_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with residual theta predicate (ships >60 days after order).
+
+    The equi key keeps this a sort-merge/shuffled-hash join; the theta term
+    is a post-join residual filter, so it scales like a plain join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_lines"))
+    )

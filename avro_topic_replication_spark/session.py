@@ -1,0 +1,85 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` but every setting here is
+chosen to survive a multi-executor cluster at ~100 TB: AQE for runtime
+re-planning (coalesce + skew joins), partition counts sized by env, Arrow for
+any Python exchange, and UTC session time so timestamp semantics are
+machine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Dynamic (runtime-settable) confs the engine relies on. Applied both when we
+# create the session ourselves and defensively on sessions handed to us by a
+# driver harness (see ensure_runtime_conf).
+RUNTIME_CONF = {
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects; read as long ns and convert (catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic timestamp semantics regardless of host timezone.
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: partition coalescing and skew-join splitting are
+    # essential at 100 TB where static planning guesses wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batches for any pandas UDF / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return int(cpus)
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply the engine's dynamic confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static conf on this build — leave whatever the session has.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "avro-topic-replication-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with the engine's configuration."""
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        # Sized for local[32]/128GiB; a cluster deploy overrides via
+        # spark-submit. Dims (region/nation/customer/supplier/part) should
+        # broadcast; facts sort-merge — the 10MB default threshold does the
+        # right thing at every SF, AQE corrects at runtime.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128MB")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return ensure_runtime_conf(spark)
