@@ -1,1 +1,340 @@
-"""Placeholder — filled in as operators land."""
+"""Aggregation surface (SURVEY.md §2.2 "Aggregation").
+
+All aggregates run as HashAggregateExec with map-side partial aggregation —
+at 100 TB the shuffle carries only per-group partials, never raw rows.
+Doubles aggregate through the decimal domain (functions.numeric) so results
+are order-independent and hash-match the DuckDB oracle bit-for-bit;
+moment-based stats (variance/stddev/corr) are derived from exact decimal
+power sums with an identical IEEE formula on both engines rather than
+calling the engines' own (order-sensitive) implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import dec, dec_avg, dec_avg_sql, dec_sum, dec_sum_sql
+from . import query
+
+
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {dec_sum_sql('l_quantity')} AS sum_qty,
+               {dec_sum_sql('l_extendedprice')} AS sum_base_price,
+               {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {dec_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {dec_avg_sql('l_quantity')} AS avg_qty,
+               {dec_avg_sql('l_extendedprice')} AS avg_price,
+               {dec_avg_sql('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical partial-agg pipeline."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity").alias("sum_qty"),
+        dec_sum("l_extendedprice").alias("sum_base_price"),
+        dec_sum(disc).alias("sum_disc_price"),
+        dec_sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+        dec_avg("l_quantity").alias("avg_qty"),
+        dec_avg("l_extendedprice").alias("avg_price"),
+        dec_avg("l_discount").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT DISTINCT in one agg (expand + two-phase under the hood)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_minmax",
+    oracle="""
+        SELECT o_orderstatus,
+               min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+               min(o_orderdate) AS first_date, max(o_orderdate) AS last_date,
+               min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max over doubles, timestamps, strings — order-independent by nature."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+        F.min("o_orderpriority").alias("min_prio"),
+        F.max("o_orderpriority").alias("max_prio"),
+    )
+
+
+@query(
+    "agg_moment_stats",
+    oracle=f"""
+        WITH sums AS (
+            SELECT l_linestatus,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_linestatus
+        )
+        SELECT l_linestatus, n,
+               (sxx - sx * sx / n) / n AS var_pop_qty,
+               sqrt((sxx - sx * sx / n) / n) AS stddev_pop_qty,
+               (sxy - sx * sy / n) / n AS covar_pop
+        FROM sums
+    """,
+    tags=("agg", "stats"),
+)
+def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev/covariance from exact decimal power sums.
+
+    Spark's builtin stddev/covar stream doubles in partition order, so their
+    output is run-dependent; deriving the moments from exact decimal sums
+    with one fixed IEEE expression makes the result reproducible AND
+    cross-engine exact. Same partial-agg scalability as any sum.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    sums = li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(q)).cast("double").alias("sx"),
+        F.sum(dec(q * q, 24)).cast("double").alias("sxx"),
+        F.sum(dec(p)).cast("double").alias("sy"),
+        F.sum(dec(q * p, 24)).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "sxy"))
+    return sums.select(
+        "l_linestatus",
+        "n",
+        ((sxx - sx * sx / n) / n).alias("var_pop_qty"),
+        F.sqrt((sxx - sx * sx / n) / n).alias("stddev_pop_qty"),
+        ((sxy - sx * sy / n) / n).alias("covar_pop"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS price_quartiles
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use rank = p·(n−1))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").alias(
+            "price_quartiles"
+        ),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+        SELECT r_name, list_sort(list(n_name)) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    tags=("agg", "collect"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list made deterministic by sorting the collected array."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+        SELECT o_orderpriority,
+               count_if(o_orderstatus = 'F') AS n_finished,
+               count_if(o_totalprice > 200000) AS n_big,
+               {dec_sum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")} AS open_value
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (count_if / sum of CASE)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        dec_sum(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0)
+        ).alias("open_value"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+        SELECT coalesce(r_name, 'ALL') AS region_name,
+               coalesce(n_name, 'ALL') AS nation_name,
+               CAST(grouping(r_name) AS INT) AS g_region,
+               CAST(grouping(n_name) AS INT) AS g_nation,
+               COUNT(*) AS n_customers,
+               {dec_sum_sql('c_acctbal')} AS total_balance
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping() flags (coalesced labels for the totals rows)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.count("*").alias("n_customers"),
+            dec_sum("c_acctbal").alias("total_balance"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "g_region",
+            "g_nation",
+            "n_customers",
+            "total_balance",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               {dec_sum_sql('o_totalprice')} AS total_value
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("total_value"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               COUNT(*) AS n_items,
+               {dec_sum_sql('l_quantity')} AS total_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "grouping_sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-flag, per-status, grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               COUNT(*) AS n_items,
+               {dec_sum_sql('l_quantity')} AS total_qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_distinct_rows",
+    oracle="""
+        SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_quantity AS INT) AS qty
+        FROM lineitem WHERE l_quantity <= 10
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level dedup (dropDuplicates == DISTINCT): a pure shuffle-on-all-cols."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 10)
+    return li.select(
+        "l_returnflag", "l_linestatus", F.col("l_quantity").cast("int").alias("qty")
+    ).distinct()
+
+
+@query("agg_approx_count_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (no oracle: approximate by design).
+
+    The scale path for 100 TB cardinality estimation — constant memory per
+    group vs the exact expand+shuffle of COUNT DISTINCT.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

@@ -1,1 +1,313 @@
-"""Placeholder — filled in as operators land."""
+"""Scalar function families (SURVEY.md §2.2 "Scalar function library").
+
+All JVM-side built-ins inside whole-stage codegen — zero Python in these
+paths. Oracle notes: functions whose cross-engine bit-exactness is not
+guaranteed (libm trig/exp, locale-ish initcap, engine-specific hashes)
+either stay out of the oracle-checked set or are rounded; structural
+functions (string/date/array/json) are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+
+@query(
+    "fn_string_basic",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               lower(p_brand) AS brand_lower,
+               length(p_name) AS name_len,
+               substring(p_type, 1, 5) AS type_prefix,
+               concat(p_brand, ':', p_type) AS brand_type,
+               trim(concat('  ', p_name, '  ')) AS trimmed,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               reverse(p_brand) AS brand_rev,
+               repeat('-', 3) AS dashes,
+               left(p_name, 3) AS name_l3,
+               right(p_name, 3) AS name_r3,
+               replace(p_type, ' ', '_') AS type_snake
+        FROM part WHERE p_partkey < 200
+    """,
+    tags=("scalar", "string"),
+)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string functions."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.lit("-"), 3).alias("dashes"),
+        F.left("p_name", F.lit(3)).alias("name_l3"),
+        F.right("p_name", F.lit(3)).alias("name_r3"),
+        F.replace("p_type", F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@query(
+    "fn_string_regex_split",
+    oracle="""
+        SELECT p_partkey,
+               regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+               regexp_replace(p_type, '[aeiou]', '*', 'g') AS devoweled,
+               split_part(p_type, ' ', 1) AS word1,
+               len(string_split(p_type, ' ')) AS n_words,
+               instr(p_name, 'a') AS first_a,
+               levenshtein(p_brand, 'Brand#1') AS brand_dist,
+               starts_with(p_type, 'PROMO') AS is_promo,
+               ends_with(p_type, 'STEEL') AS is_steel,
+               contains(p_name, 'green') AS has_green
+        FROM part WHERE p_partkey < 200
+    """,
+    tags=("scalar", "string"),
+)
+def fn_string_regex_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract/replace, split, instr, levenshtein, affix tests."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", "[aeiou]", "*").alias("devoweled"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("word1"),
+        F.size(F.split("p_type", " ")).alias("n_words"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).alias("brand_dist"),
+        F.startswith("p_type", F.lit("PROMO")).alias("is_promo"),
+        F.endswith("p_type", F.lit("STEEL")).alias("is_steel"),
+        F.contains("p_name", F.lit("green")).alias("has_green"),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate) AS yr,
+               month(o_orderdate) AS mo,
+               dayofmonth(o_orderdate) AS dom,
+               quarter(o_orderdate) AS qtr,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(o_orderdate AS DATE) + 30 AS due_date,
+               datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(o_orderdate AS DATE) AS order_day
+        FROM orders WHERE o_orderkey < 300
+    """,
+    tags=("scalar", "datetime"),
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time extraction, truncation, arithmetic."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz")).alias(
+            "days_since_95"
+        ),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.col("o_orderdate").cast("date").alias("order_day"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+        SELECT c_custkey,
+               round(c_acctbal, 1) AS bal_round1,
+               floor(c_acctbal) AS bal_floor,
+               ceil(c_acctbal) AS bal_ceil,
+               abs(c_acctbal) AS bal_abs,
+               sign(c_acctbal) AS bal_sign,
+               sqrt(abs(c_acctbal)) AS bal_sqrt,
+               c_acctbal * c_acctbal AS bal_sq,
+               CAST(c_custkey % 7 AS BIGINT) AS key_mod7,
+               round(exp(c_acctbal / 10000.0), 6) AS bal_exp,
+               round(ln(abs(c_acctbal) + 1.0), 6) AS bal_ln,
+               round(log10(abs(c_acctbal) + 1.0), 6) AS bal_log10
+        FROM customer WHERE c_custkey < 300
+    """,
+    tags=("scalar", "math"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions; transcendentals rounded to 6 (libm vs JVM last-ulp)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.round(bal, 1).alias("bal_round1"),
+        F.floor(bal).alias("bal_floor"),
+        F.ceil(bal).alias("bal_ceil"),
+        F.abs(bal).alias("bal_abs"),
+        F.signum(bal).alias("bal_sign"),
+        F.sqrt(F.abs(bal)).alias("bal_sqrt"),
+        (bal * bal).alias("bal_sq"),
+        (F.col("c_custkey") % 7).cast("bigint").alias("key_mod7"),
+        F.round(F.exp(bal / 10000.0), 6).alias("bal_exp"),
+        F.round(F.log(F.abs(bal) + 1.0), 6).alias("bal_ln"),
+        F.round(F.log10(F.abs(bal) + 1.0), 6).alias("bal_log10"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               embedding[1] AS first_val,
+               embedding[64] AS last_val,
+               list_slice(embedding, 1, 4) AS head4,
+               list_contains(list_transform(embedding, x -> x > 0), true) AS has_positive,
+               list_transform(list_slice(embedding, 1, 3), x -> CAST(x AS DOUBLE) * 2) AS head3_doubled,
+               list_sort(list_transform(list_slice(embedding, 1, 3), x -> CAST(x AS DOUBLE))) AS head3_sorted
+        FROM embeddings WHERE vec_id < 50
+    """,
+    tags=("scalar", "array"),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops incl. higher-order transform over the embedding column."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).alias("first_val"),
+        F.element_at(emb, 64).alias("last_val"),
+        F.slice(emb, 1, 4).alias("head4"),
+        F.array_contains(F.transform(emb, lambda x: x > 0), True).alias("has_positive"),
+        F.transform(F.slice(emb, 1, 3), lambda x: x.cast("double") * 2).alias(
+            "head3_doubled"
+        ),
+        F.sort_array(F.transform(F.slice(emb, 1, 3), lambda x: x.cast("double"))).alias(
+            "head3_sorted"
+        ),
+    )
+
+
+@query(
+    "fn_explode_posexplode",
+    oracle="""
+        SELECT vec_id, gs.idx - 1 AS pos, embedding[CAST(gs.idx AS INT)] AS val
+        FROM embeddings, generate_series(1, 8) AS gs(idx)
+        WHERE vec_id < 10
+    """,
+    tags=("scalar", "array", "explode"),
+)
+def fn_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of the first 8 embedding components (lateral unnest)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return e.select("vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "val"))
+
+
+@query(
+    "fn_json",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract(props, '$.k') AS INT) AS k_int,
+               CAST(json_extract(props, '$.k') AS INT) * 2 AS k_doubled
+        FROM events WHERE event_id < 500
+    """,
+    tags=("scalar", "json"),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        (k.cast("int") * 2).alias("k_doubled"),
+    )
+
+
+@query(
+    "fn_json_from_json",
+    oracle="""
+        SELECT event_type, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS total_k
+        FROM events GROUP BY event_type
+    """,
+    tags=("scalar", "json", "agg"),
+)
+def fn_json_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct, then aggregate a field (exact: ints)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(F.sum("p.k").alias("total_k"))
+
+
+@query(
+    "fn_hash",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS text_md5,
+               sha256(text) AS text_sha256,
+               length(text) AS text_len
+        FROM documents WHERE doc_id < 100
+    """,
+    tags=("scalar", "hash"),
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hashes (hex-identical across engines)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.length("text").alias("text_len"),
+    )
+
+
+@query("fn_hash_spark_native", oracle=None, tags=("scalar", "hash"))
+def fn_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native hashes (xxhash64, crc32, murmur3) — no DuckDB equivalent,
+    rows-only check. These are the cheap partition/bucket keys at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xxh64"),
+        F.crc32("text").alias("text_crc32"),
+        F.hash("text").alias("text_murmur3"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+        SELECT n_nationkey,
+               (map {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)}['name'])[1] AS name_from_map,
+               cardinality(map {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)}) AS map_size,
+               list_sort(map_keys(map {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)})) AS keys_sorted
+        FROM nation
+    """,
+    tags=("scalar", "map"),
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction, element_at, keys (emitted as sorted array)."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"), F.lit("region"), F.col("n_regionkey").cast("string")
+    )
+    return n.select(
+        "n_nationkey",
+        F.element_at(m, "name").alias("name_from_map"),
+        F.size(m).alias("map_size"),
+        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+    )

@@ -1,1 +1,224 @@
-"""Placeholder — filled in as operators land."""
+"""Window-function surface (SURVEY.md §2.2 "Window functions").
+
+Determinism rule: every window ORDER BY ends in a unique key (tiebreak), so
+ranking values are identical across engines and across runs. Frame sums go
+through the decimal domain — a windowed SUM(double) would otherwise depend
+on the engine's accumulation strategy (running vs segment tree).
+
+Scale: one shuffle per distinct partitioning; queries below reuse a single
+partitionBy each so the window runs in one exchange + sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import dec
+from . import query
+
+_DEC_SUM_WIN = "CAST(SUM(CAST({x} AS DECIMAL(18,4))) OVER ({w}) AS DOUBLE)"
+
+
+@query(
+    "win_rank_customers",
+    oracle="""
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               row_number() OVER w AS rn,
+               rank()       OVER w AS rnk,
+               dense_rank() OVER w AS drnk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window",),
+)
+def win_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank per nation by balance (custkey tiebreak)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               lag(o_totalprice)  OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price,
+               lag(o_totalprice, 2, -1.0) OVER w AS prev2_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with offsets and defaults along each customer's order history."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.lag("o_totalprice", 2, -1.0).over(w).alias("prev2_price"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle=f"""
+        SELECT o_custkey, o_orderkey,
+               {_DEC_SUM_WIN.format(x='o_totalprice', w='PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW')} AS running_spend,
+               count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
+        FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per customer, decimal-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.count("*").over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg_4
+        FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-row moving average (decimal-exact sum / frame count)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(dec("o_totalprice")).over(w).cast("double") / F.count("*").over(w)).alias(
+            "moving_avg_4"
+        ),
+    )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+        SELECT s_suppkey, s_acctbal,
+               ntile(4)       OVER w AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist()    OVER w AS cume
+        FROM supplier
+        WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    """,
+    tags=("window",),
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a global ordering."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "win_first_last_value",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               first_value(o_orderkey) OVER w AS first_order,
+               last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+               nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with explicit full frames (deterministic order)."""
+    o = load_table(spark, sf_dir, "orders")
+    grow = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = grow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(grow).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_order"),
+    )
+
+
+@query(
+    "win_topk_per_group",
+    oracle="""
+        SELECT p_brand, p_partkey, p_retailprice FROM (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey) AS rn
+            FROM part
+        ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: row_number + filter (the scalable top-k idiom)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+@query(
+    "sort_topk_global",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    tags=("sort", "topk"),
+)
+def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps, no global sort, O(k) driver memory at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
