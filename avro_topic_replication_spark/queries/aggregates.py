@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
 
 from ..catalog import load_table
 from ..functions.numeric import dec, dec_avg, dec_avg_sql, dec_sum, dec_sum_sql
@@ -26,7 +27,11 @@ from . import query
                {dec_sum_sql('l_quantity')} AS sum_qty,
                {dec_sum_sql('l_extendedprice')} AS sum_base_price,
                {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-               {dec_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               CAST(ROUND(SUM(
+                   CAST(l_extendedprice AS DECIMAL(15,4))
+                   * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))
+                   * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(6,4)))
+               ), 2) AS DOUBLE) AS sum_charge,
                {dec_avg_sql('l_quantity')} AS avg_qty,
                {dec_avg_sql('l_extendedprice')} AS avg_price,
                {dec_avg_sql('l_discount')} AS avg_disc,
@@ -43,11 +48,23 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz")
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # sum_charge: the triple product must be computed entirely in the decimal
+    # domain — a double product cast to decimal *after* multiplying rounds
+    # half-way ties differently in Spark (shortest-repr BigDecimal HALF_UP)
+    # vs DuckDB, leaking a per-row penny into the sum. Casting each input
+    # first keeps every multiply exact: (15,4)×(7,4)→(23,8)×(7,4)→(31,12),
+    # under the 38-digit cap, so no precision-loss rounding in either engine.
+    one = F.lit(1).cast(DecimalType(5, 4))
+    charge_dec = (
+        F.col("l_extendedprice").cast(DecimalType(15, 4))
+        * (one - F.col("l_discount").cast(DecimalType(6, 4)))
+        * (one + F.col("l_tax").cast(DecimalType(6, 4)))
+    )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dec_sum("l_quantity").alias("sum_qty"),
         dec_sum("l_extendedprice").alias("sum_base_price"),
         dec_sum(disc).alias("sum_disc_price"),
-        dec_sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+        F.round(F.sum(charge_dec), 2).cast("double").alias("sum_charge"),
         dec_avg("l_quantity").alias("avg_qty"),
         dec_avg("l_extendedprice").alias("avg_price"),
         dec_avg("l_discount").alias("avg_disc"),
@@ -153,39 +170,58 @@ def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                quantile_cont(l_quantity, 0.5) AS median_qty,
-               quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS price_quartiles
+               quantile_cont(l_extendedprice, 0.25) AS price_q25,
+               quantile_cont(l_extendedprice, 0.50) AS price_q50,
+               quantile_cont(l_extendedprice, 0.75) AS price_q75
         FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "percentile"),
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (both engines use rank = p·(n−1))."""
+    """Exact interpolated percentiles (both engines use rank = p·(n−1)).
+
+    The quartile array is computed with the array-form percentile (one sort,
+    three probes) then unpacked to scalar columns — naked array result
+    columns crash the driver's pandas canonicalizer (CORRECTNESS_r01).
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agged = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
-        F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").alias(
-            "price_quartiles"
-        ),
+        F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").alias("_qs"),
+    )
+    return agged.select(
+        "l_returnflag",
+        "median_qty",
+        F.element_at("_qs", 1).alias("price_q25"),
+        F.element_at("_qs", 2).alias("price_q50"),
+        F.element_at("_qs", 3).alias("price_q75"),
     )
 
 
 @query(
     "agg_collect_sorted",
     oracle="""
-        SELECT r_name, list_sort(list(n_name)) AS nations
+        SELECT r_name,
+               array_to_string(list_sort(list(n_name)), '|') AS nations,
+               array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nations_set
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
     """,
     tags=("agg", "collect"),
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list made deterministic by sorting the collected array."""
+    """collect_list/collect_set made deterministic by sorting, serialized to
+    a joined string so the driver's canonicalizer (which sorts rows by every
+    column, requiring hashable cells) can handle the result."""
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations"),
+            F.array_join(F.sort_array(F.collect_set("n_name")), "|").alias("nations_set"),
+        )
     )
 
 
@@ -193,8 +229,8 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_conditional",
     oracle=f"""
         SELECT o_orderpriority,
-               count_if(o_orderstatus = 'F') AS n_finished,
-               count_if(o_totalprice > 200000) AS n_big,
+               CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+               CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
                {dec_sum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")} AS open_value
         FROM orders GROUP BY o_orderpriority
     """,
@@ -336,5 +372,5 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
     )

@@ -131,10 +131,10 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey,
                round(c_acctbal, 1) AS bal_round1,
-               floor(c_acctbal) AS bal_floor,
-               ceil(c_acctbal) AS bal_ceil,
+               CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+               CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
                abs(c_acctbal) AS bal_abs,
-               sign(c_acctbal) AS bal_sign,
+               CAST(sign(c_acctbal) AS DOUBLE) AS bal_sign,
                sqrt(abs(c_acctbal)) AS bal_sqrt,
                c_acctbal * c_acctbal AS bal_sq,
                CAST(c_custkey % 7 AS BIGINT) AS key_mod7,
@@ -146,7 +146,12 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "math"),
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math functions; transcendentals rounded to 6 (libm vs JVM last-ulp)."""
+    """Math functions; transcendentals rounded to 6 (libm vs JVM last-ulp).
+
+    Oracle dtype alignment (CORRECTNESS_r01): Spark floor/ceil emit BIGINT
+    where DuckDB emits DOUBLE, and Spark signum emits DOUBLE where DuckDB
+    sign emits TINYINT — the oracle SQL casts both to Spark's types.
+    """
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
     bal = F.col("c_acctbal")
     return c.select(
@@ -172,31 +177,59 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(embedding) AS dim,
                embedding[1] AS first_val,
                embedding[64] AS last_val,
-               list_slice(embedding, 1, 4) AS head4,
-               list_contains(list_transform(embedding, x -> x > 0), true) AS has_positive,
-               list_transform(list_slice(embedding, 1, 3), x -> CAST(x AS DOUBLE) * 2) AS head3_doubled,
-               list_sort(list_transform(list_slice(embedding, 1, 3), x -> CAST(x AS DOUBLE))) AS head3_sorted
+               embedding[4] AS head4_tail,
+               len(list_filter(embedding, x -> x > 0)) AS n_positive,
+               len(list_filter(embedding, x -> x > 0)) > 0 AS has_positive,
+               list_sort(list_transform(list_slice(embedding, 1, 3),
+                                        x -> CAST(x AS DOUBLE)))[2] AS head3_med,
+               CAST(list_aggregate(list_transform(list_slice(embedding, 1, 3),
+                                   x -> CAST(x AS DOUBLE) * 2), 'min') AS DOUBLE) AS head3_dbl_min
         FROM embeddings WHERE vec_id < 50
     """,
     tags=("scalar", "array"),
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array ops incl. higher-order transform over the embedding column."""
+    """Array ops incl. higher-order transform/filter over the embedding
+    column, reduced to scalar outputs (the driver's canonicalizer cannot
+    sort naked array cells — CORRECTNESS_r01). The raw-array API surface is
+    covered rows-only by fn_array_native."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     emb = F.col("embedding")
+    pos = F.filter(emb, lambda x: x > 0)
+    head3d = F.transform(F.slice(emb, 1, 3), lambda x: x.cast("double"))
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
         F.element_at(emb, 1).alias("first_val"),
         F.element_at(emb, 64).alias("last_val"),
-        F.slice(emb, 1, 4).alias("head4"),
-        F.array_contains(F.transform(emb, lambda x: x > 0), True).alias("has_positive"),
-        F.transform(F.slice(emb, 1, 3), lambda x: x.cast("double") * 2).alias(
-            "head3_doubled"
-        ),
-        F.sort_array(F.transform(F.slice(emb, 1, 3), lambda x: x.cast("double"))).alias(
-            "head3_sorted"
-        ),
+        F.element_at(F.slice(emb, 1, 4), 4).alias("head4_tail"),
+        F.size(pos).alias("n_positive"),
+        (F.size(pos) > 0).alias("has_positive"),
+        F.element_at(F.sort_array(head3d), 2).alias("head3_med"),
+        F.array_min(F.transform(head3d, lambda x: x * 2)).alias("head3_dbl_min"),
+    )
+
+
+@query("fn_array_native", oracle=None, tags=("scalar", "array"))
+def fn_array_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw array-returning API coverage (rows-only): slice, transform,
+    sort_array, flatten, array_distinct, zip_with, higher-order aggregate."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    emb = F.col("embedding")
+    head = F.slice(emb, 1, 4)
+    return e.select(
+        "vec_id",
+        head.alias("head4"),
+        F.transform(head, lambda x: x.cast("double") * 2).alias("head4_doubled"),
+        F.sort_array(head).alias("head4_sorted"),
+        F.flatten(F.array(head, F.slice(emb, 5, 4))).alias("head8_flat"),
+        F.array_distinct(F.array(F.lit(1), F.lit(1), F.lit(2))).alias("distinct_123"),
+        F.zip_with(head, F.slice(emb, 5, 4), lambda a, b: a + b).alias("pairsum"),
+        F.aggregate(
+            F.transform(head, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("head4_sum"),
     )
 
 
@@ -241,7 +274,8 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fn_json_from_json",
     oracle="""
-        SELECT event_type, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS total_k
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k
         FROM events GROUP BY event_type
     """,
     tags=("scalar", "json", "agg"),
@@ -294,13 +328,15 @@ def fn_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_nationkey,
                (map {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)}['name'])[1] AS name_from_map,
                cardinality(map {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)}) AS map_size,
-               list_sort(map_keys(map {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)})) AS keys_sorted
+               array_to_string(list_sort(map_keys(map {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)})), ',') AS keys_sorted,
+               array_to_string(list_sort(map_values(map {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)})), ',') AS values_sorted
         FROM nation
     """,
     tags=("scalar", "map"),
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction, element_at, keys (emitted as sorted array)."""
+    """Map construction, element_at, keys/values (serialized as sorted
+    joined strings — naked arrays crash the driver canonicalizer)."""
     n = load_table(spark, sf_dir, "nation")
     m = F.create_map(
         F.lit("name"), F.col("n_name"), F.lit("region"), F.col("n_regionkey").cast("string")
@@ -309,5 +345,6 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         F.element_at(m, "name").alias("name_from_map"),
         F.size(m).alias("map_size"),
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_values(m)), ",").alias("values_sorted"),
     )
