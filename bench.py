@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark harness: time every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly one JSON line on stdout (the last line):
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the noop sink — full execution on the
+cluster, zero driver-side collection — so the timing measures the plan, not
+the transfer. Spark/JVM chatter goes to stderr; stdout carries only the
+JSON line so the driver's parser always finds it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from avro_topic_replication_spark.queries import all_queries
+    from avro_topic_replication_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM + parquet footers once so q1 doesn't pay session startup.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, q in sorted(all_queries().items()):
+        if "bench_skip" in q.tags:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # a broken query must not kill the bench
+            failures[name] = f"{type(e).__name__}: {e}"[:200]
+            print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    result = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "failures": failures,
+    }
+    spark.stop()
+    print(json.dumps(result))
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
