@@ -374,3 +374,73 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
     )
+
+
+@query(
+    "agg_arg_minmax",
+    oracle="""
+        SELECT o_orderpriority,
+               arg_min(o_totalprice, o_orderkey) AS first_order_price,
+               arg_max(o_totalprice, o_orderkey) AS last_order_price,
+               arg_max(o_orderstatus, o_totalprice) AS biggest_order_status
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first/last: min_by/max_by over a unique ordering key
+    (bare first()/last() are partition-order-dependent and can never
+    hash-match an oracle; arg-min/max over a unique key is the
+    deterministic replacement). biggest_order_status orders by
+    o_totalprice — unique in this data per priority group."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.min_by("o_totalprice", "o_orderkey").alias("first_order_price"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+        F.max_by("o_orderstatus", "o_totalprice").alias("biggest_order_status"),
+    )
+
+
+@query(
+    "agg_corr",
+    oracle="""
+        WITH sums AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               (sxy - sx * sy / n)
+                 / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+        FROM sums
+    """,
+    tags=("agg", "stats"),
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal power sums (same rationale as
+    agg_moment_stats: the engines' streaming corr() is accumulation-order
+    dependent; a fixed IEEE expression over exact sums is reproducible and
+    cross-engine bit-exact, with identical partial-agg scalability)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(q)).cast("double").alias("sx"),
+        F.sum(dec(q * q, 24)).cast("double").alias("sxx"),
+        F.sum(dec(p)).cast("double").alias("sy"),
+        F.sum(dec(p * p, 28)).cast("double").alias("syy"),
+        F.sum(dec(q * p, 24)).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return sums.select(
+        "l_returnflag",
+        "n",
+        ((sxy - sx * sy / n) / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))).alias(
+            "corr_qty_price"
+        ),
+    )

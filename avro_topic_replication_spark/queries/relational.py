@@ -394,3 +394,47 @@ def join_theta_ship_after_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_late_lines"))
     )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+        SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+        FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join keeping supplier-less nations (zero counts)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "join_shuffle_hash",
+    oracle=f"""
+        SELECT s_nationkey, COUNT(*) AS n_lines,
+               {dec_sum_sql('l_extendedprice')} AS total_price
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    """,
+    tags=("join", "hint"),
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled-hash join forced by hint: no sort on either side — the
+    right strategy when one side is modest but over the broadcast
+    threshold. AQE may still override at runtime; the hint documents
+    intent and removes the sort-merge sort cost when honored."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").hint("SHUFFLE_HASH")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_lines"), dec_sum("l_extendedprice").alias("total_price"))
+    )

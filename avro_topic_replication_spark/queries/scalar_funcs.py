@@ -348,3 +348,131 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
         F.array_join(F.sort_array(F.map_values(m)), ",").alias("values_sorted"),
     )
+
+
+@query(
+    "fn_string_extra",
+    oracle="""
+        SELECT p_partkey,
+               translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+               array_to_string(
+                   list_transform(string_split(lower(p_name), ' '),
+                                  w -> upper(substring(w, 1, 1)) || substring(w, 2)),
+                   ' ') AS name_initcap,
+               ascii(p_brand) AS brand_ascii,
+               chr(65 + CAST(p_partkey % 26 AS INT)) AS key_chr,
+               strpos(p_type, 'ED') AS ed_pos,
+               repeat(p_brand, 2) AS brand2
+        FROM part WHERE p_partkey < 200
+    """,
+    tags=("scalar", "string"),
+)
+def fn_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Straggler string functions: translate, initcap (DuckDB lacks it —
+    the oracle emulates Spark's capitalize-each-space-delimited-word
+    semantics), ascii/chr, locate, repeat-on-column."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
+        F.initcap(F.lower("p_name")).alias("name_initcap"),
+        F.ascii("p_brand").alias("brand_ascii"),
+        F.expr("char(65 + CAST(p_partkey % 26 AS INT))").alias("key_chr"),
+        F.locate("ED", F.col("p_type")).alias("ed_pos"),
+        F.repeat(F.col("p_brand"), 2).alias("brand2"),
+    )
+
+
+@query(
+    "fn_datetime_extra",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts,
+               strftime(o_orderdate, '%Y-%m') AS ym,
+               make_date(CAST(year(o_orderdate) AS INT),
+                         CAST(month(o_orderdate) AS INT), 1) AS month_first,
+               dayofweek(o_orderdate) + 1 AS dow,
+               round((1998 - year(o_orderdate)) * 12 + (9 - month(o_orderdate))
+                     + (1 - day(o_orderdate)) / 31.0, 8) AS months_to_sep98
+        FROM orders WHERE o_orderkey < 300
+    """,
+    tags=("scalar", "datetime"),
+)
+def fn_datetime_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Straggler datetime functions: unix_timestamp, date_format, make_date,
+    dayofweek (DuckDB counts Sunday=0, Spark Sunday=1 — oracle adds 1),
+    months_between (oracle reproduces Spark's months + (d1-d2)/31 rule,
+    valid here because every timestamp is midnight and the anchor day 1 is
+    never month-end)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return o.select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)).alias(
+            "month_first"
+        ),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.months_between(
+            F.lit("1998-09-01").cast("timestamp_ntz"), F.col("o_orderdate")
+        ).alias("months_to_sep98"),
+    )
+
+
+@query(
+    "fn_to_json",
+    oracle="""
+        SELECT n_nationkey,
+               to_json(struct_pack(name := n_name, region := n_regionkey)) AS j,
+               json_extract_string(to_json(struct_pack(name := n_name, region := n_regionkey)),
+                                   '$.name') AS roundtrip_name
+        FROM nation
+    """,
+    tags=("scalar", "json"),
+)
+def fn_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct → JSON serialization (and a parse round-trip); both engines
+    emit compact {"k":v} with no whitespace, so the strings hash-match."""
+    n = load_table(spark, sf_dir, "nation")
+    j = F.to_json(
+        F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("region"))
+    )
+    return n.select(
+        "n_nationkey",
+        j.alias("j"),
+        F.get_json_object(j, "$.name").alias("roundtrip_name"),
+    )
+
+
+@query(
+    "fn_json_tuple",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k,
+               json_extract_string(props, '$.missing') AS missing
+        FROM events WHERE event_id < 200
+    """,
+    tags=("scalar", "json"),
+)
+def fn_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple: multi-field extraction in one generator (missing keys
+    yield NULL in both engines)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return ev.select(
+        "event_id", F.json_tuple("props", "k", "missing").alias("k", "missing")
+    )
+
+
+@query("fn_ids_native", oracle=None, tags=("scalar", "misc"))
+def fn_ids_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native id/partition functions (rows-only: values depend on
+    physical partitioning by design): monotonically_increasing_id,
+    spark_partition_id, seeded rand/randn."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.monotonically_increasing_id().alias("mono_id"),
+        F.spark_partition_id().alias("pid"),
+        F.rand(42).alias("r"),
+        F.randn(42).alias("rn"),
+    )

@@ -268,3 +268,17 @@ def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
+
+
+@query("sort_partition_local", oracle=None, tags=("sort",))
+def sort_partition_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortWithinPartitions: per-partition ordering with NO global shuffle —
+    the idiom for write-ordered output (e.g. sorted parquet row groups)
+    where a total order isn't needed. Rows-only: partition-local order is
+    not an oracle-checkable property."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.repartition("l_returnflag")
+        .sortWithinPartitions("l_shipdate", "l_orderkey", "l_linenumber")
+        .select("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
+    )
