@@ -31,6 +31,7 @@ _MODULES = (
     "llm_text",
     "llm_dedup",
     "llm_vectors",
+    "llm_multimodal",
     "streaming_batch",
 )
 

@@ -124,10 +124,10 @@ def agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH sums AS (
             SELECT l_linestatus,
                    COUNT(*) AS n,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-                   CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS sxy
             FROM lineitem GROUP BY l_linestatus
         )
         SELECT l_linestatus, n,
@@ -145,15 +145,21 @@ def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is run-dependent; deriving the moments from exact decimal sums
     with one fixed IEEE expression makes the result reproducible AND
     cross-engine exact. Same partial-agg scalability as any sum.
+
+    The decimal→double conversion goes through a string cast: for sums
+    wider than ~16 significant digits, Spark's BigDecimal.doubleValue and
+    DuckDB's native decimal→double can each be a ulp off correctly-rounded
+    (observed at sf0.001 on the corr query); both engines' string→double
+    parse IS correctly rounded, so the string route makes them identical.
     """
     li = load_table(spark, sf_dir, "lineitem")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     sums = li.groupBy("l_linestatus").agg(
         F.count("*").alias("n"),
-        F.sum(dec(q)).cast("double").alias("sx"),
-        F.sum(dec(q * q, 24)).cast("double").alias("sxx"),
-        F.sum(dec(p)).cast("double").alias("sy"),
-        F.sum(dec(q * p, 24)).cast("double").alias("sxy"),
+        F.sum(dec(q)).cast("string").cast("double").alias("sx"),
+        F.sum(dec(q * q, 24)).cast("string").cast("double").alias("sxx"),
+        F.sum(dec(p)).cast("string").cast("double").alias("sy"),
+        F.sum(dec(q * p, 24)).cast("string").cast("double").alias("sxy"),
     )
     n, sx, sxx, sy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "sxy"))
     return sums.select(
@@ -407,11 +413,11 @@ def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH sums AS (
             SELECT l_returnflag,
                    COUNT(*) AS n,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-                   CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
-                   CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS syy,
+                   CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS sxy
             FROM lineitem GROUP BY l_returnflag
         )
         SELECT l_returnflag, n,
@@ -430,11 +436,11 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     sums = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(dec(q)).cast("double").alias("sx"),
-        F.sum(dec(q * q, 24)).cast("double").alias("sxx"),
-        F.sum(dec(p)).cast("double").alias("sy"),
-        F.sum(dec(p * p, 28)).cast("double").alias("syy"),
-        F.sum(dec(q * p, 24)).cast("double").alias("sxy"),
+        F.sum(dec(q)).cast("string").cast("double").alias("sx"),
+        F.sum(dec(q * q, 24)).cast("string").cast("double").alias("sxx"),
+        F.sum(dec(p)).cast("string").cast("double").alias("sy"),
+        F.sum(dec(p * p, 28)).cast("string").cast("double").alias("syy"),
+        F.sum(dec(q * p, 24)).cast("string").cast("double").alias("sxy"),
     )
     n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
     return sums.select(

@@ -1,0 +1,100 @@
+"""Multimodal (binary-payload) column handling (SURVEY.md §2.2 LLM ops).
+
+Pattern for image/audio/video at 100 TB: the payload is an opaque
+BinaryType column + a typed metadata struct; decode / feature-extract runs
+as Arrow-batched pandas iterators (mapInPandas) so bytes move executor-side
+in columnar batches and never touch the driver. The actual media decode is
+STUBBED (no image/audio libraries in this container — decode_payload raises
+NotImplementedError unless the deterministic fake is requested); everything
+Spark-side — schema, batching, partitioning, UDF signatures — is real and
+tested.
+
+Reference parity: the reference treats Kafka values as opaque bytes +
+external schema (application.yml:11-12) — the same opaque-payload pattern
+applied here to media columns; [EXT] north-star surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+
+def decode_payload(payload: bytes, fake: bool = False) -> dict:
+    """Decode one media payload into features.
+
+    Real decode (PIL / librosa / ffmpeg) is unavailable in this
+    environment — STUB. The deterministic fake derives pseudo-dimensions
+    from the payload bytes so the pipeline shape is testable end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires an image/audio library not present in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+    h = 0
+    for b in payload[:16]:
+        h = (h * 31 + b) & 0x7FFFFFFF
+    return {"width": 64 + h % 1024, "height": 64 + (h // 1024) % 1024}
+
+
+def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched decode: one pandas frame per batch, payload bytes in,
+    feature columns out. This is the exact shape a real image decode
+    (resize / frame-sample) plugs into — swap decode_payload's body."""
+    for pdf in it:
+        feats = [decode_payload(p, fake=True) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "width": [f["width"] for f in feats],
+                "height": [f["height"] for f in feats],
+            }
+        )
+
+
+@query(
+    "mm_binary_metadata",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS payload_md5,
+               substring(md5(text), 1, 8) AS fp8,
+               lang AS media_kind
+        FROM documents WHERE doc_id < 200
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-payload metadata extraction: byte length + content hash of a
+    BinaryType column (text bytes stand in for media bytes — the plan is
+    identical for real blobs). Pure column expressions; nothing decodes."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.substring(F.md5(payload), 1, 8).alias("fp8"),
+        F.col("lang").alias("media_kind"),
+    )
+
+
+@query("mm_decode_features", oracle=None, tags=("llm", "multimodal"))
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → features via Arrow-batched mapInPandas (the decode
+    body is the stub; the batching / schema / partition plumbing is the
+    production shape). Rows-only: the fake features are engine-defined."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return payloads.mapInPandas(
+        _decode_batches, schema="doc_id long, n_bytes long, width long, height long"
+    )

@@ -1,1 +1,246 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.2 LLM ops).
+
+All pure column expressions — tokenization, quality scoring, language ID,
+fingerprinting, and shingling run JVM-side inside whole-stage codegen with
+zero Python on the hot path, so they scale like any projection: embarrass-
+ingly parallel, no shuffle, predicate/column pruning intact. Each query has
+a DuckDB oracle built from the same Python word lists so the two engines
+stay in lockstep.
+
+Reference parity note: the reference (timtebeek/avro-topic-replication)
+has no text operators — this entire module is [EXT] surface mandated by
+the north star (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+# Tiny embedded stopword lists (public, common knowledge). One Python
+# source generates both the Spark expression and the oracle SQL.
+STOP_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "was",
+           "it", "for", "on", "with", "as", "at", "by", "be", "this", "that")
+STOP_DE = ("der", "die", "das", "und", "oder", "von", "zu", "im", "ist",
+           "war", "es", "für", "auf", "mit", "als", "bei", "sein", "ein")
+STOP_FR = ("le", "la", "les", "et", "ou", "de", "à", "dans", "est",
+           "était", "il", "pour", "sur", "avec", "comme", "par", "être", "un")
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _spark_list(words: tuple[str, ...]):
+    return F.array(*[F.lit(w) for w in words])
+
+
+_TOKENS_SQL = "string_split_regex(lower(text), '\\s+')"
+
+
+def _tokens_col():
+    return F.split(F.lower("text"), r"\s+")
+
+
+@query(
+    "text_tokenize_stats",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+                    AS BIGINT) AS total_token_chars,
+               CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum') AS DOUBLE)
+                 / len(toks) AS avg_token_len,
+               len(list_filter(toks, w -> list_contains({_sql_list(STOP_EN)}, w)))
+                 AS n_stopwords,
+               CAST(len(list_filter(toks, w -> list_contains({_sql_list(STOP_EN)}, w)))
+                    AS DOUBLE) / len(toks) AS stopword_ratio
+        FROM t
+    """,
+    tags=("llm", "text"),
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + token/stopword statistics, all JVM-side.
+
+    The 100-TB shape: a stateless projection — no shuffle, trivially
+    partition-parallel; the regex split and higher-order filter stay in
+    codegen (no Python UDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(_spark_list(STOP_EN), w)))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        tok_chars.cast("bigint").alias("total_token_chars"),
+        (tok_chars.cast("double") / F.size(toks)).alias("avg_token_len"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / F.size(toks)).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+               len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+               CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+                 / length(text) AS punct_ratio,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                 / length(text) AS digit_ratio,
+               (length(text) BETWEEN 100 AND 20000)
+                 AND (CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+                      / length(text) < 0.1)
+                 AND (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                      / length(text) < 0.2) AS passes_quality
+        FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality gates (length / punctuation / digit
+    ratios) — the standard pre-training corpus filter, as a pure
+    projection."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_punct = F.regexp_count("text", F.lit(r"[\p{Punct}]"))
+    n_digits = F.regexp_count("text", F.lit("[0-9]"))
+    n_upper = F.regexp_count("text", F.lit("[A-Z]"))
+    punct_ratio = n_punct.cast("double") / n_chars
+    digit_ratio = n_digits.cast("double") / n_chars
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_punct.alias("n_punct"),
+        n_digits.alias("n_digits"),
+        n_upper.alias("n_upper"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        (n_chars.between(100, 20000) & (punct_ratio < 0.1) & (digit_ratio < 0.2)).alias(
+            "passes_quality"
+        ),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+        hits AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, w -> list_contains({_sql_list(STOP_EN)}, w))) AS en_hits,
+                   len(list_filter(toks, w -> list_contains({_sql_list(STOP_DE)}, w))) AS de_hits,
+                   len(list_filter(toks, w -> list_contains({_sql_list(STOP_FR)}, w))) AS fr_hits
+            FROM t
+        )
+        SELECT doc_id, lang, en_hits, de_hits, fr_hits,
+               CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                    WHEN de_hits >= fr_hits THEN 'de'
+                    ELSE 'fr' END AS predicted_lang
+        FROM hits
+    """,
+    tags=("llm", "text"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (the classic cheap heuristic): count
+    hits against per-language function-word lists, argmax with a
+    deterministic tie rule. Column-expression only — at 100 TB this runs
+    at scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+
+    def hits(words):
+        return F.size(F.filter(toks, lambda w: F.array_contains(_spark_list(words), w)))
+
+    en, de, fr = hits(STOP_EN), hits(STOP_DE), hits(STOP_FR)
+    return d.select(
+        "doc_id",
+        "lang",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        F.when((en >= de) & (en >= fr), "en")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+        .alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+        WITH n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                       ' +', ' ', 'g')) AS norm
+            FROM documents
+        )
+        SELECT doc_id,
+               md5(norm) AS norm_md5,
+               CAST(('0x' || substring(md5(norm), 1, 15)) AS BIGINT) AS fp60,
+               length(norm) AS norm_len
+        FROM n
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form document fingerprint: normalize (lowercase, strip
+    non-alnum, collapse whitespace) then hash — the key for fuzzy-exact
+    dedup that survives formatting noise. fp60 packs the first 15 hex
+    digits into a bigint (cheap join/partition key at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    md5 = F.md5(norm)
+    return d.select(
+        "doc_id",
+        md5.alias("norm_md5"),
+        F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint").alias("fp60"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+@query(
+    "text_shingle_stats",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(length(text) - 2, 1)),
+                                  i -> substring(text, CAST(i AS INT), 4)) AS sh
+            FROM documents
+        )
+        SELECT doc_id,
+               len(sh) AS n_shingles,
+               len(list_distinct(sh)) AS n_distinct_shingles,
+               CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS shingle_diversity
+        FROM s
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 4-gram shingling (the MinHash substrate) + diversity
+    ratio. sequence+transform keeps it in codegen; the shingle arrays
+    never leave the executor — only the counts come back."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 3, F.lit(1))),
+        lambda i: F.col("text").substr(i, F.lit(4)),
+    )
+    return d.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
+        (F.size(F.array_distinct(sh)).cast("double") / F.size(sh)).alias(
+            "shingle_diversity"
+        ),
+    )

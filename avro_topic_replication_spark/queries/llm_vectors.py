@@ -1,1 +1,240 @@
-"""Placeholder — filled in as operators land."""
+"""Vector similarity-search operators (SURVEY.md §2.2 LLM ops).
+
+Embeddings are array<float> columns; all similarity math runs as JVM
+higher-order expressions (zip_with product + left fold) — bit-exact across
+engines (verified: Spark's aggregate and DuckDB's list_reduce both fold
+left-to-right in IEEE doubles), so even cosine scores are oracle-checked.
+
+Scale design:
+- brute-force top-k vs ONE query: scan + TakeOrderedAndProject — O(n),
+  per-partition heaps, O(k) driver memory: the correct baseline at any n.
+- all-pairs work is never materialized: the pair queries go through
+  LSH sign-buckets (random hyperplanes) or IVF cells (coarse centroids),
+  so candidate sets shrink by the bucket ratio before any cosine runs.
+
+Reference parity: no vector ops exist in the reference; [EXT] north-star.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+_DOT_SQL = """list_reduce(list_transform(list_zip({a}, {b}),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"""
+
+
+def _dbl(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    """Ordered left fold of the elementwise product — deterministic and
+    cross-engine exact (0.0 + x1 == x1, so Spark's seeded fold equals
+    DuckDB's unseeded list_reduce)."""
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@query(
+    "vec_norms",
+    oracle=f"""
+        SELECT vec_id,
+               sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS l2_norm,
+               list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                           (x, y) -> x + y) AS l1_norm,
+               CAST(list_aggregate(list_transform(embedding, x -> abs(x)), 'max')
+                    AS DOUBLE) AS linf_norm
+        FROM embeddings
+    """,
+    tags=("llm", "vector"),
+)
+def vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L1/L∞ norms of the embedding column — the normalization
+    primitives every similarity pipeline needs, as pure fold expressions."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    l1 = F.aggregate(
+        F.transform(emb, lambda x: F.abs(x.cast("double"))), F.lit(0.0), lambda a, x: a + x
+    )
+    return e.select(
+        "vec_id",
+        F.sqrt(_dot(emb, emb)).alias("l2_norm"),
+        l1.alias("l1_norm"),
+        F.array_max(F.transform(emb, lambda x: F.abs(x))).cast("double").alias("linf_norm"),
+    )
+
+
+@query(
+    "vec_knn_query",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT vec_id, label,
+                   {_DOT_SQL.format(a='embedding', b='qv')}
+                     / (sqrt({_DOT_SQL.format(a='embedding', b='embedding')})
+                        * sqrt({_DOT_SQL.format(a='qv', b='qv')})) AS cosine
+            FROM embeddings, q
+            WHERE vec_id != 0
+        )
+        SELECT vec_id, label, cosine
+        FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    tags=("llm", "vector", "topk"),
+)
+def vec_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against one query vector (vec_id 0).
+
+    The baseline ANN every index is judged against: one scan, cosine in
+    codegen, orderBy+limit compiles to TakeOrderedAndProject (per-
+    partition heaps — no global sort, O(k) driver memory at any n). The
+    query vector is a plan-time parameter (single-row lookup), broadcast
+    implicitly as a literal-free cross join of a 1-row relation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            (
+                _dot(F.col("embedding"), F.col("qv"))
+                / (
+                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                )
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+def _hyperplanes(dim: int = 64, n: int = 8) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH (fixed public seed)."""
+    rng = np.random.default_rng(20240101)
+    return rng.standard_normal((n, dim)).tolist()
+
+
+@query("vec_lsh_pairs", oracle=None, tags=("llm", "vector", "lsh"))
+def vec_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top similar pairs via sign-random-projection LSH — the scale path.
+
+    8 fixed hyperplanes → 8 sign bits → bucket id; only pairs sharing a
+    bucket are scored (expected bucket size n/256, so candidate work is
+    ~n²/256 instead of n²; more planes or multi-probe shrink it further).
+    Rows-only: bucket membership depends on the seeded hyperplanes, not
+    SQL-expressible concisely."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    emb = _dbl(F.col("embedding"))
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        lit_p = F.array(*[F.lit(float(v)) for v in p])
+        d = F.aggregate(
+            F.zip_with(emb, lit_p, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    left = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    right = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(20)
+    )
+
+
+@query("vec_ivf_search", oracle=None, tags=("llm", "vector", "ivf"))
+def vec_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse centroid
+    (8 fixed seed centroids), then answer the query by probing only the
+    2 cells nearest the query — the inverted-file pruning that makes
+    100-TB ANN tractable (scan shrinks by n_cells/n_probe). Centroids
+    here are deterministic seeds; a production build would k-means them
+    (same plan shape). Rows-only (cell assignment isn't concise SQL)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    rng = np.random.default_rng(7)
+    cents = rng.standard_normal((8, 64))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    emb = _dbl(F.col("embedding"))
+
+    def dot_lit(vec):
+        lit_v = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(emb, lit_v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+
+    cell = F.lit(0)
+    best = dot_lit(cents[0])
+    for i in range(1, 8):
+        d = dot_lit(cents[i])
+        cell = F.when(d > best, F.lit(i)).otherwise(cell)
+        best = F.greatest(d, best)
+    assigned = e.select("vec_id", "label", "embedding", cell.alias("cell"))
+
+    # Query = embedding of vec_id 0; probe its 2 nearest cells only.
+    qrow = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("cell").alias("qcell")
+    )
+    qv = np.array(
+        qrow.first()["qv"], dtype=np.float64
+    )  # 1-row parameter fetch, not a data collect
+    cell_scores = sorted(range(8), key=lambda i: -float(cents[i] @ qv))
+    probe = cell_scores[:2]
+
+    cand = assigned.filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0)).crossJoin(
+        F.broadcast(qrow.select("qv"))
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        cand.select("vec_id", "label", "cell", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "vec_cosine_pairs_exact",
+    oracle=f"""
+        WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60),
+             b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_DOT_SQL.format(a='a.embedding', b='b.embedding')} AS dot
+        FROM a JOIN b ON a.vec_id < b.vec_id
+        ORDER BY dot DESC, vec_a, vec_b LIMIT 15
+    """,
+    tags=("llm", "vector"),
+)
+def vec_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs dot product on a bounded id prefix (ground truth
+    for the LSH/IVF queries, oracle-checked; the unbounded path is
+    vec_lsh_pairs). Unit-norm embeddings → dot == cosine."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", _dot(F.col("ea"), F.col("eb")).alias("dot"))
+        .orderBy(F.desc("dot"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(15)
+    )
