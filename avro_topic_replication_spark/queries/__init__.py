@@ -32,6 +32,7 @@ _MODULES = (
     "llm_dedup",
     "llm_vectors",
     "llm_multimodal",
+    "udfs",
     "streaming_batch",
 )
 

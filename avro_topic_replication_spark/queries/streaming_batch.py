@@ -1,1 +1,241 @@
-"""Placeholder — filled in as operators land."""
+"""Streaming operators (SURVEY.md §2.2 "Streaming-only operators").
+
+Two tiers:
+
+- Batch twins (oracle-checked): tumbling / sliding / session windows and
+  keyed dedup ARE SQL-expressible over the bounded events table —
+  ``window()`` / ``session_window()`` aggregations run identically in a
+  batch plan, and DuckDB reproduces them with date_trunc arithmetic and
+  gaps-and-islands, so the driver hash-checks the exact semantics.
+- Real streams (rows-only): the same operators executed through
+  ``readStream`` (file replay of events.parquet) with watermarks, memory
+  sink, Trigger.AvailableNow — proving the streaming runtime path end to
+  end. Engine-native execution → rows-only driver check.
+
+Scale: windowed aggregation state is bounded by the watermark; streaming
+dedup keyed on event_id with a watermark bounds state by the lateness
+horizon — both are the standard 100-TB streaming shapes (R1-R9 analogs
+run in replication.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import dec_sum, dec_sum_sql
+from . import query
+
+
+@query(
+    "stream_tumbling_window",
+    oracle=f"""
+        SELECT date_trunc('hour', ts) AS wstart,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,
+               event_type,
+               COUNT(*) AS n_events,
+               {dec_sum_sql('value')} AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation (batch twin of the
+    streaming query; epoch-aligned 1h buckets == date_trunc('hour'))."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+        SELECT date_trunc('hour', ts) - (k * INTERVAL 1 HOUR) AS wstart,
+               date_trunc('hour', ts) - (k * INTERVAL 1 HOUR) + INTERVAL 2 HOUR AS wend,
+               COUNT(*) AS n_events,
+               {dec_sum_sql('value')} AS total_value
+        FROM events CROSS JOIN unnest([0, 1]) AS s(k)
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h length, 1h slide): every event lands in exactly
+    two windows; the oracle replays that by unioning the two shifted
+    tumbling assignments."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user. Spark's session_window
+    end = last event + gap; the oracle reproduces it with the classic
+    gaps-and-islands (lag + running sum) formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_dedup_keyed",
+    oracle="""
+        SELECT user_id, event_type,
+               CAST(min(event_id) AS BIGINT) AS first_event,
+               COUNT(*) AS n_dups
+        FROM events
+        GROUP BY user_id, event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup, keep-earliest (the deterministic batch twin of
+    streaming dropDuplicates: arbitrary-survivor semantics can't be
+    oracle-checked, min_by-style can)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event"), F.count("*").alias("n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real streaming executions (readStream → watermark → sink), rows-only.
+# ---------------------------------------------------------------------------
+@query("stream_live_tumbling", oracle=None, tags=("streaming", "live"))
+def stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window agg executed on a real stream: file replay →
+    withWatermark(1h) → window agg → memory sink (AvailableNow). Complete
+    mode so end-of-stream windows (never passed by the watermark) are
+    visible; on an unbounded source this would be append + late-data
+    drops."""
+    from ..streaming.replay import events_stream, run_to_memory
+
+    sdf = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("wstart"), "event_type", "n_events"
+        )
+    )
+    return run_to_memory(sdf, output_mode="complete")
+
+
+@query("stream_live_dedup", oracle=None, tags=("streaming", "live"))
+def stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id bounded by a watermark
+    (dropDuplicatesWithinWatermark): state evicts once the lateness
+    horizon passes — the only dedup that survives an unbounded stream."""
+    from ..streaming.replay import events_stream, run_to_memory
+
+    sdf = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    return run_to_memory(sdf, output_mode="append")
+
+
+@query("stream_live_static_join", oracle=None, tags=("streaming", "live"))
+def stream_live_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    (broadcastable) dimension built from customer nations — the standard
+    streaming enrichment; the static side is re-planned per micro-batch."""
+    from ..streaming.replay import events_stream, run_to_memory
+
+    static_dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey", "c_mktsegment")
+    )
+    sdf = (
+        events_stream(spark, sf_dir)
+        .join(F.broadcast(static_dim), "user_id", "inner")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return run_to_memory(sdf, output_mode="complete")
+
+
+@query("stream_live_stateful", oracle=None, tags=("streaming", "live"))
+def stream_live_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming: applyInPandasWithState keeping a
+    per-user running (count, max value) across micro-batches — the escape
+    hatch for operators watermark windows can't express (custom session
+    logic, CEP, counters). GroupStateTimeout bounds state life."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.replay import events_stream, run_to_memory
+
+    def track(key, pdfs, state: GroupState):
+        cnt, mx = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((cnt, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt], "max_value": [mx]})
+
+    sdf = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n_events long, max_value double",
+            stateStructType="cnt long, mx double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(sdf, output_mode="update")
