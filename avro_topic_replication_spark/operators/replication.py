@@ -1,0 +1,334 @@
+"""The reference's own capability: exactly-once Avro topic replication
+(R1–R9), Spark-first.
+
+Reference dataflow (SURVEY.md §2.1; ReplicationApplication.java:62-101):
+Kafka source → read-committed filter → Confluent-Avro deserialize →
+extract value.id → re-key → Confluent-Avro serialize (auto-register) →
+transactional sink → batch barrier → post-commit offset ack.
+
+Spark mapping implemented here:
+
+| R# | reference mechanism                | this module                      |
+|----|------------------------------------|----------------------------------|
+| R1 | @KafkaListener batches ≤500        | readStream (envelope dir replay; |
+|    | (README.adoc:34)                   | kafka_source_options for a real  |
+|    |                                    | cluster, maxOffsetsPerTrigger)   |
+| R2 | isolation read-committed           | read_committed() — only          |
+|    | (application.yml:10)               | marker-committed batches visible |
+| R3 | KafkaAvroDeserializer              | Arrow-batched decode against a   |
+|    | (application.yml:12)               | plan-time registry snapshot      |
+| R4 | consumerRecord.get("id") (:71)     | record["id"] in the same pass    |
+| R5 | re-key with id.toString() (:70-71) | key = Confluent-framed Avro      |
+|    |                                    | string of id (serde parity)      |
+| R6 | KafkaAvroSerializer + auto-register| encode + register() at plan time |
+|    | (application.yml:15-16,README:27)  | against the target registry      |
+| R7 | executeInTransaction (:66-78)      | foreachBatch: write data, then   |
+| R8 | future.get barrier → abort (:80-94)| atomically create commit marker; |
+|    |                                    | any task failure fails the batch |
+|    |                                    | before the marker exists         |
+| R9 | ack after commit (:99-100)         | checkpoint advances only after   |
+|    |                                    | foreachBatch returns             |
+
+Crash-window semantics (honest, mirroring README.adoc:22-25): a crash
+after data-write but before marker leaves an uncommitted batch dir that
+read_committed() ignores and a replay overwrites — effectively-exactly-
+once for committed readers, exactly the reference's contract.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions import avro_codec
+from ..sources.registry import MockSchemaRegistry
+
+# A2 envelope (FIXTURES.md): the fixed schema of Spark's Kafka source.
+KAFKA_ENVELOPE = StructType(
+    [
+        StructField("key", BinaryType(), True),
+        StructField("value", BinaryType(), True),
+        StructField("topic", StringType(), True),
+        StructField("partition", IntegerType(), True),
+        StructField("offset", LongType(), True),
+        StructField("timestamp", TimestampType(), True),
+    ]
+)
+
+# The reference's Avro fixture (com.foo.Foo.avsc:1-19).
+FOO_SCHEMA = {
+    "type": "record",
+    "name": "Foo",
+    "namespace": "com.foo",
+    "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "name", "type": ["null", "string"], "default": None},
+    ],
+}
+
+STRING_SCHEMA = "string"  # output key schema (KafkaAvroSerializer on a String)
+
+
+def kafka_source_options(bootstrap: str, topic: str) -> dict[str, str]:
+    """R1/R2 options for a real cluster: spark.readStream.format("kafka")
+    .options(**kafka_source_options(...)). Batch bound mirrors the
+    reference's ≤500-record listener batches (README.adoc:34); read
+    committed mirrors application.yml:10; failOnDataLoss mirrors
+    setMissingTopicsFatal (ReplicationApplication.java:41)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "500",
+        "kafka.isolation.level": "read_committed",
+        "failOnDataLoss": "true",
+    }
+
+
+# ---------------------------------------------------------------------------
+# R3–R6: decode → re-key → encode, one Arrow-batched pass
+# ---------------------------------------------------------------------------
+def replicate_transform(
+    env: DataFrame,
+    schemas_by_id: dict,
+    target_topic: str,
+    key_schema_id: int,
+    value_schema_id: int,
+    value_schema,
+) -> DataFrame:
+    """The record transform of the pipeline: for each source envelope row,
+    decode the Confluent-framed value, extract ``id``, emit the target
+    envelope with key = Avro-string(id) framed for the target registry and
+    value re-encoded under the target schema id.
+
+    One mapInPandas pass — the distributed analog of the reference's
+    single listener loop (ReplicationApplication.java:63-78), preserving
+    (partition, offset) passthrough for downstream dedup/audit. A record
+    without ``id`` raises, failing the whole batch before any commit —
+    the NPE→transaction-abort behavior of the reference (§3.1 step 6).
+    """
+    snapshot = dict(schemas_by_id)
+    vschema = avro_codec.parse_schema(value_schema)
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, values = [], []
+            for raw in pdf["value"]:
+                _, record = avro_codec.deserialize_confluent(bytes(raw), snapshot)
+                if not isinstance(record, dict) or "id" not in record or record["id"] is None:
+                    raise ValueError(
+                        "record has no 'id' field - aborting batch "
+                        "(reference parity: ReplicationApplication.java:71 NPE "
+                        "aborts the transaction)"
+                    )
+                rid = str(record["id"])
+                keys.append(
+                    avro_codec.serialize_confluent(rid, STRING_SCHEMA, key_schema_id)
+                )
+                values.append(
+                    avro_codec.serialize_confluent(record, vschema, value_schema_id)
+                )
+            out = pd.DataFrame(
+                {
+                    "key": keys,
+                    "value": values,
+                    "topic": target_topic,
+                    "partition": pdf["partition"],
+                    "offset": pdf["offset"],
+                    "timestamp": pdf["timestamp"],
+                }
+            )
+            yield out
+
+    return env.mapInPandas(transform, schema=KAFKA_ENVELOPE)
+
+
+def plan_replication(
+    env: DataFrame,
+    source_registry: MockSchemaRegistry,
+    target_registry: MockSchemaRegistry,
+    target_topic: str,
+    value_schema,
+) -> DataFrame:
+    """Plan-time registry work (R6 auto-registration, README.adoc:27
+    parity) + the transform: snapshot the source registry for decode,
+    register key/value schemas in the target registry, build the
+    distributed transform."""
+    key_id = target_registry.register(f"{target_topic}-key", STRING_SCHEMA)
+    value_id = target_registry.register(f"{target_topic}-value", value_schema)
+    return replicate_transform(
+        env,
+        source_registry.snapshot(),
+        target_topic,
+        key_id,
+        value_id,
+        value_schema,
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7–R9: transactional sink, batch barrier, post-commit ack
+# ---------------------------------------------------------------------------
+def committed_marker(target_dir: str, batch_id: int) -> str:
+    return os.path.join(target_dir, "commits", str(batch_id))
+
+
+def batch_writer(target_dir: str):
+    """foreachBatch body: write-then-commit-marker, idempotent on replay.
+
+    - data lands in data/<batch_id>/ (task failures abort the whole write
+      — the R8 barrier);
+    - the commit marker is created atomically AFTER a successful write
+      (R7 transaction commit);
+    - a replayed batch (crash between marker and checkpoint ack) sees its
+      marker and skips — effectively-exactly-once downstream;
+    - Structured Streaming acks the checkpoint only after this returns
+      (R9 post-commit offset ack).
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        marker = committed_marker(target_dir, batch_id)
+        if os.path.exists(marker):
+            return  # replay of a committed batch: idempotent skip
+        data_dir = os.path.join(target_dir, "data", str(batch_id))
+        batch_df.write.mode("overwrite").parquet(data_dir)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("committed")
+        os.rename(tmp, marker)  # atomic commit point
+
+    return write
+
+
+def read_committed(spark: SparkSession, target_dir: str) -> DataFrame:
+    """R2 on the output side: expose only batches whose commit marker
+    exists (the read_committed isolation the reference's downstream
+    consumers rely on, application.yml:10)."""
+    commits = os.path.join(target_dir, "commits")
+    if not os.path.isdir(commits):
+        return spark.createDataFrame([], KAFKA_ENVELOPE)
+    dirs = [
+        os.path.join(target_dir, "data", b)
+        for b in sorted(os.listdir(commits), key=int)
+        if os.path.isdir(os.path.join(target_dir, "data", b))
+    ]
+    if not dirs:
+        return spark.createDataFrame([], KAFKA_ENVELOPE)
+    return spark.read.schema(KAFKA_ENVELOPE).parquet(*dirs)
+
+
+def replicate_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    source_registry: MockSchemaRegistry,
+    target_registry: MockSchemaRegistry,
+    target_topic: str,
+    value_schema,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """The full R1–R9 streaming pipeline over a file-backed topic
+    simulation (envelope parquet dir standing in for the Kafka source —
+    swap the first line for format("kafka") + kafka_source_options on a
+    real cluster; everything downstream is identical)."""
+    env = spark.readStream.schema(KAFKA_ENVELOPE).parquet(source_dir)
+    out = plan_replication(
+        env, source_registry, target_registry, target_topic, value_schema
+    )
+    q = (
+        out.writeStream.foreachBatch(batch_writer(target_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+
+
+# ---------------------------------------------------------------------------
+# fixture production (test harness analog of scripts/produce-records.sh)
+# ---------------------------------------------------------------------------
+def write_envelope_fixture(
+    spark: SparkSession,
+    records: list[dict],
+    out_dir: str,
+    topic: str,
+    registry: MockSchemaRegistry,
+    value_schema,
+    key_bytes: bytes | None = None,
+) -> int:
+    """Encode records as Confluent-framed Avro and write a source-topic
+    envelope parquet dir (keyless input, like the reference's test
+    producer — ReplicationApplicationTest.java:96-100). Returns the
+    registered value schema id."""
+    import datetime as dt
+
+    sid = registry.register(f"{topic}-value", value_schema)
+    rows = [
+        (
+            key_bytes,
+            avro_codec.serialize_confluent(r, value_schema, sid),
+            topic,
+            0,
+            i,
+            dt.datetime(2024, 1, 1, 0, 0, i % 60),
+        )
+        for i, r in enumerate(records)
+    ]
+    spark.createDataFrame(rows, KAFKA_ENVELOPE).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    return sid
+
+
+def decode_envelope(
+    env: DataFrame, schemas_by_id: dict, value_schema
+) -> DataFrame:
+    """Consumer-side deserializer (KafkaAvroDeserializer analog used by
+    the golden test to verify the target topic): key as Avro string,
+    value decoded into typed columns of the Foo fixture shape."""
+    snapshot = dict(schemas_by_id)
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_keys, ids, names = [], [], []
+            for kraw, vraw in zip(pdf["key"], pdf["value"]):
+                if kraw is None:
+                    out_keys.append(None)
+                else:
+                    _, k = avro_codec.deserialize_confluent(bytes(kraw), snapshot)
+                    out_keys.append(k)
+                _, record = avro_codec.deserialize_confluent(bytes(vraw), snapshot)
+                ids.append(record.get("id"))
+                names.append(record.get("name"))
+            yield pd.DataFrame(
+                {
+                    "kafka_key": out_keys,
+                    "id": ids,
+                    "name": names,
+                    "topic": pdf["topic"],
+                    "offset": pdf["offset"],
+                }
+            )
+
+    return env.mapInPandas(
+        dec, schema="kafka_key string, id string, name string, topic string, offset long"
+    )

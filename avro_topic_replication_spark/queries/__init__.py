@@ -34,6 +34,7 @@ _MODULES = (
     "llm_multimodal",
     "udfs",
     "streaming_batch",
+    "replication_pipeline",
 )
 
 _loaded = False

@@ -1,0 +1,105 @@
+"""Replication pipeline as driver-checkable queries.
+
+The batch-path query is ORACLE-CHECKED: Foo records are synthesized from
+the nation table (id = nationkey, name = nation name), pushed through the
+full encode → replicate (decode, re-key, re-encode) → consume path, and
+the decoded output must equal a trivial SELECT over nation — so the whole
+Avro/Confluent/registry machinery is hash-verified, not just smoke-run.
+The streaming-path query runs the R1–R9 pipeline (checkpoint, foreachBatch
+transactional sink, read-committed consumer) end to end, rows-only.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import replication as R
+from ..sources.registry import MockSchemaRegistry
+from ..streaming.replay import SCRATCH
+from . import query
+
+
+def _nation_records(spark: SparkSession, sf_dir: str) -> list[dict]:
+    rows = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    # 25 dimension rows: a fixture-parameter fetch, not a data collect.
+    return [{"id": str(r["n_nationkey"]), "name": r["n_name"]} for r in rows]
+
+
+@query(
+    "replication_batch_roundtrip",
+    oracle="""
+        SELECT CAST(n_nationkey AS VARCHAR) AS kafka_key,
+               CAST(n_nationkey AS VARCHAR) AS id,
+               n_name AS name
+        FROM nation
+    """,
+    tags=("replication", "avro"),
+)
+def replication_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3–R6 in batch mode, oracle-verified: nation → Foo records →
+    Confluent-framed Avro source envelope → replicate transform (decode,
+    extract id, re-key, re-encode under the target registry) → consumer
+    decode. Output key/fields must hash-match SELECT ... FROM nation."""
+    scope = uuid.uuid4().hex[:8]
+    src_reg = MockSchemaRegistry.get_scope(f"src-{scope}")
+    tgt_reg = MockSchemaRegistry.get_scope(f"tgt-{scope}")
+    try:
+        sf_tag = os.path.basename(os.path.normpath(sf_dir))
+        src_dir = os.path.join(SCRATCH, "replq", sf_tag, scope, "source-topic-a")
+        R.write_envelope_fixture(
+            spark,
+            _nation_records(spark, sf_dir),
+            src_dir,
+            "source-topic-a",
+            src_reg,
+            R.FOO_SCHEMA,
+        )
+        env = spark.read.schema(R.KAFKA_ENVELOPE).parquet(src_dir)
+        out = R.plan_replication(env, src_reg, tgt_reg, "target-topic-b", R.FOO_SCHEMA)
+        decoded = R.decode_envelope(out, tgt_reg.snapshot(), R.FOO_SCHEMA)
+        return decoded.select("kafka_key", "id", "name")
+    finally:
+        MockSchemaRegistry.drop_scope(f"src-{scope}")
+        MockSchemaRegistry.drop_scope(f"tgt-{scope}")
+
+
+@query("replication_stream_live", oracle=None, tags=("replication", "avro", "live"))
+def replication_stream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full R1–R9 streaming pipeline: envelope-dir source (Kafka
+    stand-in) → decode/re-key/encode → foreachBatch write-then-commit-
+    marker sink with checkpointing → read-committed consumer decode.
+    Rows-only (sink layout is engine-defined); the pytest golden test
+    asserts the key==value.id contract on this exact path."""
+    scope = uuid.uuid4().hex[:8]
+    src_reg = MockSchemaRegistry.get_scope(f"src-{scope}")
+    tgt_reg = MockSchemaRegistry.get_scope(f"tgt-{scope}")
+    try:
+        sf_tag = os.path.basename(os.path.normpath(sf_dir))
+        base = os.path.join(SCRATCH, "replq-live", sf_tag, scope)
+        src_dir = os.path.join(base, "source-topic-a")
+        tgt_dir = os.path.join(base, "target-topic-b")
+        ckpt = os.path.join(base, "ckpt")
+        R.write_envelope_fixture(
+            spark,
+            _nation_records(spark, sf_dir),
+            src_dir,
+            "source-topic-a",
+            src_reg,
+            R.FOO_SCHEMA,
+        )
+        R.replicate_stream(
+            spark, src_dir, tgt_dir, src_reg, tgt_reg,
+            "target-topic-b", R.FOO_SCHEMA, ckpt,
+        )
+        out_env = R.read_committed(spark, tgt_dir)
+        return R.decode_envelope(out_env, tgt_reg.snapshot(), R.FOO_SCHEMA).select(
+            "kafka_key", "id", "name", "topic", "offset"
+        )
+    finally:
+        MockSchemaRegistry.drop_scope(f"src-{scope}")
+        MockSchemaRegistry.drop_scope(f"tgt-{scope}")
