@@ -35,6 +35,7 @@ _MODULES = (
     "udfs",
     "streaming_batch",
     "replication_pipeline",
+    "sources_sinks",
 )
 
 _loaded = False
