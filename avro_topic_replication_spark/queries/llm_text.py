@@ -244,3 +244,51 @@ def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingle_diversity"
         ),
     )
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        WHERE tf.tf >= 3
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: explode tokens → term frequency per doc, document frequency
+    per term (both partial-aggregated shuffles), idf = ln(N/df) joined
+    back. The tf>=3 cut bounds output; tfidf is rounded to 6 so the one
+    transcendental (ln) can't differ in the last ulp across libm builds.
+
+    Scale: two hash aggregations + one (broadcastable) join on term —
+    no per-doc vocabularies ever collect anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens_col()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # plan-time scalar (one cheap count job)
+    return (
+        tf.join(dfreq, "term")
+        .filter(F.col("tf") >= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )

@@ -239,3 +239,42 @@ def stream_live_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(sdf, output_mode="update")
+
+
+@query("stream_live_stream_join", oracle=None, tags=("streaming", "live"))
+def stream_live_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join: clicks joined to views of the same user within
+    the preceding hour, both sides watermarked so the join state is
+    bounded by the lateness horizon + time-range condition — the standard
+    unbounded-join shape. Two independent readStream instances replay the
+    same topic (a self-join of the event stream)."""
+    from ..streaming.replay import events_stream, run_to_memory
+
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("click_id", "view_id", "c_user", "click_ts", "view_ts")
+    return run_to_memory(joined, output_mode="append")
