@@ -467,7 +467,8 @@ def fn_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_ids_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-native id/partition functions (rows-only: values depend on
     physical partitioning by design): monotonically_increasing_id,
-    spark_partition_id, seeded rand/randn."""
+    spark_partition_id, seeded rand/randn — plus soundex, which DuckDB
+    lacks an equivalent for."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -475,4 +476,25 @@ def fn_ids_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.spark_partition_id().alias("pid"),
         F.rand(42).alias("r"),
         F.randn(42).alias("rn"),
+        F.soundex(F.col("source")).alias("source_soundex"),
     )
+
+
+@query(
+    "fn_map_explode",
+    oracle="""
+        SELECT n_nationkey,
+               unnest(map_entries(map {'name': n_name,
+                                       'region': CAST(n_regionkey AS VARCHAR)}),
+                      recursive := true)
+        FROM nation
+    """,
+    tags=("scalar", "map", "explode"),
+)
+def fn_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(map): one (key, value) row per map entry."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"), F.lit("region"), F.col("n_regionkey").cast("string")
+    )
+    return n.select("n_nationkey", F.explode(m).alias("key", "value"))
