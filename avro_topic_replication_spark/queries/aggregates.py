@@ -450,3 +450,60 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_qty_price"
         ),
     )
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+        SELECT l_returnflag,
+               {dec_sum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END")} AS qty_F,
+               {dec_sum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END")} AS qty_O
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): one column per l_linestatus value. The explicit
+    value list matters at scale — without it Spark runs an extra distinct
+    scan to discover the pivot domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dec_sum(F.when(F.col("l_linestatus").isNotNull(), F.col("l_quantity")).otherwise(0.0)))
+        .select(
+            "l_returnflag",
+            F.coalesce("F", F.lit(0.0)).alias("qty_F"),
+            F.coalesce("O", F.lit(0.0)).alias("qty_O"),
+        )
+    )
+
+
+@query(
+    "sql_scalar_subquery",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(o_totalprice)
+            FROM orders)
+    """,
+    tags=("sql", "subquery"),
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery through the spark.sql entry point: orders above 2×
+    the global average price. Catalyst plans the subquery once as an
+    uncorrelated scalar and broadcasts the value — one extra tiny job, no
+    per-row re-evaluation."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM __sq_orders
+        WHERE o_totalprice > 2 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(o_totalprice)
+            FROM __sq_orders)
+        """
+    )

@@ -282,3 +282,40 @@ def sort_partition_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("l_shipdate", "l_orderkey", "l_linenumber")
         .select("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+        SELECT o_custkey, o_orderkey, day_num,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    OVER (PARTITION BY o_custkey ORDER BY day_num
+                          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS spend_30d,
+               count(*) OVER (PARTITION BY o_custkey ORDER BY day_num
+                              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                 AS n_orders_30d
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day_num
+              FROM orders)
+    """,
+    tags=("window", "frame", "range"),
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): trailing-30-day spend per
+    customer. Unlike ROWS frames, peers with equal ORDER BY values share
+    one frame — the correct semantics for time-based rolling windows."""
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.withColumn("day_num", days).select(
+        "o_custkey",
+        "o_orderkey",
+        "day_num",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+        F.count("*").over(w).alias("n_orders_30d"),
+    )

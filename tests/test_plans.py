@@ -1,0 +1,59 @@
+"""Physical-plan regression tests: the scale properties the queries are
+designed around must survive refactors — filters reaching the scan, dims
+broadcasting, top-k compiling to per-partition heaps, no single-partition
+window over fact-sized input, partition pruning on partitioned sinks."""
+
+from __future__ import annotations
+
+from avro_topic_replication_spark.queries import all_queries
+
+QS = all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return (
+        QS[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_flagship_pushdown_and_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_revenue_by_nation")
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # range filter at the scan
+    assert plan.count("BroadcastHashJoin") >= 3  # dims broadcast
+    # the fact scan reads only the needed columns
+    assert "l_comment" not in plan
+
+
+def test_filter_predicates_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_predicates")
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "In(o_orderstatus" in plan
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_topk_global")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
+
+
+def test_distribution_window_is_partitioned(spark, sf_dir):
+    """The supplier-ranking window must hash-partition by bucket; the only
+    SinglePartition exchange allowed is the <=32-row offsets aggregate."""
+    plan = _plan(spark, sf_dir, "win_distribution")
+    assert "Window" in plan and "hashpartitioning(bkt" in plan
+
+
+def test_asof_join_is_single_window_no_pair_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_asof_click_view")
+    assert "hashpartitioning(user_id" in plan  # one shuffle on the key
+    assert "BroadcastNestedLoopJoin" not in plan  # no pair explosion
+    assert plan.count("Join") == 0 or "SortMergeJoin" not in plan
+
+
+def test_partitioned_sink_prunes_on_readback(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sink_parquet_partitioned")
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+
+
+def test_shuffle_hash_hint_honored(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_shuffle_hash")
+    assert "ShuffledHashJoin" in plan
