@@ -238,3 +238,35 @@ def vec_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dot"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(15)
     )
+
+
+@query("vec_ml_lsh_join", oracle=None, tags=("llm", "vector", "lsh", "ml"))
+def vec_ml_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top similar pairs via Spark ML's BucketedRandomProjectionLSH
+    approxSimilarityJoin (the library counterpart of the hand-rolled
+    vec_lsh_pairs; both exist so a user can pick either API). Embeddings
+    are unit-norm, so euclidean distance d maps to cosine 1 - d²/2; the
+    join threshold 1.15 admits pairs with cosine >= ~0.34 and the final
+    sort returns the closest 20. Rows-only: bucket hashing is seeded
+    engine-internal."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(_dbl(F.col("embedding"))).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=3, seed=42
+    )
+    model = lsh.fit(e)
+    pairs = model.approxSimilarityJoin(e, e, 1.15, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            (1 - F.col("dist") * F.col("dist") / 2).alias("cosine_approx"),
+        )
+        .orderBy(F.desc("cosine_approx"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(20)
+    )
