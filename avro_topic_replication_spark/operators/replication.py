@@ -107,13 +107,16 @@ def replicate_transform(
     schemas_by_id: dict,
     target_topic: str,
     key_schema_id: int,
-    value_schema_id: int,
-    value_schema,
+    id_mapping: dict,
 ) -> DataFrame:
     """The record transform of the pipeline: for each source envelope row,
     decode the Confluent-framed value, extract ``id``, emit the target
     envelope with key = Avro-string(id) framed for the target registry and
-    value re-encoded under the target schema id.
+    value re-encoded under ITS OWN schema's target-registry id
+    (``id_mapping``: source schema id → target schema id). Per-record
+    schema dispatch mirrors the GenericRecord serde of the reference — a
+    topic carrying several schema versions replicates each record under
+    the matching propagated schema, exactly like KafkaAvroSerializer.
 
     One mapInPandas pass — the distributed analog of the reference's
     single listener loop (ReplicationApplication.java:63-78), preserving
@@ -122,13 +125,13 @@ def replicate_transform(
     the NPE→transaction-abort behavior of the reference (§3.1 step 6).
     """
     snapshot = dict(schemas_by_id)
-    vschema = avro_codec.parse_schema(value_schema)
+    mapping = dict(id_mapping)
 
     def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             keys, values = [], []
             for raw in pdf["value"]:
-                _, record = avro_codec.deserialize_confluent(bytes(raw), snapshot)
+                src_id, record = avro_codec.deserialize_confluent(bytes(raw), snapshot)
                 if not isinstance(record, dict) or "id" not in record or record["id"] is None:
                     raise ValueError(
                         "record has no 'id' field - aborting batch "
@@ -140,7 +143,9 @@ def replicate_transform(
                     avro_codec.serialize_confluent(rid, STRING_SCHEMA, key_schema_id)
                 )
                 values.append(
-                    avro_codec.serialize_confluent(record, vschema, value_schema_id)
+                    avro_codec.serialize_confluent(
+                        record, snapshot[src_id], mapping[src_id]
+                    )
                 )
             out = pd.DataFrame(
                 {
@@ -162,21 +167,31 @@ def plan_replication(
     source_registry: MockSchemaRegistry,
     target_registry: MockSchemaRegistry,
     target_topic: str,
-    value_schema,
+    value_schema=None,
 ) -> DataFrame:
     """Plan-time registry work (R6 auto-registration, README.adoc:27
     parity) + the transform: snapshot the source registry for decode,
-    register key/value schemas in the target registry, build the
-    distributed transform."""
+    propagate EVERY known source schema into the target registry (the
+    auto-registration the Confluent serde does lazily, done eagerly at
+    plan time), and build the distributed transform with the id mapping.
+    ``value_schema`` is accepted for API compatibility; registration is
+    driven by the snapshot."""
     key_id = target_registry.register(f"{target_topic}-key", STRING_SCHEMA)
-    value_id = target_registry.register(f"{target_topic}-value", value_schema)
+    snapshot = source_registry.snapshot()
+    if value_schema is not None and not snapshot:
+        # Source registry empty (direct batch use): seed from the given schema.
+        sid = source_registry.register(f"{target_topic}-value", value_schema)
+        snapshot = source_registry.snapshot()
+    id_mapping = {
+        src_id: target_registry.register(f"{target_topic}-value", schema)
+        for src_id, schema in snapshot.items()
+    }
     return replicate_transform(
         env,
-        source_registry.snapshot(),
+        snapshot,
         target_topic,
         key_id,
-        value_id,
-        value_schema,
+        id_mapping,
     )
 
 

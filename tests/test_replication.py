@@ -226,3 +226,58 @@ def test_multi_record_replication_preserves_all(spark, dirs):
     for i in range(50):
         assert rows[str(i)]["kafka_key"] == str(i)
         assert rows[str(i)]["name"] == (None if i % 2 else f"name-{i}")
+
+
+def test_multi_schema_topic_replication(spark, dirs):
+    """GenericRecord parity: a topic carrying TWO schema versions
+    replicates each record under its own propagated schema — per-record
+    schema-id dispatch, like KafkaAvroSerializer (reference serde config,
+    application.yml:12,15-16)."""
+    import datetime as dt
+
+    from avro_topic_replication_spark.functions import avro_codec
+
+    src_reg, tgt_reg = _fresh_registries()
+    bar_schema = {
+        "type": "record", "name": "Bar", "namespace": "com.foo",
+        "fields": [
+            {"name": "id", "type": "string"},
+            {"name": "extra", "type": "long"},
+        ],
+    }
+    foo_id = src_reg.register("source-topic-a-value", R.FOO_SCHEMA)
+    bar_id = src_reg.register("source-topic-a-value", bar_schema)
+    rows = []
+    for i in range(20):
+        if i % 2:
+            payload = avro_codec.serialize_confluent(
+                {"id": str(i), "name": f"n{i}"}, R.FOO_SCHEMA, foo_id
+            )
+        else:
+            payload = avro_codec.serialize_confluent(
+                {"id": str(i), "extra": i * 10}, bar_schema, bar_id
+            )
+        rows.append((None, payload, "source-topic-a", 0, i, dt.datetime(2024, 1, 1)))
+    spark.createDataFrame(rows, R.KAFKA_ENVELOPE).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(dirs["src"])
+
+    R.replicate_stream(
+        spark, dirs["src"], dirs["tgt"], src_reg, tgt_reg,
+        "target-topic-b", None, dirs["ckpt"],
+    )
+    # both schemas propagated into the target registry
+    tgt_snapshot = tgt_reg.snapshot()
+    names = {s["name"] for s in tgt_snapshot.values() if isinstance(s, dict)}
+    assert {"Foo", "Bar"} <= names
+    # every record decodes under its own mapped schema with key == id
+    out = R.read_committed(spark, dirs["tgt"]).collect()
+    assert len(out) == 20
+    for row in out:
+        sid, key = avro_codec.deserialize_confluent(bytes(row["key"]), tgt_snapshot)
+        vid, record = avro_codec.deserialize_confluent(bytes(row["value"]), tgt_snapshot)
+        assert key == record["id"]
+        if "extra" in record:
+            assert record["extra"] == int(record["id"]) * 10
+        else:
+            assert record["name"] == f"n{record['id']}"
