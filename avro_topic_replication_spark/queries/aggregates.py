@@ -78,7 +78,9 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                COUNT(DISTINCT l_suppkey) AS n_suppliers,
                COUNT(DISTINCT l_partkey) AS n_parts,
-               COUNT(DISTINCT l_orderkey) AS n_orders
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_distinct_qty
         FROM lineitem
         GROUP BY l_returnflag
     """,
@@ -91,6 +93,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_suppliers"),
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum_distinct(dec("l_quantity")).cast("double").alias("sum_distinct_qty"),
     )
 
 

@@ -438,3 +438,67 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(F.count("*").alias("n_lines"), dec_sum("l_extendedprice").alias("total_price"))
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle=f"""
+        SELECT o_orderpriority, COUNT(*) AS n_lines,
+               {dec_sum_sql('l_quantity')} AS total_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew salting: the fact side gets salt = hash(row) % 8, the
+    other side is replicated across all 8 salts, and the join runs on
+    (key, salt) — splitting any hot key across 8 tasks. The result is
+    identical to the plain join (oracle is the unsalted SQL), only the
+    physical distribution changes. AQE's skew-join handles the common
+    case automatically; explicit salting remains the tool when a single
+    key exceeds what AQE can split (e.g. one user with 1% of 100 TB).
+    The merge hint forces a shuffle join so the salt actually matters in
+    the plan at test scale."""
+    n_salts = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salts))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+        .hint("merge")
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"), dec_sum("l_quantity").alias("total_qty"))
+    )
+
+
+@query(
+    "sql_exists_subquery",
+    oracle="""
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+          AND NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_suppkey = s_suppkey AND l_quantity <= 1)
+    """,
+    tags=("sql", "subquery", "join"),
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through spark.sql — Catalyst rewrites
+    them into left-semi and left-anti joins (same physical shape as the
+    DataFrame API variants join_semi / join_anti)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("__ex_supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__ex_lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM __ex_supplier s
+        WHERE EXISTS (SELECT 1 FROM __ex_lineitem
+                      WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+          AND NOT EXISTS (SELECT 1 FROM __ex_lineitem
+                          WHERE l_suppkey = s_suppkey AND l_quantity <= 1)
+        """
+    )

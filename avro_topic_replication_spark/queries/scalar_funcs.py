@@ -498,3 +498,14 @@ def fn_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("name"), F.col("n_name"), F.lit("region"), F.col("n_regionkey").cast("string")
     )
     return n.select("n_nationkey", F.explode(m).alias("key", "value"))
+
+
+@query("fn_schema_of_json", oracle=None, tags=("scalar", "json"))
+def fn_schema_of_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema_of_json: infer a DDL schema string from a sample document
+    (rows-only: the DDL rendering is engine-specific)."""
+    ev = load_table(spark, sf_dir, "events").limit(10)
+    return ev.select(
+        "event_id",
+        F.schema_of_json(F.lit('{"k": 1}')).alias("props_schema"),
+    )
