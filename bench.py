@@ -46,6 +46,10 @@ def main() -> int:
         except Exception as e:  # a broken query must not kill the bench
             failures[name] = f"{type(e).__name__}: {e}"[:200]
             print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+        finally:
+            # Evict per-query persisted lineage so later queries aren't
+            # timed under the accumulated memory pressure of earlier ones.
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     result = {
