@@ -112,19 +112,34 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 6-gram Jaccard near-dup pairs (ground truth for MinHash).
+    """Exact 6-gram Jaccard near-dup pairs (ground truth for MinHash),
+    via an inverted-index join: explode (doc, shingle) rows, equi-join on
+    shingle, count matches per pair — |A∩B| arrives from a codegen
+    hash-join + aggregation instead of an interpreted array_intersect over
+    every pair, and pairs sharing no shingle never materialize (they
+    can't pass any threshold). This is also the scalable EXACT algorithm:
+    work is Σ_shingle df², concentrated on shared shingles, not n².
 
-    Deliberately bounded to doc_id < 300 — an O(n²) self-join is the
-    verifier, not the scale path; dedup_minhash_lsh is the unbounded
-    formulation. The bound keeps this oracle-checkable at every sf."""
+    Deliberately bounded to doc_id < 300 — the unbounded scale path is
+    dedup_minhash_lsh; the bound keeps the oracle O(1) at every sf."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    sh = d.select("doc_id", _shingles_col().alias("s"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    sh = d.select("doc_id", _shingles_col().alias("s")).persist()
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    inv = sh.select("doc_id", F.explode("s").alias("shingle"))
+    a = inv.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = inv.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )

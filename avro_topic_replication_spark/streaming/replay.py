@@ -62,22 +62,39 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory(
-    sdf: DataFrame, output_mode: str = "append", timeout_sec: int = 120
+    sdf: DataFrame,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink; return
-    the sink contents as a batch DataFrame."""
+    the sink contents as a batch DataFrame.
+
+    Stateful operators create one state store per shuffle partition; the
+    partition count is pinned into the checkpoint at first start. For
+    these bounded local replays 8 stores beat 32 (store open/commit
+    overhead dominates tiny state); a real deployment sizes this to
+    cluster cores × keys instead. The session conf is restored after
+    start so batch queries in the same session are unaffected."""
+    spark = sdf.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(SCRATCH, "ckpt", name)
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.awaitTermination(timeout_sec)
     finally:
         q.stop()
-    return sdf.sparkSession.table(name)
+    return spark.table(name)
