@@ -269,31 +269,28 @@ def _simhash_sql() -> str:
     """
 
 
-def _simhash_col():
-    """Spark twin of _simhash_sql (built lazily — Column construction
-    needs an active session, which doesn't exist at import time)."""
-    toks = F.split(F.lower("text"), r"\s+")
-    hs = F.transform(toks, lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int"))
-
-    def bit_term(b):
-        sum_b = F.aggregate(
-            hs,
-            F.lit(0),
-            lambda acc, h: acc + (((h / (1 << b)).cast("int") % 2) * 2 - 1),
-        )
-        return F.when(sum_b > 0, F.lit(1 << b)).otherwise(F.lit(0))
-
-    col = F.lit(0)
-    for b in range(16):
-        col = col + bit_term(b)
-    return col
-
-
 @query("dedup_simhash", oracle=_simhash_sql(), tags=("llm", "dedup"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures (near-dup docs agree on most bits; dedup
-    then buckets by signature or hamming-ball probes). Pure expression —
-    md5-derived bits so the oracle matches bit-for-bit; at scale swap md5
-    for xxhash64 (same plan, cheaper hash)."""
+    then buckets by signature or hamming-ball probes). md5-derived bits so
+    the oracle matches bit-for-bit; the per-bit vote runs vectorized in an
+    Arrow-batched pandas UDF over the JVM-hashed token ints — integer math
+    is exact either way, and the 16 interpreted per-bit folds the pure-
+    expression version needed cost ~5 s at sf0.1 vs ~1.5 s here. At scale
+    swap md5 for xxhash64 (same plan, cheaper hash)."""
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def simhash16(hs: pd.Series) -> pd.Series:
+        bits = np.arange(16, dtype=np.int64)
+        out = np.empty(len(hs), dtype=np.int32)
+        for i, h in enumerate(hs):
+            hv = np.asarray(h, dtype=np.int64)[:, None]  # (n_tokens, 1)
+            votes = (((hv >> bits) & 1) * 2 - 1).sum(axis=0)  # (16,)
+            out[i] = int(((votes > 0).astype(np.int64) << bits).sum())
+        return pd.Series(out)
+
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", _simhash_col().cast("int").alias("simhash16"))
+    toks = F.split(F.lower("text"), r"\s+")
+    hs = F.transform(toks, lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int"))
+    return d.select("doc_id", simhash16(hs).alias("simhash16"))

@@ -30,6 +30,26 @@ def _nation_records(spark: SparkSession, sf_dir: str) -> list[dict]:
     return [{"id": str(r["n_nationkey"]), "name": r["n_name"]} for r in rows]
 
 
+def _staged_source(spark: SparkSession, sf_dir: str, registry: MockSchemaRegistry) -> str:
+    """Deterministic source-topic fixture, written once per sf and reused
+    (content depends only on nation + FOO_SCHEMA; a fresh registry scope
+    always assigns the same first schema id, so the frames are stable)."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src_dir = os.path.join(SCRATCH, "replq", sf_tag, "source-topic-a")
+    if os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+        registry.register("source-topic-a-value", R.FOO_SCHEMA)  # same id 1
+    else:
+        R.write_envelope_fixture(
+            spark,
+            _nation_records(spark, sf_dir),
+            src_dir,
+            "source-topic-a",
+            registry,
+            R.FOO_SCHEMA,
+        )
+    return src_dir
+
+
 @query(
     "replication_batch_roundtrip",
     oracle="""
@@ -49,16 +69,7 @@ def replication_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_reg = MockSchemaRegistry.get_scope(f"src-{scope}")
     tgt_reg = MockSchemaRegistry.get_scope(f"tgt-{scope}")
     try:
-        sf_tag = os.path.basename(os.path.normpath(sf_dir))
-        src_dir = os.path.join(SCRATCH, "replq", sf_tag, scope, "source-topic-a")
-        R.write_envelope_fixture(
-            spark,
-            _nation_records(spark, sf_dir),
-            src_dir,
-            "source-topic-a",
-            src_reg,
-            R.FOO_SCHEMA,
-        )
+        src_dir = _staged_source(spark, sf_dir, src_reg)
         env = spark.read.schema(R.KAFKA_ENVELOPE).parquet(src_dir)
         out = R.plan_replication(env, src_reg, tgt_reg, "target-topic-b", R.FOO_SCHEMA)
         decoded = R.decode_envelope(out, tgt_reg.snapshot(), R.FOO_SCHEMA)
@@ -81,17 +92,9 @@ def replication_stream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         sf_tag = os.path.basename(os.path.normpath(sf_dir))
         base = os.path.join(SCRATCH, "replq-live", sf_tag, scope)
-        src_dir = os.path.join(base, "source-topic-a")
+        src_dir = _staged_source(spark, sf_dir, src_reg)
         tgt_dir = os.path.join(base, "target-topic-b")
         ckpt = os.path.join(base, "ckpt")
-        R.write_envelope_fixture(
-            spark,
-            _nation_records(spark, sf_dir),
-            src_dir,
-            "source-topic-a",
-            src_reg,
-            R.FOO_SCHEMA,
-        )
         R.replicate_stream(
             spark, src_dir, tgt_dir, src_reg, tgt_reg,
             "target-topic-b", R.FOO_SCHEMA, ckpt,
