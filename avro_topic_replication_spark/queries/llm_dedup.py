@@ -294,3 +294,79 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.lower("text"), r"\s+")
     hs = F.transform(toks, lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int"))
     return d.select("doc_id", simhash16(hs).alias("simhash16"))
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id, {_SHINGLES_SQL} AS s
+            FROM documents WHERE doc_id < 300
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        reach AS (
+            SELECT doc_id AS a, doc_id AS b FROM nodes
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY a
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS via connected components — the step after pair
+    detection that actual dedup needs (A~B and B~C must collapse to one
+    keeper even when A~C was never scored). Iterative min-label
+    propagation over the near-dup edge set: each round every node takes
+    the min label in its neighborhood, so a label travels one hop per
+    round and 6 rounds cover any cluster of diameter ≤ 6 — far beyond
+    real near-dup chains. Each round ends in ``localCheckpoint`` — the
+    labels table is referenced twice per iteration, and without lineage
+    truncation the logical plan doubles per round (2^rounds subtrees,
+    OOM in a default-heap driver). Bounded here to the doc_id < 300
+    ground-truth subset so DuckDB's recursive CTE can act as the oracle.
+    At 100 TB the identical loop runs on the MinHash candidate edges,
+    each iteration one shuffle join + one checkpointed materialization
+    of a (node, label) table — the standard DataFrame
+    connected-components shape."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(6):  # one hop per round; near-dup cluster diameter ≪ 6
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # truncate lineage: labels feeds two joins next round, and an
+        # uncheckpointed loop doubles the plan every iteration
+        labels = new_labels.localCheckpoint(eager=True)
+    edges.unpersist()
+    return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))

@@ -274,3 +274,25 @@ def vec_ml_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_approx"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(20)
     )
+
+
+@query("vec_kmeans", oracle=None, tags=("llm", "vector", "iterative"))
+def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (5 iterations, k=8) over the embedding
+    table — the driver-coordinated iterative pattern: per iteration one
+    codegen assignment pass + one centroid-matrix-sized aggregation; only
+    k×dim floats ever reach the driver. Rows-only (iterative float means
+    aren't stable SQL); the pytest asserts inertia decreases monotonically.
+    Output: per-cluster sizes and within-cluster dispersion."""
+    from ..operators.kmeans import kmeans
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(spark, e, k=8, iters=5)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.sum("dist2"), 6).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )

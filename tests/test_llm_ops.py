@@ -58,3 +58,27 @@ def test_multimodal_decode_stub(spark, sf_dir):
     assert len(rows) == src  # decode preserves cardinality
     assert df.columns == ["doc_id", "n_bytes", "width", "height"]
     assert all(r["n_bytes"] > 0 for r in rows)
+
+
+def test_kmeans_inertia_monotone(spark, sf_dir):
+    from avro_topic_replication_spark.catalog import load_table
+    from avro_topic_replication_spark.operators.kmeans import kmeans
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, inertia = kmeans(spark, e, k=4, iters=4)
+    assert len(inertia) == 4
+    # Lloyd's never increases the objective
+    assert all(b <= a * (1 + 1e-12) for a, b in zip(inertia, inertia[1:])), inertia
+    rows = assigned.collect()
+    assert len(rows) == e.count()
+    assert {r["cluster"] for r in rows} <= set(range(4))
+
+
+def test_dedup_clusters_group_neardups_together(spark, sf_dir):
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QS["dedup_clusters"].fn(spark, sf_dir).collect()
+    }
+    pairs = QS["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    for p in pairs:
+        assert labels[p["doc_a"]] == labels[p["doc_b"]]
