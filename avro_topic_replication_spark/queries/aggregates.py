@@ -510,3 +510,70 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM __sq_orders)
         """
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+        WITH sums AS (
+            SELECT l_linestatus,
+                   COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS s2,
+                   CAST(CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS s3,
+                   CAST(CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(32,4))) AS VARCHAR) AS DOUBLE) AS s4
+            FROM lineitem GROUP BY l_linestatus
+        ),
+        cm AS (
+            SELECT l_linestatus, n,
+                   s2 / n - (s1 / n) * (s1 / n) AS m2,
+                   s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                   s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * ((s1 / n) * (s1 / n)) * (s2 / n)
+                          - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+            FROM sums
+        )
+        SELECT l_linestatus, n,
+               m3 / (sqrt(m2) * m2) AS skew_qty,
+               m4 / (m2 * m2) - 3 AS kurt_qty
+        FROM cm
+    """,
+    tags=("agg", "stats"),
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness + excess kurtosis from exact decimal power sums
+    (same playbook as agg_corr: the engines' own skewness()/kurtosis() are
+    streaming-order dependent; central moments derived from exact sums via
+    an identical IEEE expression tree are bit-exact across engines).
+    l_quantity is integral and ≤ 50, so q²..q⁴ are exact doubles before
+    the decimal cast and every power sum is exact. Partial-agg scalable:
+    the shuffle carries 4 decimal partials per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    sums = li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(q)).cast("string").cast("double").alias("s1"),
+        F.sum(dec(q * q, 24)).cast("string").cast("double").alias("s2"),
+        F.sum(dec(q * q * q, 28)).cast("string").cast("double").alias("s3"),
+        F.sum(dec(q * q * q * q, 32)).cast("string").cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    cm = sums.select(
+        "l_linestatus",
+        "n",
+        (s2 / n - mean * mean).alias("m2"),
+        (s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean).alias("m3"),
+        (
+            s4 / n
+            - 4 * mean * (s3 / n)
+            + 6 * (mean * mean) * (s2 / n)
+            - 3 * mean * mean * mean * mean
+        ).alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    return cm.select(
+        "l_linestatus",
+        "n",
+        (m3 / (F.sqrt(m2) * m2)).alias("skew_qty"),
+        (m4 / (m2 * m2) - 3).alias("kurt_qty"),
+    )

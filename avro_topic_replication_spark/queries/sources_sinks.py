@@ -101,3 +101,48 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ship_day",
         "l_returnflag",
     )
+
+
+_BINFIX_DIR = os.path.join(SCRATCH, "io", "binfix")
+
+
+def _binary_fixture() -> str:
+    """Deterministic blob files (scale-independent, regenerated on demand):
+    the binaryFile source needs real files on disk, and a fixed byte
+    pattern lets one oracle path serve every sf."""
+    os.makedirs(_BINFIX_DIR, exist_ok=True)
+    for i in range(4):
+        body = bytes((i * 37 + j * 11) % 256 for j in range(1024 + 257 * i))
+        with open(os.path.join(_BINFIX_DIR, f"blob_{i}.bin"), "wb") as f:
+            f.write(body)
+    return _BINFIX_DIR
+
+
+@query(
+    "source_binaryfile",
+    oracle=f"""
+        SELECT regexp_extract(filename, '[^/]+$') AS file,
+               size AS length,
+               sha256(hex(content)) AS content_sha
+        FROM read_blob('{_BINFIX_DIR}/*.bin')
+    """,
+    tags=("source", "binary", "multimodal"),
+)
+def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingest (`binaryFile` source) — the entry point for
+    multimodal blobs (images/audio) that arrive as files, not rows. Each
+    file becomes one row of (path, length, content BinaryType); content is
+    fingerprinted via sha2 over its hex encoding (DuckDB's sha256 only
+    hashes VARCHAR, and both engines agree on uppercase hex, so the hex
+    route makes the digest cross-engine comparable). Reads a deterministic
+    blob fixture so the oracle's read_blob sees byte-identical files at
+    any scale. At 100 TB: binaryFile splits per-file (one task per blob),
+    so parallelism scales with file count; pair with maxPartitionBytes for
+    many-small-file corpora."""
+    path = _binary_fixture()
+    df = spark.read.format("binaryFile").load(os.path.join(path, "*.bin"))
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        "length",
+        F.sha2(F.hex("content"), 256).alias("content_sha"),
+    )
