@@ -38,12 +38,14 @@ once for committed readers, exactly the reference's contract.
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -247,6 +249,39 @@ def read_committed(spark: SparkSession, target_dir: str) -> DataFrame:
     return spark.read.schema(KAFKA_ENVELOPE).parquet(*dirs)
 
 
+class ReplicationProgressListener(StreamingQueryListener):
+    """Per-batch observability, the reference's logging as structured
+    metrics (ReplicationApplication.java:64 "Received batch of {} records",
+    :73-75 per-record send, :101 post-commit ack log). Spark's listener
+    bus delivers one progress event per micro-batch; we keep batch id,
+    input rows and throughput — what an operator dashboards at 100 TB."""
+
+    def __init__(self) -> None:
+        self.batches: list[dict] = []
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API names)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        self.batches.append(
+            {
+                "batchId": p.batchId,
+                "numInputRows": p.numInputRows,
+                "processedRowsPerSecond": p.processedRowsPerSecond,
+            }
+        )
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def total_rows(self) -> int:
+        return int(sum(b["numInputRows"] for b in self.batches))
+
+
 def replicate_stream(
     spark: SparkSession,
     source_dir: str,
@@ -257,11 +292,14 @@ def replicate_stream(
     value_schema,
     checkpoint_dir: str,
     timeout_sec: int = 120,
+    listener: ReplicationProgressListener | None = None,
 ) -> None:
     """The full R1–R9 streaming pipeline over a file-backed topic
     simulation (envelope parquet dir standing in for the Kafka source —
     swap the first line for format("kafka") + kafka_source_options on a
     real cluster; everything downstream is identical)."""
+    if listener is not None:
+        spark.streams.addListener(listener)
     env = spark.readStream.schema(KAFKA_ENVELOPE).parquet(source_dir)
     out = plan_replication(
         env, source_registry, target_registry, target_topic, value_schema
@@ -276,6 +314,13 @@ def replicate_stream(
         q.awaitTermination(timeout_sec)
     finally:
         q.stop()
+        if listener is not None:
+            # listener events ride an async bus; drain before detaching so
+            # callers see every batch this run produced
+            deadline = time.monotonic() + 10
+            while not listener.batches and time.monotonic() < deadline:
+                time.sleep(0.2)
+            spark.streams.removeListener(listener)
 
 
 # ---------------------------------------------------------------------------

@@ -577,3 +577,30 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m3 / (F.sqrt(m2) * m2)).alias("skew_qty"),
         (m4 / (m2 * m2) - 3).alias("kurt_qty"),
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(GROUPING(l_returnflag) AS INTEGER) AS flag_super,
+               COUNT(*) AS n,
+               {dec_sum_sql('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id()/grouping() over a CUBE: the bitmask disambiguates real
+    NULL group keys from superaggregate rows — both engines use the same
+    high-bit-first convention, checked bit-exactly. Same partial-agg
+    scalability as any cube: Expand ×4 then one shuffle of partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.grouping("l_returnflag").cast("int").alias("flag_super"),
+        F.count("*").alias("n"),
+        dec_sum("l_quantity").alias("sum_qty"),
+    )

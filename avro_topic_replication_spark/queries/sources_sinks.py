@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.numeric import dec_sum, dec_sum_sql
 from ..streaming.replay import SCRATCH
 from . import query
 
@@ -145,4 +146,56 @@ def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("path", "/"), -1).alias("file"),
         "length",
         F.sha2(F.hex("content"), 256).alias("content_sha"),
+    )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle=f"""
+        SELECT o_orderkey,
+               {dec_sum_sql('l_extendedprice')} AS revenue,
+               COUNT(*) AS n_items
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey
+    """,
+    tags=("join", "bucketing", "sink"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-to-fact join via bucketed table layout — THE
+    100-TB join strategy: both sides are written `bucketBy(8, orderkey)`
+    + sortBy, so the sort-merge join and the follow-on groupBy on the
+    same key read pre-partitioned, pre-sorted buckets and the executed
+    plan contains ZERO Exchange nodes (asserted in test_plans). At scale
+    the one-time bucketed write amortizes over every subsequent join on
+    the key; bucket count would be sized to cluster cores (e.g. 4096),
+    not 8."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    specs = {
+        "orders": ("o_orderkey", ["o_orderkey"]),
+        "lineitem": ("l_orderkey", ["l_orderkey", "l_extendedprice"]),
+    }
+    for tbl, (key, cols) in specs.items():
+        name = f"b_{tbl}_{sf_tag}"
+        path = _scratch(sf_dir, f"bucketed_{tbl}")
+        (
+            load_table(spark, sf_dir, tbl)
+            .select(*cols)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    o = spark.table(f"b_orders_{sf_tag}")
+    li = spark.table(f"b_lineitem_{sf_tag}")
+    return (
+        # merge hint: at tiny SFs the planner would broadcast orders, which
+        # ignores bucketing — the point here is the shuffle-free SMJ path.
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        # group on the probe-side key so the bucketed partitioning carries
+        # through join AND aggregate (grouping by the build-side alias would
+        # reintroduce an exchange).
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(dec_sum("l_extendedprice").alias("revenue"), F.count("*").alias("n_items"))
     )

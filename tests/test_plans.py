@@ -57,3 +57,11 @@ def test_partitioned_sink_prunes_on_readback(spark, sf_dir):
 def test_shuffle_hash_hint_honored(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_shuffle_hash")
     assert "ShuffledHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Bucketed layout must eliminate every shuffle: SMJ over co-bucketed
+    scans plus a groupBy on the probe-side key — zero Exchange nodes."""
+    plan = _plan(spark, sf_dir, "join_bucketed_colocated")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan

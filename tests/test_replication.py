@@ -281,3 +281,21 @@ def test_multi_schema_topic_replication(spark, dirs):
             assert record["extra"] == int(record["id"]) * 10
         else:
             assert record["name"] == f"n{record['id']}"
+
+
+def test_progress_listener_observes_batches(spark, dirs):
+    """Observability parity (ReplicationApplication.java:64,101): the
+    listener sees every micro-batch with its row count — the structured
+    replacement for the reference's per-batch log lines."""
+    src_reg, tgt_reg = _fresh_registries()
+    records = [{"id": str(uuid.uuid4()), "name": f"r{i}"} for i in range(7)]
+    R.write_envelope_fixture(
+        spark, records, dirs["src"], "source-topic-a", src_reg, R.FOO_SCHEMA
+    )
+    lst = R.ReplicationProgressListener()
+    R.replicate_stream(
+        spark, dirs["src"], dirs["tgt"], src_reg, tgt_reg,
+        "target-topic-b", R.FOO_SCHEMA, dirs["ckpt"], listener=lst,
+    )
+    assert lst.total_rows() == 7
+    assert all(b["processedRowsPerSecond"] >= 0 for b in lst.batches)
