@@ -32,6 +32,7 @@ _MODULES = (
     "llm_dedup",
     "llm_vectors",
     "llm_multimodal",
+    "llm_sampling",
     "udfs",
     "streaming_batch",
     "replication_pipeline",

@@ -1,0 +1,138 @@
+"""Reproducible sampling + dataset splitting (training-data pipeline ops).
+
+A 100-TB corpus is never trained on whole: pipelines need (a) a
+reproducible sample for iteration, (b) stratified rates per language /
+source to rebalance the mixture, (c) a deterministic train/val/test
+split that survives re-runs, repartitions and backfills.
+
+The scale-correct primitive for all three is HASH-based selection:
+``md5(key)`` is uniform on hex strings, so a lexicographic prefix
+threshold selects an exact fraction, per-row, with no RNG state, no
+seed-vs-partitioning coupling, and no shuffle — the predicate pushes
+into the scan stage and the same row lands in the same split on every
+engine and every run (which also makes it fully oracle-checkable,
+unlike seeded ``sample()``). Spark's native seeded ``sampleBy`` is kept
+as a rows-only entry for API parity.
+
+Reference parity: none (the reference has no compute); [EXT] mandated
+by the LLM-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+# md5 prefix thresholds: fraction = int(threshold, 16) / 16**4
+_P10 = "1999"  # ~10.0% (0x1999 / 0x10000)
+_TRAIN = "cccc"  # ~80%
+_VAL = "e666"  # next ~10%; remainder = test
+
+
+def _bkt(col):
+    """4-hex-digit uniform bucket of a key — identical in Spark and DuckDB."""
+    return F.substring(F.md5(col.cast("string")), 1, 4)
+
+
+_BKT_SQL = "substring(md5(CAST({k} AS VARCHAR)), 1, 4)"
+
+
+@query(
+    "sample_hash_fraction",
+    oracle=f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE {_BKT_SQL.format(k='doc_id')} < '{_P10}'
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% reproducible sample of the corpus: md5-bucket the key, keep
+    buckets under the threshold. No RNG, no shuffle — the predicate
+    evaluates per row inside the scan stage, so the sample is identical
+    at any partitioning and any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(_bkt(F.col("doc_id")) < _P10).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "sample_stratified_rates",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+        FROM documents
+        WHERE {_BKT_SQL.format(k='doc_id')} <
+              CASE WHEN lang = 'en' THEN '0ccc' ELSE '3333' END
+        GROUP BY lang
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling to rebalance the language mixture:
+    majority-class 'en' keeps ~5%, every other language ~20% — the
+    up/down-weighting step of corpus curation. Same hash-threshold
+    trick, with the per-stratum rate selected by a conditional; at 100 TB
+    a rates DIM TABLE broadcast-joined on the stratum key replaces the
+    CASE (same plan shape, data-driven rates)."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit("0ccc")).otherwise(F.lit("3333"))
+    return (
+        d.filter(_bkt(F.col("doc_id")) < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+        SELECT CASE WHEN {_BKT_SQL.format(k='doc_id')} < '{_TRAIN}' THEN 'train'
+                    WHEN {_BKT_SQL.format(k='doc_id')} < '{_VAL}' THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("llm", "sampling"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: disjoint md5-bucket
+    ranges of the document key. A given doc_id lands in the same split
+    forever — across re-runs, engines, backfills and scale factors —
+    which is the leakage-safety property a training pipeline actually
+    needs (seeded random splits lose it the moment data order changes)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _bkt(F.col("doc_id"))
+    split = (
+        F.when(b < _TRAIN, F.lit("train")).when(b < _VAL, F.lit("val")).otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query("sample_native_seeded", oracle=None, tags=("llm", "sampling"))
+def sample_native_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native stratified sampler (`sampleBy`) for API parity —
+    per-stratum Bernoulli with a fixed seed. Rows-only: the seeded RNG
+    stream is engine-internal (partition-order coupled), exactly the
+    reproducibility gap the hash-based variants above close."""
+    d = load_table(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    fractions = {lg: (0.05 if lg == "en" else 0.2) for lg in langs}
+    return (
+        d.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
