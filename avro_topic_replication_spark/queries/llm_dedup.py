@@ -329,17 +329,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection that actual dedup needs (A~B and B~C must collapse to one
     keeper even when A~C was never scored). Iterative min-label
     propagation over the near-dup edge set: each round every node takes
-    the min label in its neighborhood, so a label travels one hop per
-    round and 6 rounds cover any cluster of diameter ≤ 6 — far beyond
-    real near-dup chains. Each round ends in ``localCheckpoint`` — the
-    labels table is referenced twice per iteration, and without lineage
-    truncation the logical plan doubles per round (2^rounds subtrees,
-    OOM in a default-heap driver). Bounded here to the doc_id < 300
-    ground-truth subset so DuckDB's recursive CTE can act as the oracle.
-    At 100 TB the identical loop runs on the MinHash candidate edges,
-    each iteration one shuffle join + one checkpointed materialization
-    of a (node, label) table — the standard DataFrame
-    connected-components shape."""
+    the min label in its neighborhood (one hop per round), until a full
+    fixpoint — labels only ever decrease, so an unchanged label SUM over
+    a round means converged, checked with one centroid-sized agg action
+    per round instead of a fixed round count. Each round ends in
+    ``localCheckpoint`` — the labels table is referenced twice per
+    iteration, and without lineage truncation the logical plan doubles
+    per round (2^rounds subtrees, OOM in a default-heap driver). Bounded
+    here to the doc_id < 300 ground-truth subset so DuckDB's recursive
+    CTE can act as the oracle. At 100 TB the identical loop runs on the
+    MinHash candidate edges, each iteration one shuffle join + one
+    checkpointed materialization of a (node, label) table — the standard
+    DataFrame connected-components shape, with convergence always
+    O(diameter) rounds."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -350,7 +352,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    for _ in range(6):  # one hop per round; near-dup cluster diameter ≪ 6
+    prev_sum = None
+    for _ in range(30):  # safety cap ≫ any real near-dup chain diameter
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
@@ -368,5 +371,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # truncate lineage: labels feeds two joins next round, and an
         # uncheckpointed loop doubles the plan every iteration
         labels = new_labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:  # monotone labels: equal sum == fixpoint
+            break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))

@@ -33,6 +33,17 @@ def main() -> int:
     # Warm the JVM + parquet footers once so q1 doesn't pay session startup.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # Warm the Python/Arrow worker pool too: the first pandas-UDF stage
+    # otherwise pays ~3-5s of worker forking, billed to whichever query
+    # happens to run it first — noise, not plan cost.
+    from pyspark.sql.functions import col, pandas_udf  # noqa: PLC0415
+    from pyspark.sql.functions import PandasUDFType  # noqa: PLC0415
+
+    _warm = pandas_udf(lambda s: s * 1.0, "double", PandasUDFType.SCALAR)
+    spark.range(100_000).select(_warm(col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, q in sorted(all_queries().items()):
