@@ -425,16 +425,18 @@ def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT l_returnflag, n,
                (sxy - sx * sy / n)
-                 / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+                 / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price,
+               (sxy - sx * sy / n) / n AS covar_pop_qty_price
         FROM sums
     """,
     tags=("agg", "stats"),
 )
 def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation from exact decimal power sums (same rationale as
-    agg_moment_stats: the engines' streaming corr() is accumulation-order
-    dependent; a fixed IEEE expression over exact sums is reproducible and
-    cross-engine bit-exact, with identical partial-agg scalability)."""
+    """Pearson correlation + population covariance from exact decimal power
+    sums (same rationale as agg_moment_stats: the engines' streaming
+    corr()/covar_pop() are accumulation-order dependent; a fixed IEEE
+    expression over exact sums is reproducible and cross-engine bit-exact,
+    with identical partial-agg scalability)."""
     li = load_table(spark, sf_dir, "lineitem")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     sums = li.groupBy("l_returnflag").agg(
@@ -452,6 +454,7 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sxy - sx * sy / n) / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))).alias(
             "corr_qty_price"
         ),
+        ((sxy - sx * sy / n) / n).alias("covar_pop_qty_price"),
     )
 
 
