@@ -490,7 +490,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 2 * (
+        WHERE o_totalprice > 1.5 * (
             SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                      / COUNT(o_totalprice)
             FROM orders)
@@ -507,7 +507,7 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_totalprice
         FROM __sq_orders
-        WHERE o_totalprice > 2 * (
+        WHERE o_totalprice > 1.5 * (
             SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                      / COUNT(o_totalprice)
             FROM __sq_orders)

@@ -483,7 +483,8 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE EXISTS (SELECT 1 FROM lineitem
                       WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
           AND NOT EXISTS (SELECT 1 FROM lineitem
-                          WHERE l_suppkey = s_suppkey AND l_quantity <= 1)
+                          WHERE l_suppkey = s_suppkey AND l_quantity <= 1
+                            AND l_returnflag = 'A' AND l_linenumber = 1)
     """,
     tags=("sql", "subquery", "join"),
 )
@@ -499,6 +500,7 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE EXISTS (SELECT 1 FROM __ex_lineitem
                       WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
           AND NOT EXISTS (SELECT 1 FROM __ex_lineitem
-                          WHERE l_suppkey = s_suppkey AND l_quantity <= 1)
+                          WHERE l_suppkey = s_suppkey AND l_quantity <= 1
+                            AND l_returnflag = 'A' AND l_linenumber = 1)
         """
     )
