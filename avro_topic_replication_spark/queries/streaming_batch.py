@@ -278,3 +278,72 @@ def stream_live_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("click_id", "view_id", "c_user", "click_ts", "view_ts")
     return run_to_memory(joined, output_mode="append")
+
+
+@query(
+    "ts_resample_gapfill",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n_events,
+                   {dec_sum_sql('value')} AS hour_value
+            FROM events WHERE user_id < 40 GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id,
+                   date_trunc('hour', min(ts)) AS h0,
+                   date_trunc('hour', max(ts)) AS h1
+            FROM events WHERE user_id < 40 GROUP BY 1
+        ),
+        grid AS (
+            SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM span
+        )
+        SELECT g.user_id, g.hour,
+               COALESCE(h.n_events, 0) AS n_events,
+               last_value(h.hour_value IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.hour) AS value_filled,
+               CAST(h.hour_value IS NULL AS INT) AS is_gap
+        FROM grid g
+        LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
+    tags=("timeseries", "window"),
+)
+def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a fixed 1-hour grid with gap-fill: per-user
+    hourly aggregate, a generated dense hour grid spanning each user's own
+    activity window (sequence + explode — no driver loop), left join, and
+    last-observation-carried-forward interpolation via a running
+    `last(value, ignorenulls)` window. The missing-bucket marker (is_gap)
+    stays explicit so downstream consumers can distinguish observed zeros
+    from interpolated rows. Bounded to user_id < 40 so the grid is
+    O(users × span) at every sf. At 100 TB: the grid explode is
+    embarrassingly parallel per user, the join + window shuffle once on
+    user_id — the standard resample shape for sensor/metric backfills."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n_events"), dec_sum("value").alias("hour_value"))
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("hour_value").isNull().cast("int").alias("is_gap"),
+    )
