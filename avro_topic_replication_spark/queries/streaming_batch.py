@@ -347,3 +347,46 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("hour_value", ignorenulls=True).over(w).alias("value_filled"),
         F.col("hour_value").isNull().cast("int").alias("is_gap"),
     )
+
+
+@query(
+    "ts_rollup_hierarchy",
+    oracle=f"""
+        SELECT date_trunc('day', ts) AS day,
+               event_type,
+               COUNT(*) AS n_events,
+               {dec_sum_sql('value')} AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("timeseries", "rollup"),
+)
+def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup served FROM PARTIALS: the daily aggregate is
+    computed by re-aggregating the hourly rollup, never touching raw
+    events a second time — the continuous-aggregate pattern (hypertable
+    rollups, OLAP cubes): materialize the finest grain once, answer every
+    coarser grain from it. The oracle aggregates the RAW table directly,
+    so the hash-match proves re-aggregation is lossless — true because
+    counts and decimal sums are exactly mergeable (which is why the
+    engine aggregates doubles through the decimal domain: IEEE partial
+    sums would NOT re-aggregate bit-identically). At 100 TB the hourly
+    table is ~5 orders of magnitude smaller than raw events, so every
+    downstream grain costs near-nothing."""
+    ev = load_table(spark, sf_dir, "events")
+    # finest grain: exact decimal partials per (hour, type) — kept as
+    # decimal (not rounded to double) so coarser grains merge losslessly
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("value_dec"),
+    )
+    # coarser grain from partials only: sum of counts, sum of decimal sums
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("value_dec"), 2).cast("double").alias("total_value"),
+        )
+    )
