@@ -279,3 +279,57 @@ def deserialize_confluent(data: bytes, schemas_by_id: dict):
             "(topic schema evolved; restart the query)"
         )
     return sid, decode(payload, schemas_by_id[sid])
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (reader vs writer — Avro spec "Schema Resolution")
+# ---------------------------------------------------------------------------
+def resolve(datum, writer_schema, reader_schema):
+    """Project a datum decoded under ``writer_schema`` onto
+    ``reader_schema`` — the consumer-side half of registry BACKWARD
+    compatibility: a reader on an evolved schema consumes records written
+    under any earlier compatible version. Record rule (Avro spec, Schema
+    Resolution): reader fields present in the writer take the written
+    value; reader-only fields take their default (error if none); writer
+    fields absent from the reader are dropped. Nested records/arrays/maps
+    resolve recursively."""
+    w, r = parse_schema(writer_schema), parse_schema(reader_schema)
+    wt, rt = _schema_type(w), _schema_type(r)
+    if rt == "record":
+        if wt != "record":
+            raise ValueError(f"cannot resolve {wt!r} against record reader")
+        wfields = {f["name"]: f for f in w["fields"]}
+        out = {}
+        for rf in r["fields"]:
+            name = rf["name"]
+            if name in wfields:
+                out[name] = resolve(datum[name], wfields[name]["type"], rf["type"])
+            elif "default" in rf:
+                out[name] = rf["default"]
+            else:
+                raise ValueError(
+                    f"reader field {name!r} missing from writer schema and has "
+                    "no default (schemas are not read-compatible)"
+                )
+        return out
+    if rt == "array" and wt == "array":
+        return [resolve(v, w["items"], r["items"]) for v in datum]
+    if rt == "map" and wt == "map":
+        return {k: resolve(v, w["values"], r["values"]) for k, v in datum.items()}
+    if rt == "union":
+        # decoded datum already carries its branch value; accept as-is if
+        # any reader branch matches (null/None handled by branch match)
+        for branch in r:
+            if _union_branch_matches(datum, branch):
+                return datum
+        raise ValueError(f"datum {datum!r} matches no reader union branch")
+    return datum  # identical primitive (type promotions out of scope)
+
+
+def deserialize_confluent_evolved(data: bytes, schemas_by_id: dict, reader_schema):
+    """deserialize_confluent + schema resolution: decode with the
+    per-record WRITER schema (from the registry snapshot), then project
+    onto the consumer's READER schema — how an evolved consumer keeps
+    reading a mixed-version topic without a restart."""
+    sid, datum = deserialize_confluent(data, schemas_by_id)
+    return sid, resolve(datum, schemas_by_id[sid], reader_schema)

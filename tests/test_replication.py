@@ -299,3 +299,59 @@ def test_progress_listener_observes_batches(spark, dirs):
     )
     assert lst.total_rows() == 7
     assert all(b["processedRowsPerSecond"] >= 0 for b in lst.batches)
+
+
+FOO_V2 = {
+    "type": "record",
+    "name": "Foo",
+    "namespace": "com.foo",
+    "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "name", "type": ["null", "string"], "default": None},
+        {"name": "tag", "type": "string", "default": "untagged"},
+    ],
+}
+
+
+def test_schema_resolution_backward_compatible_reader():
+    """Registry BACKWARD compatibility: a v2 reader (adds `tag` with a
+    default) consumes v1-written records; a v1 reader consumes v2-written
+    records by dropping the new field (Avro spec Schema Resolution)."""
+    from avro_topic_replication_spark.functions import avro_codec as C
+
+    v1_bytes = C.encode({"id": "7", "name": "x"}, R.FOO_SCHEMA)
+    datum = C.resolve(C.decode(v1_bytes, R.FOO_SCHEMA), R.FOO_SCHEMA, FOO_V2)
+    assert datum == {"id": "7", "name": "x", "tag": "untagged"}
+
+    v2_bytes = C.encode({"id": "8", "name": None, "tag": "gold"}, FOO_V2)
+    datum = C.resolve(C.decode(v2_bytes, FOO_V2), FOO_V2, R.FOO_SCHEMA)
+    assert datum == {"id": "8", "name": None}  # new field dropped for old reader
+
+
+def test_schema_resolution_incompatible_raises():
+    from avro_topic_replication_spark.functions import avro_codec as C
+
+    bad_reader = {
+        "type": "record", "name": "Foo", "namespace": "com.foo",
+        "fields": [{"name": "id", "type": "string"},
+                   {"name": "required_new", "type": "string"}],  # no default
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not read-compatible"):
+        C.resolve(C.decode(C.encode({"id": "9"}, R.FOO_SCHEMA), R.FOO_SCHEMA),
+                  R.FOO_SCHEMA, bad_reader)
+
+
+def test_confluent_deserialize_with_evolution():
+    """Mixed-version topic: records framed under two schema ids, one
+    consumer on the v2 reader — every record arrives v2-shaped."""
+    from avro_topic_replication_spark.functions import avro_codec as C
+
+    schemas = {1: R.FOO_SCHEMA, 2: FOO_V2}
+    msgs = [
+        C.serialize_confluent({"id": "a", "name": None}, R.FOO_SCHEMA, 1),
+        C.serialize_confluent({"id": "b", "name": "n", "tag": "t"}, FOO_V2, 2),
+    ]
+    out = [C.deserialize_confluent_evolved(m, schemas, FOO_V2) for m in msgs]
+    assert out[0] == (1, {"id": "a", "name": None, "tag": "untagged"})
+    assert out[1] == (2, {"id": "b", "name": "n", "tag": "t"})
