@@ -65,3 +65,25 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_bucketed_colocated")
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
+
+
+def test_hash_sampling_is_map_only(spark, sf_dir):
+    """Hash-threshold sampling must stay a pure scan+filter: no RNG
+    exchange, no shuffle — the property that lets it push to 100 TB."""
+    plan = _plan(spark, sf_dir, "sample_hash_fraction")
+    assert "Exchange" not in plan
+
+
+def test_split_needs_single_aggregation_shuffle(spark, sf_dir):
+    """Train/val/test split: per-row bucketing is map-side; only the
+    final per-split aggregate may shuffle (partials merge)."""
+    plan = _plan(spark, sf_dir, "split_train_val_test")
+    assert plan.count("Exchange") == 1
+
+
+def test_rollup_hierarchy_reaggregates_partials(spark, sf_dir):
+    """Hour->day rollup: one shuffle per grain, never a rescan of raw
+    events for the coarser grain."""
+    plan = _plan(spark, sf_dir, "ts_rollup_hierarchy")
+    assert plan.count("Exchange") == 2
+    assert plan.count("FileScan parquet") == 1  # raw events read exactly once
