@@ -141,17 +141,20 @@ _PAIRS_SQL = f"""
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase exact-Jaccard near-dup join (DataFrame twin of _PAIRS_SQL)."""
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     sh = d.select("doc_id", _shingles_col().alias("s")).persist()
     inv = sh.select("doc_id", F.explode("s").alias("g"))
-    # global df via one shuffle-by-shingle window; keep discriminative rows
-    rinv = (
-        inv.withColumn("df", F.count("*").over(Window.partitionBy("g")))
+    # global df via partial-aggregated groupBy (the shuffle carries one
+    # (g, count) partial per shingle per partition, never the 2.5M inv
+    # rows a window-over-g would move), then join the rare set back.
+    # Catalyst broadcasts it while it's small and falls back to a shuffle
+    # join when the rare tail outgrows the threshold at corpus scale.
+    rare = (
+        inv.groupBy("g").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= _DF_CAP)
-        .select("doc_id", "g")
+        .select("g")
     )
+    rinv = inv.join(rare, "g").select("doc_id", "g")
     cand = (
         rinv.filter(F.col("doc_id") < 300)
         .select(F.col("doc_id").alias("doc_a"), "g")
@@ -386,6 +389,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame connected-components shape, with convergence always
     O(diameter) rounds."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
+    pairs.count()  # materialize under the full-width shuffle config
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -399,29 +403,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    prev_sum = None
-    for _ in range(30):  # safety cap ≫ any real near-dup chain diameter
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
+    # The iteration state is edge-count-sized, far below the session's
+    # fact-table shuffle width; per-round cost here is stage overhead, so
+    # narrow the shuffle for the loop and restore after (a cluster run
+    # sizes this to |edges| / target-partition-size instead).
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        prev_sum = None
+        for _ in range(30):  # safety cap ≫ any real near-dup chain diameter
+            neighbor_min = (
+                edges.join(labels, edges.doc_b == labels.doc_id)
+                .groupBy(F.col("doc_a").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nbr_min"))
             )
-        )
-        # truncate lineage: labels feeds two joins next round, and an
-        # uncheckpointed loop doubles the plan every iteration
-        labels = new_labels.localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if cur_sum == prev_sum:  # monotone labels: equal sum == fixpoint
-            break
-        prev_sum = cur_sum
+            new_labels = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                )
+            )
+            # truncate lineage: labels feeds two joins next round, and an
+            # uncheckpointed loop doubles the plan every iteration
+            labels = new_labels.localCheckpoint(eager=True)
+            cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+            if cur_sum == prev_sum:  # monotone labels: equal sum == fixpoint
+                break
+            prev_sum = cur_sum
+    finally:
+        if prev_shuffle is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     edges.unpersist()
     pairs.unpersist()
     return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
