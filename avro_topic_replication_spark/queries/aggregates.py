@@ -607,3 +607,37 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dec_sum("l_quantity").alias("sum_qty"),
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle=f"""
+        WITH w AS (
+            SELECT l_returnflag,
+                   {dec_sum_sql('l_quantity')} AS sum_qty,
+                   {dec_sum_sql('l_extendedprice')} AS sum_price,
+                   CAST(COUNT(*) AS DOUBLE) AS n_items
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, metric, val
+        FROM w UNPIVOT (val FOR metric IN (sum_qty, sum_price, n_items))
+    """,
+    tags=("agg", "unpivot"),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt — wide metric columns to (key, metric, value) long
+    form, the inverse of agg_pivot and the shape metric stores want.
+    Narrow-side transform is per-row (an Expand node, no shuffle beyond
+    the feeding aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dec_sum("l_quantity").alias("sum_qty"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_items"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
