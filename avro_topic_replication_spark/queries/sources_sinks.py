@@ -216,3 +216,52 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(dec_sum("l_extendedprice").alias("revenue"), F.count("*").alias("n_items"))
     )
+
+
+@query(
+    "sink_upsert_merge",
+    oracle="""
+        WITH changes AS (
+            SELECT c_custkey, upper(c_name) AS c_name,
+                   CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,4)) + 100, 2) AS DOUBLE) AS c_acctbal
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000, c_name, c_acctbal
+            FROM customer WHERE c_custkey % 97 = 0
+        )
+        SELECT b.c_custkey, b.c_name, b.c_acctbal, 'kept' AS action
+        FROM customer b
+        WHERE b.c_custkey NOT IN (SELECT c_custkey FROM changes)
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal, 'upserted' AS action FROM changes
+    """,
+    tags=("sink", "merge"),
+)
+def sink_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert without a table format: apply a change batch to a
+    base table — matched keys take the change row (update), unmatched
+    change keys append (insert), untouched base rows pass through. The
+    scalable shape is one left-anti join (base minus changed keys) + one
+    union: both sides shuffle once on the key, no row-by-row driver
+    logic, and the same plan is what a lakehouse MERGE compiles to when
+    the change set is too large to broadcast. The change batch here is
+    synthesized deterministically: every 10th customer gets an update,
+    every 97th spawns an insert under a shifted key."""
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    updates = base.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.upper("c_name").alias("c_name"),
+        F.round(F.col("c_acctbal").cast("decimal(18,4)") + 100, 2)
+        .cast("double")
+        .alias("c_acctbal"),
+    )
+    inserts = base.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_name", "c_acctbal"
+    )
+    changes = updates.union(inserts)
+    kept = base.join(changes.select("c_custkey"), "c_custkey", "left_anti")
+    return kept.withColumn("action", F.lit("kept")).union(
+        changes.withColumn("action", F.lit("upserted"))
+    )
