@@ -265,3 +265,52 @@ def sink_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.withColumn("action", F.lit("kept")).union(
         changes.withColumn("action", F.lit("upserted"))
     )
+
+
+_BADCSV_DIR = os.path.join(SCRATCH, "io", "badcsv")
+
+
+def _corrupt_csv_fixture() -> str:
+    """Deterministic CSV with type-malformed rows (scale-independent)."""
+    os.makedirs(_BADCSV_DIR, exist_ok=True)
+    rows = [
+        "1,10.5,A", "2,20.0,B", "3,abc,C",  # 'abc' breaks the double column
+        "4,40.25,D", "not_an_id,50.0,E",    # id not a bigint
+        "6,60.75,F", "7,70.0,G",
+    ]
+    with open(os.path.join(_BADCSV_DIR, "part-000.csv"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    return _BADCSV_DIR
+
+
+@query("source_csv_corrupt_records", oracle=None, tags=("source", "csv", "robustness"))
+def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling on the CSV source: PERMISSIVE mode parses
+    what it can and captures the raw line of every row that violates the
+    schema in `_corrupt_record` instead of failing the job — at 100 TB a
+    handful of bad lines must quarantine, not kill, the pipeline (the
+    alternatives: DROPMALFORMED silently drops, FAILFAST aborts — both
+    exercised in tests/test_sinks.py). Rows-only: corrupt-capture
+    semantics are engine-specific. Output: parse-status counts from a
+    deterministic 7-row fixture with 2 type-broken lines."""
+    path = _corrupt_csv_fixture()
+    df = (
+        spark.read.schema("id bigint, qty double, flag string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        # Spark disallows projecting ONLY the internal corrupt column off a
+        # raw scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+        # the documented pattern is to cache the parsed frame first.
+        .cache()
+    )
+    return (
+        df.select(
+            F.when(F.col("_corrupt_record").isNull(), "parsed")
+            .otherwise("quarantined")
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("status")
+    )

@@ -43,3 +43,38 @@ def test_foreach_sink_collects_rows(spark, sf_dir):
     finally:
         q.stop()
     assert seen.value > 0
+
+
+def test_corrupt_csv_modes(spark, sf_dir):
+    """The three CSV malformed-row policies: PERMISSIVE quarantines (5
+    parsed + 2 captured), DROPMALFORMED drops to 5, FAILFAST raises."""
+    import pytest
+    from pyspark.sql import functions as F
+    from avro_topic_replication_spark.queries.sources_sinks import (
+        _corrupt_csv_fixture,
+        source_csv_corrupt_records,
+    )
+
+    counts = {
+        r["status"]: r["n_rows"]
+        for r in source_csv_corrupt_records(spark, sf_dir).collect()
+    }
+    assert counts == {"parsed": 5, "quarantined": 2}
+
+    path = _corrupt_csv_fixture()
+    dropped = (
+        spark.read.schema("id bigint, qty double, flag string")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    # collect, not count: count() prunes every column off the CSV scan, so
+    # nothing is parsed and malformed rows are never detected/dropped
+    assert len(dropped.collect()) == 5
+
+    failfast = (
+        spark.read.schema("id bigint, qty double, flag string")
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+    with pytest.raises(Exception, match="FAILFAST|Malformed"):
+        failfast.collect()
