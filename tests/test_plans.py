@@ -87,3 +87,22 @@ def test_rollup_hierarchy_reaggregates_partials(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_rollup_hierarchy")
     assert plan.count("Exchange") == 2
     assert plan.count("FileScan parquet") == 1  # raw events read exactly once
+
+
+def test_plan_audit_no_hard_violations(spark, sf_dir):
+    """The plan linter (plans/audit.py) over the batch relational core:
+    no CartesianProduct, no row-at-a-time Python on non-udf-tagged
+    queries. (The full-registry sweep is the module's CLI.)"""
+    from avro_topic_replication_spark.plans.audit import audit, violations_for
+
+    sample = [
+        "flagship_revenue_by_nation", "agg_pricing_summary", "agg_corr",
+        "join_asof_click_view", "join_range_bands", "join_salted_skew",
+        "win_distribution", "sort_topk_global", "dedup_exact",
+        "sample_hash_fraction", "split_train_val_test", "ts_rollup_hierarchy",
+        "vec_cosine_pairs_exact", "text_tfidf", "sink_upsert_merge",
+    ]
+    for name in sample:
+        q = QS[name]
+        report = audit(q.fn(spark, sf_dir))
+        assert not violations_for(report, q.tags), (name, report)
