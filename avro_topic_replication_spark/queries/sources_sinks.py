@@ -314,3 +314,43 @@ def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"))
         .orderBy("status")
     )
+
+
+@query(
+    "sink_parquet_clustered",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               CAST(l_shipdate AS DATE) AS ship_day
+        FROM lineitem
+        WHERE l_orderkey < 100
+          AND CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+    """,
+    tags=("sink", "parquet", "clustering"),
+)
+def sink_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered parquet layout: repartitionByRange(ship_day) +
+    sortWithinPartitions before the write puts each date range in few
+    files with tight row-group min/max stats, so the read-back range
+    filter skips most row groups at the scan (PushedFilters carries the
+    date bounds; the stats make them selective). This is the sort-on-
+    write discipline every columnar lake needs — without it, every file
+    spans every date and stats prune nothing. Write path is per-sf
+    scratch; the oracle reads the ORIGINAL table, so layout must not
+    change content."""
+    path = _scratch(sf_dir, "parquet_clustered")
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select(*cols, F.col("l_shipdate").cast("date").alias("ship_day"))
+    )
+    (
+        li.repartitionByRange(4, "ship_day")
+        .sortWithinPartitions("ship_day")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("ship_day").between("1995-01-01", "1995-12-31")
+    )
+    return back.select(*cols, "ship_day")
