@@ -160,19 +160,16 @@ def vec_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("vec_ivf_search", oracle=None, tags=("llm", "vector", "ivf"))
-def vec_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest coarse centroid
-    (8 fixed seed centroids), then answer the query by probing only the
-    2 cells nearest the query — the inverted-file pruning that makes
-    100-TB ANN tractable (scan shrinks by n_cells/n_probe). Centroids
-    here are deterministic seeds; a production build would k-means them
-    (same plan shape). Rows-only (cell assignment isn't concise SQL)."""
-    e = load_table(spark, sf_dir, "embeddings")
+def _ivf_centroids() -> np.ndarray:
+    """8 deterministic unit-norm coarse centroids (a production build
+    k-means them — operators/kmeans.py — with the identical plan shape)."""
     rng = np.random.default_rng(7)
     cents = rng.standard_normal((8, 64))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
+
+def _ivf_assign(e: DataFrame, cents: np.ndarray) -> DataFrame:
+    """Add each vector's IVF cell (argmax centroid dot) as a column."""
     emb = _dbl(F.col("embedding"))
 
     def dot_lit(vec):
@@ -183,11 +180,24 @@ def vec_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cell = F.lit(0)
     best = dot_lit(cents[0])
-    for i in range(1, 8):
+    for i in range(1, len(cents)):
         d = dot_lit(cents[i])
         cell = F.when(d > best, F.lit(i)).otherwise(cell)
         best = F.greatest(d, best)
-    assigned = e.select("vec_id", "label", "embedding", cell.alias("cell"))
+    return e.select("vec_id", "label", "embedding", cell.alias("cell"))
+
+
+@query("vec_ivf_search", oracle=None, tags=("llm", "vector", "ivf"))
+def vec_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse centroid
+    (8 fixed seed centroids), then answer the query by probing only the
+    2 cells nearest the query — the inverted-file pruning that makes
+    100-TB ANN tractable (scan shrinks by n_cells/n_probe). Centroids
+    here are deterministic seeds; a production build would k-means them
+    (same plan shape). Rows-only (cell assignment isn't concise SQL)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids()
+    assigned = _ivf_assign(e, cents)
 
     # Query = embedding of vec_id 0; probe its 2 nearest cells only.
     qrow = assigned.filter(F.col("vec_id") == 0).select(
@@ -295,4 +305,74 @@ def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("dist2"), 6).alias("inertia"),
         )
         .orderBy("cluster")
+    )
+
+
+@query("vec_ann_recall", oracle=None, tags=("llm", "vector", "ivf", "eval"))
+def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF path against exact brute force, per query —
+    the evaluation harness an ANN deployment ships with (pruning without
+    a measured recall number is guesswork). Fully distributed: the 8
+    query vectors broadcast against the corpus for the exact top-10; the
+    probe set (2 nearest of 8 cells) is picked by sorting an in-row
+    array of (centroid-dot, cell) structs — no driver-side math beyond
+    the centroid constants. Rows-only (IVF internals aren't SQL); the
+    pytest asserts shape and an average-recall floor. On this corpus
+    (near-uniform synthetic vectors) 2-of-8 probes land ~0.1-0.6 — the
+    honest trade the harness exists to expose; real clustered embeddings
+    and k-means centroids push it far higher."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids()
+    assigned = _ivf_assign(e, cents).persist()
+    qdf = assigned.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+
+    qemb = _dbl(F.col("qv"))
+
+    def qdot(vec):
+        lit_v = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(qemb, lit_v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+
+    scores = F.array(
+        *[F.struct(qdot(cents[i]).alias("s"), F.lit(i).alias("i")) for i in range(8)]
+    )
+    probes = qdf.select(
+        "qid",
+        "qv",
+        F.transform(
+            F.slice(F.reverse(F.array_sort(scores)), 1, 2), lambda x: x["i"]
+        ).alias("probe"),
+    )
+
+    cos = _dot(_dbl(F.col("embedding")), _dbl(F.col("qv")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+
+    exact = (
+        assigned.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    approx = (
+        probes.select("qid", "qv", F.explode("probe").alias("cell"))
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    return (
+        exact.join(approx, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("hits"))
+        .select("qid", "hits", (F.col("hits") / 10.0).alias("recall_at_10"))
+        .orderBy("qid")
     )

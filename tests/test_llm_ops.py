@@ -82,3 +82,11 @@ def test_dedup_clusters_group_neardups_together(spark, sf_dir):
     pairs = QS["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
     for p in pairs:
         assert labels[p["doc_a"]] == labels[p["doc_b"]]
+
+
+def test_ann_recall_harness(spark, sf_dir):
+    rows = QS["vec_ann_recall"].fn(spark, sf_dir).collect()
+    assert [r["qid"] for r in rows] == list(range(8))
+    assert all(0 <= r["hits"] <= 10 for r in rows)
+    avg = sum(r["recall_at_10"] for r in rows) / len(rows)
+    assert avg >= 0.15, avg  # 2-of-8 probes on near-uniform vectors
