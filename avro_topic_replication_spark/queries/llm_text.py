@@ -292,3 +292,68 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle="""
+        WITH q AS (
+            SELECT doc_id, lang, text FROM documents
+            WHERE length(text) BETWEEN 100 AND 20000
+              AND CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+                    / length(text) < 0.1
+              AND CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                    / length(text) < 0.2
+        ),
+        d AS (
+            SELECT doc_id, lang, text,
+                   row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+            FROM q
+        ),
+        s AS (
+            SELECT doc_id, lang, text FROM d
+            WHERE rn = 1
+              AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT)
+                 AS total_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        FROM s GROUP BY lang
+    """,
+    tags=("llm", "text", "pipeline"),
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly curation job as ONE declarative plan — the composition
+    the whole LLM-ops surface exists for: quality gates (length / punct /
+    digit ratios, pure projection) → exact dedup keep-first (one shuffle
+    on the content hash) → reproducible ~50% hash sample (map-side
+    predicate) → per-language corpus accounting (one partial-agg
+    shuffle). Two shuffles end to end, every stage JVM-side; Catalyst
+    fuses the quality filter into the scan and the sample predicate into
+    the dedup output — nothing materializes between stages. The same
+    plan at 100 TB is bounded by the two shuffles, both on keys with no
+    skew (content hash, language)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    quality = (
+        n_chars.between(100, 20000)
+        & (F.regexp_count("text", F.lit(r"[\p{Punct}]")).cast("double") / n_chars < 0.1)
+        & (F.regexp_count("text", F.lit("[0-9]")).cast("double") / n_chars < 0.2)
+    )
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    survivors = (
+        d.filter(quality)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "8000")
+    )
+    toks = F.split(F.lower("text"), r"\s+")
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
