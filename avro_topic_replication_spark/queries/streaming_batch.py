@@ -390,3 +390,71 @@ def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value_dec"), 2).cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+        WITH tagged AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+                   CASE WHEN event_type = 'view' THEN ts END AS view_ts
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        cf AS (
+            SELECT *,
+                   last_value(view_ts IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_click, event_id
+                   ) AS last_view_ts
+            FROM tagged
+        )
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n_clicks,
+               CAST(count_if(last_view_ts >= ts - INTERVAL 30 MINUTE) AS BIGINT)
+                 AS n_converted,
+               CAST(CAST(count_if(last_view_ts >= ts - INTERVAL 30 MINUTE) AS BIGINT)
+                    AS DOUBLE) / COUNT(*) AS conversion_rate
+        FROM cf WHERE is_click = 1
+        GROUP BY 1
+    """,
+    tags=("timeseries", "funnel"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: per day, the share of clicks preceded by a view
+    from the same user within 30 minutes — the attribution query every
+    clickstream warehouse runs. Same scale-safe shape as the as-of join:
+    union-tag both event kinds, ONE window per user carrying the last
+    view timestamp forward (views sort before clicks on timestamp ties),
+    then a per-day aggregate — one shuffle on user_id, one partial-agg
+    shuffle on day; never a click×view pair join, so hot users cost
+    linear work."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cf = tagged.withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+    converted = (
+        F.col("last_view_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    ).cast("int")
+    return (
+        cf.filter(F.col("is_click") == 1)
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.sum(converted).cast("bigint").alias("n_converted"),
+            (F.sum(converted).cast("double") / F.count("*")).alias("conversion_rate"),
+        )
+    )
