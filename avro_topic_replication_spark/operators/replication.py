@@ -82,6 +82,19 @@ FOO_SCHEMA = {
     ],
 }
 
+# A BACKWARD-compatible evolution of Foo (new field with a default) — the
+# registry's default compatibility mode admits exactly this kind of change.
+FOO_SCHEMA_V2 = {
+    "type": "record",
+    "name": "Foo",
+    "namespace": "com.foo",
+    "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "name", "type": ["null", "string"], "default": None},
+        {"name": "tag", "type": "string", "default": "untagged"},
+    ],
+}
+
 STRING_SCHEMA = "string"  # output key schema (KafkaAvroSerializer on a String)
 
 

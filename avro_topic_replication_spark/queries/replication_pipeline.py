@@ -106,3 +106,79 @@ def replication_stream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         MockSchemaRegistry.drop_scope(f"src-{scope}")
         MockSchemaRegistry.drop_scope(f"tgt-{scope}")
+
+
+@query(
+    "replication_evolved_consumer",
+    oracle="""
+        SELECT CAST(n_nationkey AS VARCHAR) AS id,
+               n_name AS name,
+               CASE WHEN n_nationkey % 2 = 0 THEN 'untagged'
+                    ELSE 'r' || CAST(n_regionkey AS VARCHAR) END AS tag
+        FROM nation
+    """,
+    tags=("replication", "avro", "evolution"),
+)
+def replication_evolved_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-schema-version topic read by an EVOLVED consumer, end to end
+    and hash-verified: even nation keys are produced under Foo v1, odd
+    keys under v2 (adds `tag` with default 'untagged'); the consumer
+    decodes every record with its per-record writer schema (Confluent
+    frame id -> registry snapshot) and resolves onto the v2 reader, so
+    v1 records surface the default — registry BACKWARD compatibility on
+    the real envelope path, not just the codec unit test. Arrow-batched
+    decode; registry resolution is plan-time (snapshot in the closure)."""
+    import datetime as dt
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions import avro_codec
+
+    scope = uuid.uuid4().hex[:8]
+    reg = MockSchemaRegistry.get_scope(f"evo-{scope}")
+    try:
+        sid1 = reg.register("source-topic-a-value", R.FOO_SCHEMA)
+        sid2 = reg.register("source-topic-a-value", R.FOO_SCHEMA_V2)
+        rows = []
+        for i, r in enumerate(
+            load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+        ):  # 25 dimension rows: fixture production, not a data collect
+            if r["n_nationkey"] % 2 == 0:
+                payload = avro_codec.serialize_confluent(
+                    {"id": str(r["n_nationkey"]), "name": r["n_name"]},
+                    R.FOO_SCHEMA,
+                    sid1,
+                )
+            else:
+                payload = avro_codec.serialize_confluent(
+                    {
+                        "id": str(r["n_nationkey"]),
+                        "name": r["n_name"],
+                        "tag": f"r{r['n_regionkey']}",
+                    },
+                    R.FOO_SCHEMA_V2,
+                    sid2,
+                )
+            rows.append(
+                (None, payload, "source-topic-a", 0, i, dt.datetime(2024, 1, 1))
+            )
+        env = spark.createDataFrame(rows, R.KAFKA_ENVELOPE)
+        snapshot = reg.snapshot()
+
+        def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, names, tags = [], [], []
+                for vraw in pdf["value"]:
+                    _, rec = avro_codec.deserialize_confluent_evolved(
+                        bytes(vraw), snapshot, R.FOO_SCHEMA_V2
+                    )
+                    ids.append(rec["id"])
+                    names.append(rec["name"])
+                    tags.append(rec["tag"])
+                yield pd.DataFrame({"id": ids, "name": names, "tag": tags})
+
+        return env.mapInPandas(dec, schema="id string, name string, tag string")
+    finally:
+        MockSchemaRegistry.drop_scope(f"evo-{scope}")
