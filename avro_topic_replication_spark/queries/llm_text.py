@@ -357,3 +357,54 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "text_pii_redaction",
+    oracle="""
+        WITH withpii AS (
+            SELECT doc_id,
+                   text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(pii_text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(pii_text, '555-[0-9]{4}')) AS n_phones,
+               sha256(regexp_replace(regexp_replace(pii_text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_sha
+        FROM withpii
+    """,
+    tags=("llm", "text", "pii"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training corpus gets:
+    detect and replace email addresses and phone-shaped strings with
+    placeholder tokens, pure regexp_replace projections in codegen (no
+    shuffle, no Python). The corpus is synthetic, so deterministic PII is
+    appended per doc first — both engines build the identical string, and
+    the sha256 of the redacted output proves byte-identical scrubbing,
+    not just equal counts. Regexes stay in the Java/RE2 common subset so
+    the two engines match."""
+    d = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"555-[0-9]{4}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(pii_text, email_re, "[EMAIL]"), phone_re, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(pii_text, F.lit(email_re)).alias("n_emails"),
+        F.regexp_count(pii_text, F.lit(phone_re)).alias("n_phones"),
+        F.sha2(redacted, 256).alias("redacted_sha"),
+    )
