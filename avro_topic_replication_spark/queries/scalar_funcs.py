@@ -509,3 +509,36 @@ def fn_schema_of_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.schema_of_json(F.lit('{"k": 1}')).alias("props_schema"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255 AS band,
+               o_orderkey | 4096 AS bor,
+               xor(o_orderkey, o_custkey) AS bxor,
+               (o_orderkey & 15) << 2 AS shl,
+               o_orderkey >> 3 AS shr,
+               CAST(bit_count(o_orderkey) AS INTEGER) AS popcount,
+               ~o_orderkey AS bnot
+        FROM orders WHERE o_orderkey < 200
+    """,
+    tags=("scalar", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts/popcount/not — the building
+    blocks of bucket masks, bloom probes and bit-packed flags; pure
+    codegen projections."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(c).alias("bxor"),
+        F.shiftleft(k.bitwiseAND(F.lit(15)), 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+        F.bitwise_not(k).alias("bnot"),
+    )
