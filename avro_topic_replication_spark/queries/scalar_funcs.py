@@ -542,3 +542,32 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).alias("popcount"),
         F.bitwise_not(k).alias("bnot"),
     )
+
+
+@query(
+    "fn_encode_decode",
+    oracle="""
+        SELECT n_nationkey,
+               to_base64(CAST(n_name AS BLOB)) AS name_b64,
+               CAST(from_base64(to_base64(CAST(n_name AS BLOB))) AS VARCHAR)
+                 AS name_roundtrip,
+               hex(n_name) AS name_hex,
+               CAST(unhex(hex(n_name)) AS VARCHAR) AS name_unhex
+        FROM nation
+    """,
+    tags=("scalar", "encoding"),
+)
+def fn_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary text codecs — base64 and hex encode/decode round trips, the
+    serde helpers every byte-bearing column (Avro payloads, multimodal
+    blobs) passes through; pure codegen, both round trips must return the
+    original string bit-exactly in both engines."""
+    n = load_table(spark, sf_dir, "nation")
+    name_bin = F.col("n_name").cast("binary")
+    return n.select(
+        "n_nationkey",
+        F.base64(name_bin).alias("name_b64"),
+        F.unbase64(F.base64(name_bin)).cast("string").alias("name_roundtrip"),
+        F.hex(name_bin).alias("name_hex"),
+        F.unhex(F.hex(name_bin)).cast("string").alias("name_unhex"),
+    )
