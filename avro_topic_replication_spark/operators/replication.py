@@ -254,7 +254,10 @@ def read_committed(spark: SparkSession, target_dir: str) -> DataFrame:
         return spark.createDataFrame([], KAFKA_ENVELOPE)
     dirs = [
         os.path.join(target_dir, "data", b)
-        for b in sorted(os.listdir(commits), key=int)
+        # digit-only filter: a crash between the tmp-marker write and its
+        # rename can leave "<id>.tmp" behind; an uncommitted marker must
+        # never crash (or admit rows into) the read-committed view
+        for b in sorted((x for x in os.listdir(commits) if x.isdigit()), key=int)
         if os.path.isdir(os.path.join(target_dir, "data", b))
     ]
     if not dirs:
@@ -328,11 +331,18 @@ def replicate_stream(
     finally:
         q.stop()
         if listener is not None:
-            # listener events ride an async bus; drain before detaching so
-            # callers see every batch this run produced
+            # listener events ride an async bus; drain until the recorded
+            # batch count is stable across a polling interval (not merely
+            # non-empty — a multi-micro-batch run delivers events after the
+            # first one arrives) before detaching
             deadline = time.monotonic() + 10
-            while not listener.batches and time.monotonic() < deadline:
-                time.sleep(0.2)
+            seen = -1
+            while time.monotonic() < deadline:
+                n = len(listener.batches)
+                if n == seen:
+                    break
+                seen = n
+                time.sleep(0.4)
             spark.streams.removeListener(listener)
 
 
