@@ -53,8 +53,9 @@ def _assign(df: DataFrame, cents: np.ndarray) -> DataFrame:
 
 def kmeans(
     spark: SparkSession, vectors: DataFrame, k: int = 8, iters: int = 5
-) -> tuple[DataFrame, list[float]]:
-    """Run Lloyd's iterations; return (assignments, inertia history).
+) -> tuple[DataFrame, list[float], np.ndarray]:
+    """Run Lloyd's iterations; return (assignments, inertia history,
+    final k×dim centroid matrix).
 
     ``vectors`` needs columns (vec_id, embedding). Init = the first k
     vectors by vec_id (deterministic; k-means++ would drop in here)."""
@@ -86,4 +87,4 @@ def kmeans(
         inertia.append(float(sum(r["d2"] for r in stats if r["dim"] == 0)))
         cents = new_cents
         assigned = _assign(vectors, cents)
-    return assigned.select("vec_id", "cluster", "dist2"), inertia
+    return assigned.select("vec_id", "cluster", "dist2"), inertia, cents

@@ -65,7 +65,8 @@ def test_kmeans_inertia_monotone(spark, sf_dir):
     from avro_topic_replication_spark.operators.kmeans import kmeans
 
     e = load_table(spark, sf_dir, "embeddings")
-    assigned, inertia = kmeans(spark, e, k=4, iters=4)
+    assigned, inertia, cents = kmeans(spark, e, k=4, iters=4)
+    assert cents.shape[0] == 4
     assert len(inertia) == 4
     # Lloyd's never increases the objective
     assert all(b <= a * (1 + 1e-12) for a, b in zip(inertia, inertia[1:])), inertia
@@ -89,4 +90,6 @@ def test_ann_recall_harness(spark, sf_dir):
     assert [r["qid"] for r in rows] == list(range(8))
     assert all(0 <= r["hits"] <= 10 for r in rows)
     avg = sum(r["recall_at_10"] for r in rows) / len(rows)
-    assert avg >= 0.15, avg  # 2-of-8 probes on near-uniform vectors
+    # k-means-learned centroids measure 0.81-0.88 avg at 2-of-8 probes on
+    # this corpus (sf0.001/sf0.01); 0.5 is the guard floor.
+    assert avg >= 0.5, avg
