@@ -113,3 +113,18 @@ class HttpSchemaRegistry:
     def latest(self, subject: str) -> tuple[int, object]:
         out = self._request("GET", f"/subjects/{subject}/versions/latest")
         return int(out["id"]), parse_schema(out["schema"])
+
+    def subjects(self) -> list[str]:
+        return list(self._request("GET", "/subjects"))
+
+    def snapshot(self) -> dict[int, object]:
+        """Plan-time {id → parsed schema} snapshot, assembled by walking the
+        public /subjects → /subjects/{s}/versions/{v} endpoints (same
+        contract as MockSchemaRegistry.snapshot: picklable, shipped to
+        executors inside the decode closure)."""
+        out: dict[int, object] = {}
+        for subject in self.subjects():
+            for version in self._request("GET", f"/subjects/{subject}/versions"):
+                entry = self._request("GET", f"/subjects/{subject}/versions/{version}")
+                out[int(entry["id"])] = parse_schema(entry["schema"])
+        return out
