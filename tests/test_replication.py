@@ -355,3 +355,22 @@ def test_confluent_deserialize_with_evolution():
     out = [C.deserialize_confluent_evolved(m, schemas, FOO_V2) for m in msgs]
     assert out[0] == (1, {"id": "a", "name": None, "tag": "untagged"})
     assert out[1] == (2, {"id": "b", "name": "n", "tag": "t"})
+
+
+def test_kafka_swap_path_options_reach_the_missing_jar(spark):
+    """Exercise the documented real-broker swap as far as a jar-less
+    sandbox allows: the readStream.format("kafka") plan built from
+    kafka_source_options must fail ONLY because the kafka data source
+    class is absent (no spark-sql-kafka jar in the container) — any other
+    error would mean the options themselves are malformed. On a cluster
+    with the jar on the classpath this exact builder is the reference's
+    R1/R2 source (application.yml:7-10, README.adoc:34)."""
+    opts = R.kafka_source_options("localhost:9093", "source-topic-a")
+    assert opts["maxOffsetsPerTrigger"] == "500"  # README.adoc:34 batch bound
+    assert opts["kafka.isolation.level"] == "read_committed"  # application.yml:10
+    with pytest.raises(Exception) as ei:
+        spark.readStream.format("kafka").options(**opts).load()
+    msg = str(ei.value)
+    assert "kafka" in msg.lower()
+    # Spark's missing-data-source error, not an option-validation error
+    assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg, msg
