@@ -188,6 +188,49 @@ def stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(sdf, output_mode="append")
 
 
+@query("stream_live_dedup_unbounded", oracle=None, tags=("streaming", "live"))
+def stream_live_dedup_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain streaming dropDuplicates on event_id (no watermark bound):
+    the exact-once-per-key semantics when keys can recur arbitrarily far
+    apart. State grows with distinct keys forever — the trade the
+    within-watermark variant (stream_live_dedup) exists to avoid; both
+    are live so the state-size decision is explicit, not implicit."""
+    from ..streaming.replay import events_stream, run_to_memory
+
+    sdf = (
+        events_stream(spark, sf_dir)
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    return run_to_memory(sdf, output_mode="append")
+
+
+@query("stream_live_session", oracle=None, tags=("streaming", "live", "session"))
+def stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) executed through the streaming
+    runtime: watermark-bounded merging session state per user — the
+    dynamic-gap analog of the oracle-checked batch twin
+    (stream_session_window). Complete mode so end-of-stream sessions
+    (never passed by the watermark in a bounded replay) stay visible —
+    on an unbounded source this would be append + state eviction once
+    the watermark passes a session's close."""
+    from ..streaming.replay import events_stream, run_to_memory
+
+    sdf = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(sdf, output_mode="complete")
+
+
 @query("stream_live_static_join", oracle=None, tags=("streaming", "live"))
 def stream_live_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against a static
