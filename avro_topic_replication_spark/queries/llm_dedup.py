@@ -439,3 +439,65 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     pairs.unpersist()
     return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+_EDOT_SQL = """list_reduce(list_transform(list_zip({a}, {b}),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH e AS (
+            SELECT d.doc_id, d.lang, emb.embedding
+            FROM documents d JOIN embeddings emb ON d.doc_id = emb.vec_id
+            WHERE d.doc_id < 250
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.lang AS lang_a, b.lang AS lang_b,
+               round({_EDOT_SQL.format(a='a.embedding', b='b.embedding')}
+                     / (sqrt({_EDOT_SQL.format(a='a.embedding', b='a.embedding')})
+                        * sqrt({_EDOT_SQL.format(a='b.embedding', b='b.embedding')})),
+                     6) AS cosine
+        FROM e a JOIN e b ON a.doc_id < b.doc_id
+        ORDER BY cosine DESC, doc_a, doc_b LIMIT 20
+    """,
+    tags=("llm", "dedup", "vector"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: the semantic-similarity arm of the dedup
+    family (exact hash / MinHash / SimHash / n-gram Jaccard catch textual
+    duplication; embedding cosine catches paraphrases the lexical methods
+    miss). Documents join their embedding rows (doc_id == vec_id), pairs
+    are ranked by cosine, the top candidates surface with both sides'
+    language metadata for the keep/drop decision. Oracle-checked on a
+    bounded id prefix (exact all-pairs is the ground-truth tier); the
+    unbounded scale path is the sign-LSH bucketing of vec_lsh_pairs —
+    never all-pairs — with this exact scorer verifying only
+    bucket-colliding candidates. Cosine is the same deterministic
+    left-fold both engines evaluate bit-identically, rounded at 6dp only
+    to make the ORDER BY tie-free."""
+    from .llm_vectors import _dot
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = d.join(emb, d.doc_id == emb.vec_id).select("doc_id", "lang", "embedding")
+    a = e.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = e.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "lang_a", "lang_b", F.round(cos, 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+    )
