@@ -24,6 +24,7 @@ REGISTRY: "dict[str, Query]" = {}
 
 _MODULES = (
     "relational",
+    "tpch",
     "aggregates",
     "windows",
     "setops",
