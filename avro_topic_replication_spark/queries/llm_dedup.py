@@ -142,6 +142,10 @@ _PAIRS_SQL = f"""
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase exact-Jaccard near-dup join (DataFrame twin of _PAIRS_SQL)."""
     d = load_table(spark, sf_dir, "documents")
+    # The shingle table feeds five consumers (df count, both candidate
+    # sides, both verify sides); persist amortizes the shingling pass
+    # across them (A/B-measured 4.4 s vs 5.5 s for an eager
+    # localCheckpoint under bench conditions at sf0.1).
     sh = d.select("doc_id", _shingles_col().alias("s")).persist()
     inv = sh.select("doc_id", F.explode("s").alias("g"))
     # global df via partial-aggregated groupBy (the shuffle carries one
@@ -154,7 +158,11 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _DF_CAP)
         .select("g")
     )
-    rinv = inv.join(rare, "g").select("doc_id", "g")
+    # rinv feeds both sides of the candidate self-join; Spark re-executes a
+    # referenced subplan per reference, which would run the df groupBy +
+    # join twice over the 1M-row inverted index. The rare-shingle postings
+    # list is tiny (~17k rows at sf0.1) — checkpoint it once.
+    rinv = inv.join(rare, "g").select("doc_id", "g").localCheckpoint(eager=True)
     cand = (
         rinv.filter(F.col("doc_id") < 300)
         .select(F.col("doc_id").alias("doc_a"), "g")
@@ -213,8 +221,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # The shingle table feeds three consumers (signatures + both sides of
     # the candidate-verify join); persist it so the shingling + distinct
-    # pass runs once, not three times. Same call on a cluster — reused
-    # lineage is exactly what executor caching is for.
+    # pass runs once, not three times (A/B: persist beats localCheckpoint
+    # for the string-array table; see _jaccard_pairs).
     sh = d.select("doc_id", _shingles_col().alias("s")).persist()
 
     # Each shingle is hashed ONCE in the JVM (xxhash64 → 31-bit); the 16
@@ -241,7 +249,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform("s", lambda x: F.pmod(F.xxhash64(x), F.lit(2147483647))).alias("h"),
     )
-    sigs = hashed.select("doc_id", minhash16("h").alias("sig"))
+    # sigs feeds three consumers (band keys + both sides of the estimate
+    # prefilter); each reference would re-run the JVM hash pass + minhash
+    # UDF over the full shingle table. The signature table is n×16 longs —
+    # checkpoint it once.
+    sigs = hashed.select("doc_id", minhash16("h").alias("sig")).localCheckpoint(
+        eager=True
+    )
     # Band rows carry ONLY (doc_id, band_id, band_key) — 3 scalars. The
     # shingle arrays (~500 strings/doc) never enter the band shuffle; they
     # are re-joined for the (small) candidate set only.
