@@ -32,7 +32,10 @@ from ..catalog import load_table
 from ..functions.numeric import dec_avg, dec_avg_sql, dec_sum, dec_sum_sql
 from . import query
 
-_REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _rev():
+    # built lazily: constructing the literal needs an active SparkContext,
+    # and query modules import before any session exists
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 _REV_SQL = "l_extendedprice * (1 - l_discount)"
 
 
@@ -73,7 +76,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             o.o_custkey == c.c_custkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dec_sum(_REV).alias("revenue"))
+        .agg(dec_sum(_rev()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -188,7 +191,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(dec_sum(_REV).alias("revenue"))
+        .agg(dec_sum(_rev()).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -305,7 +308,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dec_sum(_REV).alias("revenue"))
+        .agg(dec_sum(_rev()).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -456,7 +459,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(dec_sum(_REV).alias("total_revenue"))
+        .agg(dec_sum(_rev()).alias("total_revenue"))
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -575,7 +578,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(dec_sum(_REV).alias("revenue"))
+        .agg(dec_sum(_rev()).alias("revenue"))
     )
 
 

@@ -106,3 +106,47 @@ def test_plan_audit_no_hard_violations(spark, sf_dir):
         q = QS[name]
         report = audit(q.fn(spark, sf_dir))
         assert not violations_for(report, q.tags), (name, report)
+
+
+def test_tpch_q3_broadcasts_and_topk(spark, sf_dir):
+    """q3: the segment-filtered customer dim broadcasts, the date filters
+    reach both fact scans, the top-10 compiles to per-partition heaps."""
+    plan = _plan(spark, sf_dir, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThan(l_shipdate" in plan  # pushed to the lineitem scan
+    assert "LessThan(o_orderdate" in plan  # pushed to the orders scan
+
+def test_tpch_q6_is_scan_plus_partial_agg(spark, sf_dir):
+    """q6 must be one pushed-down scan + map-side partials: no join, and
+    the only exchange is the single-row final-aggregate merge."""
+    plan = _plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "PushedFilters: [" in plan  # predicate set reaches the scan
+    # column pruning: exactly the four referenced columns are read
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate" in plan
+    )
+
+def test_tpch_q15_single_fact_shuffle(spark, sf_dir):
+    """q15: the revenue view aggregates once on suppkey; the max and the
+    supplier dim both broadcast — no second fact-sized shuffle."""
+    plan = _plan(spark, sf_dir, "tpch_q15_top_supplier")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+def test_tpch_q18_semi_join_before_fact_join(spark, sf_dir):
+    """q18: the HAVING subquery must reach the plan as a semi join (no
+    row multiplication), customer stays broadcast."""
+    plan = _plan(spark, sf_dir, "tpch_q18_large_volume_customer")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+def test_tpch_q22_anti_join(spark, sf_dir):
+    """q22: 'no recent orders' must compile to an anti join with the
+    scalar average broadcast as a 1-row build side."""
+    plan = _plan(spark, sf_dir, "tpch_q22_idle_customers")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # recent filter pushed
