@@ -98,3 +98,113 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         _decode_batches, schema="doc_id long, n_bytes long, width long, height long"
     )
+
+
+def resize_image(payload: bytes, target_w: int, target_h: int, fake: bool = False) -> bytes:
+    """Resize one image payload to (target_w, target_h).
+
+    Real resize (PIL.Image.resize / cv2) is unavailable here — STUB. The
+    deterministic fake emits a payload whose length encodes the target
+    box so batch-shape tests can assert the transform ran per-row."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/cv2, not present in this environment; "
+            "pass fake=True for the deterministic stub"
+        )
+    # deterministic: first 8 bytes of source + the box, so output depends
+    # on both input content and parameters
+    return payload[:8] + target_w.to_bytes(2, "big") + target_h.to_bytes(2, "big")
+
+
+def sample_frames(payload: bytes, every_n: int, fake: bool = False) -> list[bytes]:
+    """Sample every Nth frame from one video payload.
+
+    Real frame extraction (ffmpeg/PyAV) is unavailable here — STUB. The
+    deterministic fake chunks the payload into fixed 32-byte pseudo-frames
+    and keeps every Nth, preserving order."""
+    if not fake:
+        raise NotImplementedError(
+            "frame sampling requires ffmpeg/PyAV, not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+    frames = [payload[i : i + 32] for i in range(0, len(payload), 32)]
+    return frames[::every_n]
+
+
+@query("mm_resize_batch", oracle=None, tags=("llm", "multimodal"))
+def mm_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch image resize through mapInPandas: payload in, resized payload
+    + old/new byte sizes out — the thumbnail/normalize step of a vision
+    training pipeline. The Arrow plumbing (binary column in, binary column
+    out, no driver transfer) is the production shape; the resize kernel is
+    the env-gated stub. Rows-only (stub output is engine-defined)."""
+
+    def resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [resize_image(p, 224, 224, fake=True) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": [len(p) for p in pdf["payload"]],
+                    "resized": out,
+                    "resized_bytes": [len(r) for r in out],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return payloads.mapInPandas(
+        resize_batches,
+        schema="doc_id long, orig_bytes long, resized binary, resized_bytes long",
+    )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+        WITH chunks AS (
+            SELECT doc_id,
+                   CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id, n_frames,
+               CAST(ceil(n_frames / 4.0) AS BIGINT) AS n_sampled
+        FROM chunks
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through mapInPandas: payload → every-4th
+    pseudo-frame, exploded one row per kept frame then re-counted — the
+    clip-sampling step of a video training pipeline. The fake framer is
+    deterministic (fixed 32-byte chunks), so frame COUNTS are
+    oracle-checkable even though the kernel is stubbed: n_frames =
+    ceil(bytes/32), n_sampled = ceil(n_frames/4). At 100 TB the explode
+    multiplies rows executor-side only; frames never visit the driver."""
+
+    def frame_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            frames = [sample_frames(p, 4, fake=True) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": [
+                        (len(p) + 31) // 32 for p in pdf["payload"]
+                    ],
+                    "frames": frames,
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    sampled = payloads.mapInPandas(
+        frame_batches, schema="doc_id long, n_frames long, frames array<binary>"
+    )
+    return (
+        sampled.select(
+            "doc_id", "n_frames", F.explode("frames").alias("frame")
+        )
+        .groupBy("doc_id", "n_frames")
+        .agg(F.count("*").alias("n_sampled"))
+        .select("doc_id", "n_frames", "n_sampled")
+    )

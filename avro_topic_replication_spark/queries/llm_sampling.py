@@ -136,3 +136,25 @@ def sample_native_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"))
     )
+
+
+@query("sketch_heavy_hitters", oracle=None, tags=("llm", "sketch", "approx"))
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the event stream's user_id: one
+    Arrow-batched pass folds every partition into a 4×256 counter matrix,
+    the matrices merge in a d·w-row aggregate, and the merged sketch
+    (metadata-sized) broadcasts into a map-side estimator — the mergeable-
+    summary shape that finds hot keys at 100 TB without shuffling every
+    distinct key (operators/sketches.py documents the public CM bounds).
+    Rows-only: estimates overcount by design (pytest asserts the
+    est >= exact invariant and ranking agreement against the exact count)."""
+    from ..operators.sketches import build_sketch, estimate_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = build_sketch(ev, "user_id").collect()  # d·w cells, not data-sized
+    users = ev.select("user_id").distinct()
+    return (
+        estimate_counts(users, "user_id", sketch)
+        .orderBy(F.desc("est_count"), F.asc("user_id"))
+        .limit(10)
+    )

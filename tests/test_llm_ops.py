@@ -93,3 +93,58 @@ def test_ann_recall_harness(spark, sf_dir):
     # k-means-learned centroids measure 0.81-0.88 avg at 2-of-8 probes on
     # this corpus (sf0.001/sf0.01); 0.5 is the guard floor.
     assert avg >= 0.5, avg
+
+
+def test_multimodal_resize_and_frame_stubs(spark, sf_dir):
+    from avro_topic_replication_spark.queries.llm_multimodal import (
+        resize_image,
+        sample_frames,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\x00" * 16, 224, 224)
+    with pytest.raises(NotImplementedError):
+        sample_frames(b"\x00" * 64, 4)
+    r = resize_image(b"abcdefgh" + b"x" * 100, 224, 224, fake=True)
+    assert len(r) == 12 and r[:8] == b"abcdefgh"
+    frames = sample_frames(bytes(range(96)) + b"\x00" * 40, 2, fake=True)
+    assert len(frames) == 3  # ceil(136/32)=5 frames, every 2nd -> 3
+    assert frames[0] == bytes(range(32))
+
+    df = QS["mm_resize_batch"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert all(r["resized_bytes"] == min(r["orig_bytes"], 8) + 4 for r in rows)
+
+    fs = QS["mm_frame_sample"].fn(spark, sf_dir).collect()
+    import math
+    assert all(r["n_sampled"] == math.ceil(r["n_frames"] / 4) for r in fs)
+
+
+def test_countmin_sketch_bounds(spark, sf_dir):
+    """CM-sketch invariants: estimate >= exact for every key, and the
+    estimated top-1 matches the exact top-1 on this corpus."""
+    from avro_topic_replication_spark.catalog import load_table
+    from avro_topic_replication_spark.operators.sketches import (
+        build_sketch,
+        estimate_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r["user_id"]: r["n"] for r in
+             ev.groupBy("user_id").agg(__import__("pyspark.sql.functions",
+                 fromlist=["count"]).count("*").alias("n")).collect()}
+    sketch = build_sketch(ev, "user_id").collect()
+    est_rows = estimate_counts(
+        ev.select("user_id").distinct(), "user_id", sketch
+    ).collect()
+    est = {r["user_id"]: r["est_count"] for r in est_rows}
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+    total = sum(exact.values())
+    # CM bound: overestimate <= (e/w)·N with prob 1-(1/e)^d; allow 3x slack
+    for k, n in exact.items():
+        assert est[k] - n <= 3 * 2.72 / 256 * total + 1, (k, est[k], n)
+    top_exact = max(exact, key=lambda k: (exact[k], -k))
+    top_est = max(est, key=lambda k: (est[k], -k))
+    assert exact[top_est] >= 0.8 * exact[top_exact]
