@@ -507,8 +507,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot(F.col("ea"), F.col("eb")) / (
         F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
     )
+    # broadcast the bounded side: the theta join compiles to
+    # BroadcastNestedLoopJoin (streamed × small build), not a
+    # CartesianProduct shuffle — same rows, partition-parallel probe
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a", "doc_b", "lang_a", "lang_b", F.round(cos, 6).alias("cosine")
         )
