@@ -354,3 +354,77 @@ def sink_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ship_day").between("1995-01-01", "1995-12-31")
     )
     return back.select(*cols, "ship_day")
+
+
+@query("source_orc_roundtrip", oracle=_SLICE_SQL, tags=("source", "orc"))
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source: the second columnar format Spark ships natively
+    (predicate pushdown + column pruning work identically to parquet).
+    The oracle reads the parquet truth — a hash match proves the ORC
+    round trip is value-exact across the format boundary."""
+    path = _scratch(sf_dir, "orc")
+    _slice(spark, sf_dir).write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@query(
+    "source_text_lines",
+    oracle="""
+        SELECT CAST(l_orderkey AS VARCHAR) || '|' || l_returnflag AS value
+        FROM lineitem WHERE l_orderkey < 100
+    """,
+    tags=("source", "text"),
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text sink + line source (`spark.read.text`): the lowest-common-
+    denominator format — one string column per line. Written as
+    delimiter-joined fields, read back raw; the oracle rebuilds the same
+    lines from the parquet truth."""
+    path = _scratch(sf_dir, "text")
+    lines = _slice(spark, sf_dir).select(
+        F.concat_ws("|", F.col("l_orderkey").cast("string"), "l_returnflag").alias(
+            "value"
+        )
+    )
+    lines.write.mode("overwrite").text(path)
+    return spark.read.text(path)
+
+
+@query(
+    "sql_cte_text_entry",
+    oracle="""
+        WITH flagged AS (
+            SELECT o_orderpriority, o_totalprice,
+                   CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS bucket
+            FROM orders
+        )
+        SELECT o_orderpriority, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS total
+        FROM flagged
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("sql", "source"),
+)
+def sql_cte_text_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textual SQL entry point: register a temp view, run a WITH-CTE
+    query through spark.sql — proving the engine's surface is reachable
+    as ANSI SQL text, not only the DataFrame DSL (same Catalyst plan
+    either way)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH flagged AS (
+            SELECT o_orderpriority, o_totalprice,
+                   CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS bucket
+            FROM orders_v
+        )
+        SELECT o_orderpriority, bucket, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS total
+        FROM flagged
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    )

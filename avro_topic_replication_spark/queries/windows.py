@@ -319,3 +319,34 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
         F.count("*").over(w).alias("n_orders_30d"),
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               nth_value(o_orderkey, 2) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS second_order
+        FROM orders WHERE o_custkey < 200
+    """,
+    tags=("window", "analytic"),
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value analytic: each customer's second-ever order carried along
+    their order history (NULL until it exists). Total ORDER BY tie-break
+    (date, then key) keeps the frame deterministic across engines."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
