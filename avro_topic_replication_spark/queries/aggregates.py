@@ -641,3 +641,34 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@query("agg_hll_sketch_merge", oracle=None, tags=("agg", "approx", "sketch"))
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches, Spark 3.5+): per-returnflag
+    sketches of the distinct part space, then a second-level union to the
+    global estimate WITHOUT touching raw rows again — the re-aggregable
+    distinct-count pattern (per-partition/day sketches roll up to any
+    coarser grain, the property approx_count_distinct's scalar output
+    lacks). Rows-only: sketch estimates are engine-defined; the pytest
+    bounds them against exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    merged = per_flag.agg(
+        F.hll_union_agg("sk").alias("sk_all"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    per = per_flag.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sk").alias("approx_parts"),
+        "n_rows",
+    )
+    allr = merged.select(
+        F.lit("ALL").alias("l_returnflag"),
+        F.hll_sketch_estimate("sk_all").alias("approx_parts"),
+        "n_rows",
+    )
+    return per.unionByName(allr).orderBy("l_returnflag")

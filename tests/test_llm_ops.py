@@ -148,3 +148,39 @@ def test_countmin_sketch_bounds(spark, sf_dir):
     top_exact = max(exact, key=lambda k: (exact[k], -k))
     top_est = max(est, key=lambda k: (est[k], -k))
     assert exact[top_est] >= 0.8 * exact[top_exact]
+
+
+def test_hll_sketch_estimates_within_tolerance(spark, sf_dir):
+    """HLL estimates (default lgK=12) must land within 5% of exact, and
+    the merged union within 5% of the global exact distinct count."""
+    from avro_topic_replication_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_all = li.select("l_partkey").distinct().count()
+    exact_per = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    rows = {r["l_returnflag"]: r["approx_parts"]
+            for r in QS["agg_hll_sketch_merge"].fn(spark, sf_dir).collect()}
+    assert abs(rows.pop("ALL") - exact_all) <= 0.05 * exact_all + 2
+    for flag, est in rows.items():
+        assert abs(est - exact_per[flag]) <= 0.05 * exact_per[flag] + 2, flag
+
+
+def test_kmeanspp_seeding(spark, sf_dir):
+    """kmeans++ init: k distinct seeds, same convergence contract as the
+    deterministic seed (monotone inertia, comparable final objective)."""
+    from avro_topic_replication_spark.catalog import load_table
+    from avro_topic_replication_spark.operators.kmeans import kmeans
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a_pp, inertia_pp, cents = kmeans(spark, e, k=4, iters=3, init="kmeans++")
+    assert cents.shape == (4, 64)
+    assert len({tuple(c) for c in cents.round(9).tolist()}) == 4  # distinct seeds
+    assert all(b <= a * (1 + 1e-12) for a, b in zip(inertia_pp, inertia_pp[1:]))
+    _, inertia_fk, _ = kmeans(spark, e, k=4, iters=3, init="first-k")
+    assert inertia_pp[-1] <= inertia_fk[-1] * 1.05  # no seeding regression
