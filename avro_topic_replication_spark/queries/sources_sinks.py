@@ -428,3 +428,118 @@ def sql_cte_text_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY 1, 2
         """
     )
+
+
+@query(
+    "sink_scd2_dimension",
+    oracle="""
+        WITH dim0 AS (
+            SELECT c_custkey, c_acctbal, c_mktsegment,
+                   TIMESTAMP '2000-01-01' AS valid_from,
+                   CAST(NULL AS TIMESTAMP) AS valid_to
+            FROM customer WHERE c_custkey < 400
+        ),
+        changes AS (
+            SELECT c_custkey,
+                   c_acctbal + 100.0 AS c_acctbal,
+                   c_mktsegment
+            FROM customer WHERE c_custkey < 400 AND c_custkey % 3 = 0
+        ),
+        closed AS (
+            SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment, d.valid_from,
+                   TIMESTAMP '2001-01-01' AS valid_to
+            FROM dim0 d JOIN changes c ON d.c_custkey = c.c_custkey
+        ),
+        unchanged AS (
+            SELECT d.* FROM dim0 d
+            WHERE NOT EXISTS (SELECT 1 FROM changes c
+                              WHERE c.c_custkey = d.c_custkey)
+        ),
+        fresh AS (
+            SELECT c_custkey, c_acctbal, c_mktsegment,
+                   TIMESTAMP '2001-01-01' AS valid_from,
+                   CAST(NULL AS TIMESTAMP) AS valid_to
+            FROM changes
+        )
+        SELECT * FROM closed
+        UNION ALL SELECT * FROM unchanged
+        UNION ALL SELECT * FROM fresh
+    """,
+    tags=("sink", "scd2", "join"),
+)
+def sink_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension versioning: apply a change batch to a
+    versioned dimension — close the current version of every changed key
+    (valid_to stamped), carry unchanged versions through, append the new
+    versions open-ended. One semi join + one anti join + a union: the
+    change batch is dim-sized (broadcastable), the dimension shuffles at
+    most once, history rows are never rewritten in place — the
+    merge-into-versioned-table pattern every warehouse load runs."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    t0 = F.lit("2000-01-01").cast("timestamp")
+    t1 = F.lit("2001-01-01").cast("timestamp")
+    null_ts = F.lit(None).cast("timestamp")
+    dim0 = c.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        t0.alias("valid_from"), null_ts.alias("valid_to"),
+    )
+    changes = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+    keys = changes.select("c_custkey")
+    closed = (
+        dim0.join(F.broadcast(keys), "c_custkey", "left_semi")
+        .withColumn("valid_to", t1)
+    )
+    unchanged = dim0.join(F.broadcast(keys), "c_custkey", "left_anti")
+    fresh = changes.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        t1.alias("valid_from"), null_ts.alias("valid_to"),
+    )
+    return closed.unionByName(unchanged).unionByName(fresh)
+
+
+@query(
+    "sink_zorder_layout",
+    oracle="""
+        SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+        FROM lineitem
+        WHERE l_partkey % 1024 < 64 AND l_suppkey % 1024 < 64
+          AND l_orderkey < 2000
+    """,
+    tags=("sink", "parquet", "layout"),
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-interleaved) layout sink: sort the write by the
+    bit-interleave of two filter columns so parquet row-group min/max
+    stats stay tight on BOTH dimensions — multi-column data skipping
+    where a plain sort only serves its leading column. The z-value is a
+    pure bitwise column expression (no UDF); read-back filters on both
+    dimensions and must hash-match the unclustered truth, proving layout
+    is invisible to semantics."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    pa = F.col("l_partkey") % 1024
+    su = F.col("l_suppkey") % 1024
+    z = F.lit(0).cast("long")
+    for bit in range(10):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(pa.cast("long"), bit) % 2, 2 * bit)
+        ).bitwiseOR(F.shiftleft(F.shiftright(su.cast("long"), bit) % 2, 2 * bit + 1))
+    path = _scratch(sf_dir, "zorder")
+    (
+        li.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", z.alias("zv"))
+        .repartitionByRange(4, "zv")
+        .sortWithinPartitions("zv")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .filter((F.col("l_partkey") % 1024 < 64) & (F.col("l_suppkey") % 1024 < 64))
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    )
