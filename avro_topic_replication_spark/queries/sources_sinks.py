@@ -543,3 +543,57 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("l_partkey") % 1024 < 64) & (F.col("l_suppkey") % 1024 < 64))
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
     )
+
+
+@query(
+    "source_python_datasource",
+    oracle="""
+        SELECT CAST(c_custkey AS VARCHAR) AS kafka_key,
+               1 AS schema_id,
+               CAST(c_custkey AS VARCHAR) AS id,
+               c_name AS name
+        FROM customer WHERE c_custkey < 50
+    """,
+    tags=("source", "datasource", "avro"),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent-framed Avro files read through a CUSTOM Python DataSource
+    (Spark 4 extension API, sources/envelope_source.py): the driver plans
+    one InputPartition per file, executors decode the wire format with
+    the in-repo codec against a pickled registry snapshot. The fixture is
+    derived from the customer table (bounded 50 rows), so the decoded
+    output hash-matches relational truth — codec + source + planner all
+    verified in one query."""
+    from ..operators.replication import FOO_SCHEMA
+    from ..sources.envelope_source import (
+        AvroEnvelopeDataSource,
+        write_envelope_files,
+    )
+
+    path = _scratch(sf_dir, "pyds_envelope")
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        rows = (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") < 50)
+            .select("c_custkey", "c_name")
+            .collect()
+        )  # bounded 50-row fixture build, not a data collect
+        records = [
+            {"id": str(r["c_custkey"]), "name": r["c_name"]} for r in rows
+        ]
+        write_envelope_files(records, FOO_SCHEMA, 1, path, n_files=4)
+        with open(marker, "w") as f:
+            f.write("ok")
+    try:
+        spark.dataSource.register(AvroEnvelopeDataSource)
+    except Exception:
+        pass  # already registered in this session
+    import json
+
+    return (
+        spark.read.format("avro_envelope")
+        .option("path", path)
+        .option("schemas", json.dumps({1: FOO_SCHEMA}))
+        .load()
+    )
