@@ -114,3 +114,47 @@ def test_random_grouped_aggregates_agree(fuzz_env, pred):
     srows = [tuple(r) for r in spark.sql(sql).collect()]
     drows = [tuple(r) for r in con.execute(sql).fetchall()]
     assert srows == drows, pred
+
+
+@pytest.fixture(scope="module")
+def fuzz_join_env(fuzz_env):
+    spark, con = fuzz_env
+    from avro_topic_replication_spark.catalog import load_table
+
+    load_table(spark, "/root/testdata/sf0.001", "orders").createOrReplaceTempView(
+        "orders_fuzz"
+    )
+    con.execute(
+        "CREATE VIEW orders_fuzz AS "
+        "SELECT * FROM read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    )
+    return spark, con
+
+
+@given(pred=predicates(), how=st.sampled_from(["JOIN", "LEFT JOIN"]))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_join_aggregates_agree(fuzz_join_env, pred, how):
+    """Random predicate under a lineitem⋈orders equi-join: both engines
+    must agree on per-priority counts and a decimal revenue sum. LEFT
+    JOIN keeps order rows whose lines were all filtered out, exercising
+    null-extension; the WHERE applies to the probe side only so the
+    left-join semantics stay visible."""
+    spark, con = fuzz_join_env
+    sql = f"""
+        SELECT o.o_orderpriority,
+               COUNT(l.l_orderkey) AS n_lines,
+               CAST(COALESCE(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 0)
+                    AS DOUBLE) AS total
+        FROM orders_fuzz o
+        {how} (SELECT * FROM lineitem_fuzz WHERE {pred}) l
+          ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    drows = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert srows == drows, (pred, how)
