@@ -571,3 +571,51 @@ def fn_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(name_bin).alias("name_hex"),
         F.unhex(F.hex(name_bin)).cast("string").alias("name_unhex"),
     )
+
+
+@query(
+    "fn_null_semantics",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS x,
+                   CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS y,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey < 500
+        )
+        SELECT o_orderkey,
+               (x IS NOT DISTINCT FROM y) AS same_nullsafe,
+               (x = y) AS same_plain,
+               COALESCE(x, y, 0.0) AS first_present,
+               NULLIF(o_orderstatus, 'O') AS status_or_null,
+               (x IS NULL) AS x_missing,
+               CAST(row_number() OVER (ORDER BY x ASC NULLS FIRST, o_orderkey)
+                    AS BIGINT) AS rank_nulls_first
+        FROM t
+    """,
+    tags=("scalar", "null"),
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics as first-class operators: null-safe equality
+    (Spark's <=> / eqNullSafe vs ANSI IS NOT DISTINCT FROM), three-valued
+    plain equality (NULL where either side is missing), COALESCE chains,
+    NULLIF, IS NULL predicates, and explicit NULLS FIRST ordering — the
+    defaults differ between engines (Spark sorts nulls first ascending,
+    DuckDB last), so every ORDER BY here spells the placement out, which
+    is exactly the discipline SURVEY §7 hard-part 1 demands."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    x = F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(F.col("o_totalprice"))
+    y = F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(F.col("o_totalprice"))
+    t = o.select("o_orderkey", x.alias("x"), y.alias("y"), "o_orderstatus")
+    w = Window.orderBy(F.col("x").asc_nulls_first(), F.col("o_orderkey"))
+    return t.select(
+        "o_orderkey",
+        F.col("x").eqNullSafe(F.col("y")).alias("same_nullsafe"),
+        (F.col("x") == F.col("y")).alias("same_plain"),
+        F.coalesce("x", "y", F.lit(0.0)).alias("first_present"),
+        F.nullif("o_orderstatus", F.lit("O")).alias("status_or_null"),
+        F.isnull("x").alias("x_missing"),
+        F.row_number().over(w).cast("bigint").alias("rank_nulls_first"),
+    )
