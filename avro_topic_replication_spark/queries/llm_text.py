@@ -408,3 +408,48 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(pii_text, F.lit(phone_re)).alias("n_phones"),
         F.sha2(redacted, 256).alias("redacted_sha"),
     )
+
+
+# GPT-2-style pre-tokenizer, portability-reduced: contraction suffixes,
+# letter runs, digit runs, single non-alnum marks. Both Java regex (Spark)
+# and RE2 (DuckDB) interpret this subset identically — no lookarounds, no
+# unicode property classes.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]"
+_BPE_SQL = _BPE_RE.replace("'", "''")
+_WS_RE = r"[^ \t\n]+"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
+               len(regexp_extract_all(text, '{_WS_RE}')) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '{_WS_RE}')), 1)
+                 AS bpe_per_word
+        FROM documents
+    """,
+    tags=("llm", "text", "tokens"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    (contraction suffixes / letter runs / digit runs / punctuation marks)
+    counted per document next to the whitespace word count — the
+    tokens-per-word ratio is the standard proxy for how expensive a
+    document is to a subword tokenizer (code and non-English text run
+    high). Pure regexp_extract_all column expressions — stateless
+    projection, zero shuffle, the same regex subset evaluated by Java
+    regex and RE2 so both engines count identically."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))
+    ws = F.regexp_extract_all("text", F.lit(_WS_RE), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        (
+            F.size(bpe).cast("double")
+            / F.greatest(F.size(ws), F.lit(1))
+        ).alias("bpe_per_word"),
+    )
