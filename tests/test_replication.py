@@ -374,3 +374,32 @@ def test_kafka_swap_path_options_reach_the_missing_jar(spark):
     assert "kafka" in msg.lower()
     # Spark's missing-data-source error, not an option-validation error
     assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg, msg
+
+
+def test_observe_metrics_on_decode(spark, dirs):
+    """DataFrame.observe / Observation: named task-level metrics ride the
+    job instead of a second counting pass — the observability channel a
+    production replicator exports (rows, distinct keys) per batch."""
+    from pyspark.sql import Observation
+    import pyspark.sql.functions as F
+
+    src_reg, tgt_reg = _fresh_registries()
+    records = [{"id": str(i), "name": None if i % 2 else f"n{i}"} for i in range(20)]
+    R.write_envelope_fixture(
+        spark, records, dirs["src"], "source-topic-a", src_reg, R.FOO_SCHEMA
+    )
+    env = spark.read.parquet(dirs["src"])
+    decoded = R.decode_envelope(env, src_reg.snapshot(), R.FOO_SCHEMA)
+    obs = Observation("replication_metrics")
+    observed = decoded.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("id").alias("n_keys"),  # DISTINCT aggs are
+        # disallowed in observed metrics; HLL is the observable analog
+        F.sum(F.isnull("name").cast("long")).alias("n_null_names"),
+    )
+    assert observed.count() == 20  # action triggers metric collection
+    got = obs.get
+    assert got["n_rows"] == 20
+    assert 19 <= got["n_keys"] <= 21  # HLL estimate, exact at this cardinality
+    assert got["n_null_names"] == 10
