@@ -27,6 +27,7 @@ from . import query
                concat(p_brand, ':', p_type) AS brand_type,
                trim(concat('  ', p_name, '  ')) AS trimmed,
                lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               rpad(CAST(p_size AS VARCHAR), 4, '.') AS size_rpadded,
                reverse(p_brand) AS brand_rev,
                repeat('-', 3) AS dashes,
                left(p_name, 3) AS name_l3,
@@ -48,6 +49,7 @@ def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
         F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.rpad(F.col("p_size").cast("string"), 4, ".").alias("size_rpadded"),
         F.reverse("p_brand").alias("brand_rev"),
         F.repeat(F.lit("-"), 3).alias("dashes"),
         F.left("p_name", F.lit(3)).alias("name_l3"),
