@@ -76,6 +76,13 @@ def violations_for(report: dict, tags: tuple[str, ...] = ()) -> list[str]:
     return out
 
 
+def formatted_plan(df: DataFrame) -> str:
+    """`.explain("formatted")` text (node tree + per-node details)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
 def _main(argv: list[str]) -> int:
     from ..queries import all_queries
     from ..session import get_spark
@@ -83,6 +90,14 @@ def _main(argv: list[str]) -> int:
     spark = get_spark(app_name="plan-audit")
     sf_dir = "/root/testdata/sf0.001"
     qs = all_queries()
+    if argv and argv[0] == "--explain":
+        # print formatted plans for the named queries (for PLANS.md)
+        for name in argv[1:]:
+            print(f"### {name}\n")
+            print("```")
+            print(formatted_plan(qs[name].fn(spark, sf_dir)).rstrip())
+            print("```\n")
+        return 0
     names = argv or sorted(qs)
     bad = 0
     for name in names:
