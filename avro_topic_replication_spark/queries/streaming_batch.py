@@ -556,3 +556,84 @@ def stream_live_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("wstart"), "event_type", "n_events")
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@query("stream_live_upsert", oracle=None, tags=("streaming", "live", "sink"))
+def stream_live_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE: every micro-batch upserts per-user running totals
+    into a keyed parquet state table through foreachBatch (anti-join out
+    the changed keys, union the fresh rows — the same merge shape as
+    sink_upsert_merge, driven incrementally). The throttled 4-file replay
+    (one file per trigger) makes it a genuine multi-batch merge; the
+    final table must hold exactly one row per user with totals equal to
+    the batch answer — checked by the rows-only harness via row count and
+    by pytest via value equality. This is the streaming→serving-table
+    pattern every warehouse ingest runs; on a lakehouse the foreachBatch
+    body becomes a transactional MERGE INTO."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ..catalog import load_table
+    from ..session import ensure_runtime_conf
+    from ..streaming.replay import SCRATCH
+
+    ensure_runtime_conf(spark)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    stage_dir = os.path.join(SCRATCH, "replay_multi", sf_tag)
+    if not os.path.exists(os.path.join(stage_dir, "_done")):
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")
+        ev.withColumn("slice", F.pmod(F.col("event_id"), F.lit(4))).write.mode(
+            "overwrite"
+        ).partitionBy("slice").parquet(stage_dir)
+        with open(os.path.join(stage_dir, "_done"), "w") as f:
+            f.write("ok")
+    run_id = _uuid.uuid4().hex[:12]
+    state_dir = os.path.join(SCRATCH, "upsert_state", sf_tag, run_id)
+    ckpt = os.path.join(SCRATCH, "ckpt", f"upsert_{run_id}")
+
+    schema = load_table(spark, sf_dir, "events").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(stage_dir, "slice=*"))
+    )
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        delta = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+        )
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            cur = batch_df.sparkSession.read.parquet(state_dir)
+            merged = (
+                cur.join(delta.select("user_id"), "user_id", "left_anti")
+                .unionByName(
+                    cur.join(delta, "user_id", "left_semi")
+                    .unionByName(delta)
+                    .groupBy("user_id")
+                    .agg(
+                        F.sum("n_events").alias("n_events"),
+                        F.sum("total_value").alias("total_value"),
+                    )
+                )
+            )
+        else:
+            merged = delta
+        # parquet has no transactional MERGE: write-new-then-swap gives the
+        # same all-or-nothing visibility per batch in this sandbox
+        tmp = state_dir + f".b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(state_dir).orderBy("user_id")

@@ -123,3 +123,26 @@ def test_stream_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 1000  # no loss, no duplicates
     assert out.select("id").distinct().count() == 1000
+
+
+def test_streaming_upsert_equals_batch_answer(spark, sf_dir):
+    """stream_live_upsert: the per-user totals merged incrementally over
+    four throttled micro-batches must equal the one-pass batch aggregate
+    value-for-value (decimal sums are exactly mergeable — the property
+    that makes incremental MERGE correct at all)."""
+    import pyspark.sql.functions as F
+
+    from avro_topic_replication_spark.catalog import load_table
+    from avro_topic_replication_spark.queries import all_queries
+
+    live = all_queries()["stream_live_upsert"].fn(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+        )
+    )
+    assert live.exceptAll(batch).count() == 0
+    assert batch.exceptAll(live).count() == 0
