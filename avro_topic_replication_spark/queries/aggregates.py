@@ -672,3 +672,37 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
     )
     return per.unionByName(allr).orderBy("l_returnflag")
+
+
+@query(
+    "agg_boolean_median",
+    oracle="""
+        SELECT o_orderpriority,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               bool_or(o_totalprice > 400000) AS any_over_400k,
+               CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+               median(o_totalprice) AS median_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("agg", "boolean"),
+)
+def agg_boolean_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and/bool_or — ANSI EVERY/ANY), count_if,
+    and exact median per group. Median is an exact order statistic —
+    deterministic under any partitioning, unlike IEEE sums — so it
+    oracle-checks directly; at scale it costs a per-group sort, which is
+    why percentile_approx (agg_percentiles) is the 100-TB path and this
+    exact form serves dims and validation samples."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.median("o_totalprice").alias("median_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
