@@ -184,3 +184,38 @@ def test_kmeanspp_seeding(spark, sf_dir):
     assert all(b <= a * (1 + 1e-12) for a, b in zip(inertia_pp, inertia_pp[1:]))
     _, inertia_fk, _ = kmeans(spark, e, k=4, iters=3, init="first-k")
     assert inertia_pp[-1] <= inertia_fk[-1] * 1.05  # no seeding regression
+
+
+def test_shingle_code_packing_is_injective():
+    """The int64 shingle packing must be injective for ≤8-byte shingles
+    (the claim that makes code-Jaccard value-identical to string-Jaccard)
+    and strictly negative for the >8-byte digest fallback."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def pack(s: str) -> int:
+        import hashlib
+
+        b = s.encode("utf-8")
+        if len(b) <= 8:
+            return int.from_bytes(b.ljust(8, b"\0"), "big", signed=True)
+        d = hashlib.blake2b(b, digest_size=8).digest()
+        return -(int.from_bytes(d, "big") >> 1) - 1
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=1, max_codepoint=127),
+                min_size=1, max_size=6,
+            ),
+            min_size=1, max_size=200,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(strings):
+        codes = [pack(s) for s in strings]
+        assert len(set(codes)) == len(set(strings))  # injective
+        assert all(c >= 0 for c in codes)  # ASCII ≤8B packs non-negative
+
+    check()
+    assert pack("ü" * 5) < 0  # 10-byte UTF-8 → negative digest range
