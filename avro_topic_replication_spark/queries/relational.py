@@ -504,3 +504,36 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND l_returnflag = 'A' AND l_linenumber = 1)
         """
     )
+
+
+@query(
+    "sql_lateral_topn",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey < 300
+    """,
+    tags=("sql", "join", "subquery", "topk"),
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's two largest orders —
+    the per-row-subquery surface ANSI gives top-n-per-group. Catalyst
+    decorrelates it into a window/join plan rather than executing one
+    subquery per outer row (the naive interpretation that dies at scale);
+    deterministic tie-break on (o_totalprice, o_orderkey) keeps the
+    LIMIT oracle-stable. Registered through the textual SQL entry —
+    semantically the row_number formulation of win_topk_per_group, from
+    the SQL dialect angle."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lat c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey < 300
+    """)
