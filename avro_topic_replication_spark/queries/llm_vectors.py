@@ -322,13 +322,16 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the evaluation harness an ANN deployment ships with (pruning without
     a measured recall number is guesswork). Fully distributed: the 8
     query vectors broadcast against the corpus for the exact top-10; the
-    probe set (2 nearest of 8 cells) is picked by sorting an in-row
-    array of (centroid-dot, cell) structs — no driver-side math beyond
-    the centroid constants. Rows-only (IVF internals aren't SQL); the
-    pytest asserts shape and an average-recall floor calibrated to the
-    k-means-learned index (centroids trained offline per corpus; probe
-    ranking uses the same euclidean rule as cell assignment, so the
-    query probes exactly where its neighbors were filed)."""
+    probe ranking is computed by sorting an in-row array of
+    (centroid-score, cell) structs — no driver-side math beyond the
+    centroid constants — and recall is measured at 1, 2 and 3 probes in
+    ONE plan (explode the probe-prefix), producing the probe-count
+    trade-off table an IVF deployment tunes against: more probes = more
+    scan = higher recall. Rows-only (IVF internals aren't SQL); the
+    pytest asserts the floor at 2 probes and monotonicity in probes
+    (centroids trained offline per corpus; probe ranking uses the same
+    euclidean rule as cell assignment, so the query probes exactly where
+    its neighbors were filed)."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -353,16 +356,30 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(8)
         ]
     )
-    probes = qdf.select(
+    # probe_order = all 8 cells ranked; each (qid, n_probes) pair probes
+    # the first n — one query measures the whole probe-count trade-off
+    ranked = qdf.select(
         "qid",
         "qv",
-        F.transform(
-            F.slice(F.reverse(F.array_sort(scores)), 1, 2), lambda x: x["i"]
-        ).alias("probe"),
+        F.transform(F.reverse(F.array_sort(scores)), lambda x: x["i"]).alias(
+            "probe_order"
+        ),
+    )
+    fanout = ranked.select(
+        "qid",
+        "qv",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("n_probes"),
+        "probe_order",
+    ).select(
+        "qid",
+        "qv",
+        "n_probes",
+        F.explode(F.slice("probe_order", 1, F.col("n_probes"))).alias("cell"),
     )
 
     cos = _dot(_dbl(F.col("embedding")), _dbl(F.col("qv")))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    wp = Window.partitionBy("qid", "n_probes").orderBy(F.desc("cos"), F.asc("vec_id"))
 
     exact = (
         assigned.crossJoin(F.broadcast(qdf))
@@ -373,18 +390,19 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
     )
     approx = (
-        probes.select("qid", "qv", F.explode("probe").alias("cell"))
-        .join(assigned, "cell")
+        fanout.join(assigned, "cell")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cos.alias("cos"))
-        .withColumn("rn", F.row_number().over(w))
+        .select("qid", "n_probes", "vec_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= 10)
-        .select("qid", "vec_id")
+        .select("qid", "n_probes", "vec_id")
     )
     return (
         exact.join(approx, ["qid", "vec_id"])
-        .groupBy("qid")
+        .groupBy("qid", "n_probes")
         .agg(F.count("*").alias("hits"))
-        .select("qid", "hits", (F.col("hits") / 10.0).alias("recall_at_10"))
-        .orderBy("qid")
+        .select(
+            "qid", "n_probes", "hits", (F.col("hits") / 10.0).alias("recall_at_10")
+        )
+        .orderBy("qid", "n_probes")
     )
