@@ -621,3 +621,44 @@ def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.isnull("x").alias("x_missing"),
         F.row_number().over(w).cast("bigint").alias("rank_nulls_first"),
     )
+
+
+@query(
+    "fn_array_setops",
+    oracle="""
+        WITH t AS (
+            SELECT p_partkey,
+                   [p_size % 5, p_size % 3, 7] AS a,
+                   [p_size % 3, 2] AS b
+            FROM part WHERE p_partkey < 300
+        )
+        SELECT p_partkey,
+               len(list_distinct(list_concat(a, b))) AS n_union,
+               len(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
+                 AS n_except,
+               len(list_distinct(list_filter(a, x -> list_contains(b, x))))
+                 AS n_intersect,
+               COALESCE(list_position(a, 7), 0) AS pos_seven,
+               len(list_filter(a, x -> x != 2)) AS n_after_remove
+        FROM t
+    """,
+    tags=("scalar", "array"),
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra: union/except/intersect (distinct semantics),
+    element position, and remove — emitted as sizes/positions (scalars)
+    because the oracle hash gate compares cells, not nested arrays. The
+    DuckDB twin spells the same semantics with list_filter/list_contains,
+    so a hash match pins the exact distinct-and-order rules Spark's
+    array_* family implements."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    a = F.array(F.col("p_size") % 5, F.col("p_size") % 3, F.lit(7))
+    b = F.array(F.col("p_size") % 3, F.lit(2))
+    return p.select(
+        "p_partkey",
+        F.size(F.array_union(a, b)).alias("n_union"),
+        F.size(F.array_except(a, b)).alias("n_except"),
+        F.size(F.array_intersect(a, b)).alias("n_intersect"),
+        F.array_position(a, 7).alias("pos_seven"),
+        F.size(F.array_remove(a, 2)).alias("n_after_remove"),
+    )
