@@ -662,3 +662,55 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_position(a, 7).alias("pos_seven"),
         F.size(F.array_remove(a, 2)).alias("n_after_remove"),
     )
+
+
+@query(
+    "fn_map_higher_order",
+    oracle="""
+        WITH t AS (
+            SELECT p_partkey,
+                   MAP {'size': p_size, 'retail': CAST(floor(p_retailprice) AS INT)} AS m,
+                   MAP {'bonus': 1000} AS boost
+            FROM part WHERE p_partkey < 300
+        )
+        SELECT p_partkey,
+               m['size'][1] + COALESCE(boost['bonus'][1], 0) AS boosted_size,
+               cardinality(map_concat(m, boost)) AS n_concat,
+               len(map_entries(m)) AS n_entries,
+               CAST(list_aggregate(map_values(m), 'sum') AS INT) AS value_sum,
+               CAST(list_aggregate(
+                   list_transform(map_entries(m), e -> e.value * 2), 'sum'
+               ) AS INT) AS doubled_sum
+        FROM t
+    """,
+    tags=("scalar", "map"),
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: lookup + merge (map_concat), entry
+    counting, and fold/transform over the
+    value set (Spark's transform_values family; the DuckDB twin states
+    identical semantics through entries). Keys are disjoint because
+    Spark's default mapKeyDedupPolicy=EXCEPTION rejects duplicate keys on
+    concat — the strictness a pipeline wants at 100 TB.
+    Scalars out, map stays engine-side."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    m = F.create_map(
+        F.lit("size"), F.col("p_size"),
+        F.lit("retail"), F.floor("p_retailprice").cast("int"),
+    )
+    boost = F.create_map(F.lit("bonus"), F.lit(1000))
+    t = p.select("p_partkey", m.alias("m"), boost.alias("boost"))
+    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2)
+    return t.select(
+        "p_partkey",
+        (
+            F.element_at(F.col("m"), "size")
+            + F.coalesce(F.element_at(F.col("boost"), "bonus"), F.lit(0))
+        ).alias("boosted_size"),
+        F.size(F.map_concat("m", "boost")).alias("n_concat"),
+        F.size(F.map_entries("m")).alias("n_entries"),
+        F.aggregate(F.map_values("m"), F.lit(0), lambda a, x: a + x).alias("value_sum"),
+        F.aggregate(F.map_values(doubled), F.lit(0), lambda a, x: a + x).alias(
+            "doubled_sum"
+        ),
+    )
