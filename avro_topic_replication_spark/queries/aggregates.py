@@ -706,3 +706,41 @@ def agg_boolean_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_histogram_buckets",
+    oracle="""
+        SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                         WHEN o_totalprice >= 600000 THEN 13
+                         ELSE floor(o_totalprice / 50000) + 1 END AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS bucket_total
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket: the one-pass binning that
+    feeds range partitioning choices, skew detection, and dashboard
+    distributions — a groupBy on the bucket expression, partial-aggregated
+    map-side, k+2 output rows regardless of data size. DuckDB has no
+    width_bucket; the oracle spells out the same floor arithmetic, which
+    also documents the function's exact bucket rule."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("bucket_total"),
+        )
+        .orderBy("bucket")
+    )

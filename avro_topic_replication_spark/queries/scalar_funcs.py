@@ -714,3 +714,47 @@ def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doubled_sum"
         ),
     )
+
+
+@query(
+    "fn_struct_ops",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey,
+                   {'priority': o_orderpriority,
+                    'price': o_totalprice,
+                    'yr': CAST(year(o_orderdate) AS INT)} AS order_info
+            FROM orders WHERE o_orderkey < 300
+        )
+        SELECT o_orderkey,
+               order_info.priority AS priority,
+               order_info.price AS price,
+               order_info.yr AS yr,
+               (order_info.price > 200000 AND order_info.yr >= 1997)
+                 AS is_big_recent
+        FROM t
+    """,
+    tags=("scalar", "struct"),
+)
+def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction and field access: pack columns into a nested
+    record, read fields back with dot paths, and predicate over them —
+    the nested-schema idiom parquet pipelines live on (Catalyst prunes
+    into struct fields the same way it prunes columns). Emitted as flat
+    scalars for the oracle gate."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    info = F.struct(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    t = o.select("o_orderkey", info.alias("order_info"))
+    return t.select(
+        "o_orderkey",
+        F.col("order_info.priority").alias("priority"),
+        F.col("order_info.price").alias("price"),
+        F.col("order_info.yr").alias("yr"),
+        (
+            (F.col("order_info.price") > 200000) & (F.col("order_info.yr") >= 1997)
+        ).alias("is_big_recent"),
+    )
