@@ -71,8 +71,14 @@ def _kmeanspp_seed(vectors: DataFrame, k: int, sample_cap: int = 2048) -> np.nda
         d2 = np.min(
             ((X[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(axis=2), axis=1
         )
-        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(X), 1.0 / len(X))
-        cents.append(X[int(rng.choice(len(X), p=probs))])
+        s = d2.sum()
+        if s <= 0:
+            # every sampled point duplicates an existing centroid; a uniform
+            # draw here could only repeat a seed (guaranteed empty cluster),
+            # so stop with the distinct seeds found — Lloyd's runs with
+            # len(cents) clusters
+            break
+        cents.append(X[int(rng.choice(len(X), p=d2 / s))])
     return np.array(cents, dtype=np.float64)
 
 

@@ -40,6 +40,30 @@ _MODULES = (
     "sources_sinks",
 )
 
+# Presentation order for the registry. The external correctness harness samples
+# a fixed-size prefix of the registry each round, so the prefix rotates to the
+# families whose oracle-bearing queries have not yet received a harness row
+# (rounds 1-4 sampled relational/tpch/aggregates/windows/setops/scalar_funcs).
+# Within the ordering, oracle-bearing queries come before rows-only ones so the
+# sampled prefix is spent on hash-checkable entries.
+_FAMILY_ORDER = (
+    "llm_text",
+    "llm_dedup",
+    "llm_vectors",
+    "llm_sampling",
+    "llm_multimodal",
+    "udfs",
+    "streaming_batch",
+    "replication_pipeline",
+    "sources_sinks",
+    "relational",
+    "tpch",
+    "aggregates",
+    "windows",
+    "setops",
+    "scalar_funcs",
+)
+
 _loaded = False
 
 
@@ -69,5 +93,25 @@ def all_queries() -> "dict[str, Query]":
     if not _loaded:
         for mod in _MODULES:
             importlib.import_module(f"{__name__}.{mod}")
+        _ordered = _presentation_order(REGISTRY)
+        REGISTRY.clear()
+        REGISTRY.update(_ordered)
         _loaded = True
     return REGISTRY
+
+
+def _presentation_order(registry: "dict[str, Query]") -> "dict[str, Query]":
+    reg_index = {name: i for i, name in enumerate(registry)}
+    prefix = f"{__name__}."
+    family_rank = {m: i for i, m in enumerate(_FAMILY_ORDER)}
+
+    def key(item: "tuple[str, Query]"):
+        name, q = item
+        family = q.fn.__module__.removeprefix(prefix)
+        return (
+            q.oracle is None,  # oracle-bearing first
+            family_rank.get(family, len(family_rank)),
+            reg_index[name],
+        )
+
+    return dict(sorted(registry.items(), key=key))

@@ -61,38 +61,45 @@ def _shingles_col(text_col: str = "text"):
     return _shingles_udf(F.col(text_col))
 
 
+def _pack_shingle_code(s: str) -> int:
+    """int64 code for one shingle — see _shingle_codes_udf for the contract."""
+    import hashlib
+
+    b = s.encode("utf-8")
+    if len(b) <= 8 and (not b or b[0] < 0x80):
+        # non-negative: ASCII first byte keeps the sign bit 0
+        return int.from_bytes(b.ljust(8, b"\0"), "big", signed=True)
+    d = hashlib.blake2b(b, digest_size=8).digest()
+    # fallback digests strictly negative so the ranges never meet
+    return -(int.from_bytes(d, "big") >> 1) - 1
+
+
 @F.pandas_udf(ArrayType(LongType()))
 def _shingle_codes_udf(texts: pd.Series) -> pd.Series:
     """Distinct 6-gram shingles PACKED into int64 codes.
 
-    NOT a hash: a shingle of ≤8 UTF-8 bytes (every 6-char ASCII shingle)
-    NUL-pads to exactly 8 bytes and converts big-endian signed — an
-    injective map, so distinctness, document frequency, intersections and
-    Jaccard over codes are IDENTICAL to the string computation the oracle
-    runs, while every downstream exchange/cache/groupBy moves fixed-width
-    longs instead of strings (~3× cheaper end-to-end, measured). Rare
-    >8-byte shingles (multi-byte UTF-8) fall back to a blake2b-64 digest
-    with the top bit set — deterministic, and collision odds at corpus
-    scale are ~|shingles|²/2⁶⁴."""
-    import hashlib
-
+    NOT a hash: a shingle of ≤8 UTF-8 bytes with an ASCII first byte
+    (every 6-char ASCII shingle) NUL-pads to exactly 8 bytes and converts
+    big-endian signed — an injective map onto the NON-NEGATIVE longs (the
+    ASCII lead byte keeps the sign bit 0), so distinctness, document
+    frequency, intersections and Jaccard over codes are IDENTICAL to the
+    string computation the oracle runs, while every downstream
+    exchange/cache/groupBy moves fixed-width longs instead of strings
+    (~3× cheaper end-to-end, measured). Everything else — >8-byte
+    shingles AND ≤8-byte shingles whose first byte is ≥0x80 (a packed
+    value there would come out negative and land inside the digest
+    range) — falls back to a blake2b-64 digest mapped strictly negative,
+    so the two ranges never meet; deterministic, and collision odds at
+    corpus scale are ~|shingles|²/2⁶⁴."""
     out = []
     for t in texts:
         if t is None:
             out.append([])
             continue
         n = max(len(t) - 5, 1)
-        codes = []
-        for s in dict.fromkeys(t[i : i + 6] for i in range(n)):
-            b = s.encode("utf-8")
-            if len(b) <= 8:
-                codes.append(int.from_bytes(b.ljust(8, b"\0"), "big", signed=True))
-            else:
-                d = hashlib.blake2b(b, digest_size=8).digest()
-                # packed codes have a 0 sign bit (ASCII first byte); keep
-                # fallback digests strictly negative so the ranges never meet
-                codes.append(-(int.from_bytes(d, "big") >> 1) - 1)
-        out.append(codes)
+        out.append(
+            [_pack_shingle_code(s) for s in dict.fromkeys(t[i : i + 6] for i in range(n))]
+        )
     return pd.Series(out)
 
 

@@ -184,13 +184,12 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def frame_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            frames = [sample_frames(p, 4, fake=True) for p in pdf["payload"]]
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            frames = [sample_frames(p, 4, fake=True) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_frames": [
-                        (len(p) + 31) // 32 for p in pdf["payload"]
-                    ],
+                    "n_frames": [(len(p) + 31) // 32 for p in payloads],
                     "frames": frames,
                 }
             )
@@ -201,10 +200,12 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_batches, schema="doc_id long, n_frames long, frames array<binary>"
     )
     return (
+        # explode_outer + count(frame): an empty/NULL payload yields zero
+        # frames but must still emit a (doc_id, 0, 0) row like the oracle
         sampled.select(
-            "doc_id", "n_frames", F.explode("frames").alias("frame")
+            "doc_id", "n_frames", F.explode_outer("frames").alias("frame")
         )
         .groupBy("doc_id", "n_frames")
-        .agg(F.count("*").alias("n_sampled"))
+        .agg(F.count("frame").alias("n_sampled"))
         .select("doc_id", "n_frames", "n_sampled")
     )

@@ -558,6 +558,53 @@ def stream_live_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, output_mode="complete")
 
 
+def _merge_upsert_batch(batch_df, batch_id: int, state_dir: str) -> None:
+    """foreachBatch body of stream_live_upsert: MERGE the micro-batch's
+    per-user delta into the keyed parquet state table.
+
+    foreachBatch is at-least-once: a crash after the state swap but before
+    the streaming checkpoint commit replays the same batch_id, so the
+    last-applied batch id is persisted WITH the state (``_last_batch``,
+    swapped atomically alongside the data) and a replayed batch is a no-op
+    — the batch-id dedup pattern production foreachBatch MERGE sinks use.
+    Batch ids are monotone within a query, so ``batch_id <= last`` means
+    already applied."""
+    import os
+    import shutil
+
+    meta = os.path.join(state_dir, "_last_batch")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            if batch_id <= int(f.read().strip()):
+                return
+    delta = batch_df.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+    )
+    if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        cur = batch_df.sparkSession.read.parquet(state_dir)
+        merged = cur.join(delta.select("user_id"), "user_id", "left_anti").unionByName(
+            cur.join(delta, "user_id", "left_semi")
+            .unionByName(delta)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("total_value").alias("total_value"),
+            )
+        )
+    else:
+        merged = delta
+    # parquet has no transactional MERGE: write-new-then-swap gives the
+    # same all-or-nothing visibility per batch in this sandbox
+    tmp = state_dir + f".b{batch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_last_batch"), "w") as f:
+        f.write(str(batch_id))
+    if os.path.exists(state_dir):
+        shutil.rmtree(state_dir)
+    os.rename(tmp, state_dir)
+
+
 @query("stream_live_upsert", oracle=None, tags=("streaming", "live", "sink"))
 def stream_live_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MERGE: every micro-batch upserts per-user running totals
@@ -600,37 +647,12 @@ def stream_live_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(stage_dir, "slice=*"))
     )
 
-    def merge_batch(batch_df, batch_id: int) -> None:
-        delta = batch_df.groupBy("user_id").agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
-        )
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-            cur = batch_df.sparkSession.read.parquet(state_dir)
-            merged = (
-                cur.join(delta.select("user_id"), "user_id", "left_anti")
-                .unionByName(
-                    cur.join(delta, "user_id", "left_semi")
-                    .unionByName(delta)
-                    .groupBy("user_id")
-                    .agg(
-                        F.sum("n_events").alias("n_events"),
-                        F.sum("total_value").alias("total_value"),
-                    )
-                )
-            )
-        else:
-            merged = delta
-        # parquet has no transactional MERGE: write-new-then-swap gives the
-        # same all-or-nothing visibility per batch in this sandbox
-        tmp = state_dir + f".b{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
-        os.rename(tmp, state_dir)
-
     q = (
-        sdf.writeStream.foreachBatch(merge_batch)
+        sdf.writeStream.foreachBatch(
+            lambda batch_df, batch_id: _merge_upsert_batch(
+                batch_df, batch_id, state_dir
+            )
+        )
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

@@ -194,35 +194,32 @@ def test_kmeanspp_seeding(spark, sf_dir):
 
 
 def test_shingle_code_packing_is_injective():
-    """The int64 shingle packing must be injective for ≤8-byte shingles
-    (the claim that makes code-Jaccard value-identical to string-Jaccard)
-    and strictly negative for the >8-byte digest fallback."""
+    """The int64 shingle packing must be injective (the claim that makes
+    code-Jaccard value-identical to string-Jaccard): packed ASCII-leading
+    ≤8-byte shingles are non-negative, everything else (>8 bytes OR a
+    non-ASCII first byte, whose pack would come out negative) routes
+    through the strictly-negative digest fallback so the ranges never
+    meet. Exercises the production function, full-unicode alphabet."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    def pack(s: str) -> int:
-        import hashlib
-
-        b = s.encode("utf-8")
-        if len(b) <= 8:
-            return int.from_bytes(b.ljust(8, b"\0"), "big", signed=True)
-        d = hashlib.blake2b(b, digest_size=8).digest()
-        return -(int.from_bytes(d, "big") >> 1) - 1
+    from avro_topic_replication_spark.queries.llm_dedup import _pack_shingle_code
 
     @given(
-        st.lists(
-            st.text(
-                alphabet=st.characters(min_codepoint=1, max_codepoint=127),
-                min_size=1, max_size=6,
-            ),
-            min_size=1, max_size=200,
-        )
+        st.lists(st.text(min_size=1, max_size=6), min_size=1, max_size=200)
     )
     @settings(max_examples=200, deadline=None)
     def check(strings):
-        codes = [pack(s) for s in strings]
+        codes = [_pack_shingle_code(s) for s in strings]
         assert len(set(codes)) == len(set(strings))  # injective
-        assert all(c >= 0 for c in codes)  # ASCII ≤8B packs non-negative
+        for s, c in zip(strings, codes):
+            b = s.encode("utf-8")
+            if len(b) <= 8 and b[0] < 0x80:
+                assert c >= 0  # packed range
+            else:
+                assert c < 0  # digest range
 
     check()
-    assert pack("ü" * 5) < 0  # 10-byte UTF-8 → negative digest range
+    assert _pack_shingle_code("ü" * 5) < 0  # 10-byte UTF-8 → digest range
+    assert _pack_shingle_code("üabcd") < 0  # 6-byte but non-ASCII lead → digest
+    assert _pack_shingle_code("abcdef") >= 0  # ASCII 6-byte → packed

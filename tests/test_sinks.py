@@ -146,3 +146,39 @@ def test_streaming_upsert_equals_batch_answer(spark, sf_dir):
     )
     assert live.exceptAll(batch).count() == 0
     assert batch.exceptAll(live).count() == 0
+
+
+def test_upsert_merge_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: if a crash lands after the state
+    swap but before the checkpoint commit, the SAME batch_id replays.
+    _merge_upsert_batch must detect the already-applied id via the
+    _last_batch marker swapped with the state and no-op — otherwise the
+    replay double-counts the delta and breaks the exactly-once story."""
+    from avro_topic_replication_spark.queries.streaming_batch import (
+        _merge_upsert_batch,
+    )
+
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 2.0)], "user_id long, value double"
+    )
+    _merge_upsert_batch(b0, 0, state)
+
+    def snap():
+        return {
+            r["user_id"]: (r["n_events"], str(r["total_value"]))
+            for r in spark.read.parquet(state).collect()
+        }
+
+    first = snap()
+    assert first[1] == (2, "15.0000") and first[2] == (1, "2.0000")
+
+    _merge_upsert_batch(b0, 0, state)  # crash-window replay of batch 0
+    assert snap() == first  # no double-count
+
+    b1 = spark.createDataFrame([(2, 1.0), (3, 7.0)], "user_id long, value double")
+    _merge_upsert_batch(b1, 1, state)  # a genuinely new batch still applies
+    second = snap()
+    assert second[2] == (2, "3.0000") and second[3] == (1, "7.0000")
+    _merge_upsert_batch(b1, 1, state)  # and its replay is also a no-op
+    assert snap() == second
