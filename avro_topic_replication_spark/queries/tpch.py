@@ -4,9 +4,12 @@ The classic decision-support workload re-expressed Spark-first over the
 driver testdata (TESTDATA.md). The synthetic schema is a TPC-H subset —
 no ``partsupp`` table, no comment/address/phone columns, no
 ``l_commitdate``/``l_receiptdate``/``l_shipmode`` — so queries touching
-those are adapted (noted per query) and queries that cannot be expressed
-without ``partsupp`` (q2, q11, q16, q20) are omitted. q1 and q5 already
-exist as ``agg_pricing_summary`` and ``flagship_revenue_by_nation``.
+those are adapted (noted per query). q1 and q5 already exist as
+``agg_pricing_summary`` and ``flagship_revenue_by_nation``. The four
+queries needing ``partsupp`` (q2, q11, q16, q20) run over a DETERMINISTIC
+derived partsupp (``_partsupp`` / ``_PARTSUPP_SQL``: part × 4 suppliers,
+arithmetic-derived availqty/supplycost — identical generation logic in
+Spark and the DuckDB oracle, so both engines see the same table).
 
 Every query here is oracle-checked: double aggregates run through the
 decimal domain (functions/numeric) so Spark and DuckDB hash-match
@@ -626,4 +629,265 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
         .orderBy("cust_group")
+    )
+
+
+# ---------------------------------------------------------------------------
+# partsupp-backed queries (q2 / q11 / q16 / q20)
+#
+# The driver testdata ships no partsupp, so it is DERIVED deterministically:
+# each part gets 4 suppliers at dbgen-style stride offsets, with
+# availqty/supplycost pure arithmetic in (partkey, i). The same generation
+# logic runs as a CTE in the DuckDB oracle, so both engines compute over the
+# identical table. At 100 TB partsupp would be a real stored table; the
+# derivation here is map-only over part (two broadcast joins: a 4-row quad
+# and a 1-row supplier count), so it adds no shuffle.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+partsupp AS (
+    SELECT CAST(p.p_partkey AS BIGINT) AS ps_partkey,
+           CAST((p.p_partkey + quad.i * ((SELECT COUNT(*) FROM supplier) // 4 + 1))
+                % (SELECT COUNT(*) FROM supplier) AS BIGINT) AS ps_suppkey,
+           CAST((p.p_partkey * 7 + quad.i * 11) % 9999 + 1 AS BIGINT) AS ps_availqty,
+           CAST(((p.p_partkey * 31 + quad.i * 17) % 100000) / 100.0 + 1.0
+                AS DECIMAL(12,2)) AS ps_supplycost
+    FROM part p CROSS JOIN (VALUES (0),(1),(2),(3)) AS quad(i)
+)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp — keep in lockstep with _PARTSUPP_SQL.
+
+    4 distinct suppliers per part (stride S div 4 + 1 keeps the four
+    offsets distinct mod S for every testdata supplier count 10/100/1000);
+    (ps_partkey, ps_suppkey) is unique."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = load_table(spark, sf_dir, "supplier").agg(F.count("*").alias("s_cnt"))
+    quad = spark.range(4).select(F.col("id").cast("int").alias("i"))
+    return (
+        p.crossJoin(F.broadcast(quad))
+        .crossJoin(F.broadcast(s_cnt))
+        .selectExpr(
+            "CAST(p_partkey AS BIGINT) AS ps_partkey",
+            "CAST((p_partkey + i * (s_cnt div 4 + 1)) % s_cnt AS BIGINT) AS ps_suppkey",
+            "CAST((p_partkey * 7 + i * 11) % 9999 + 1 AS BIGINT) AS ps_availqty",
+            "CAST(((p_partkey * 31 + i * 17) % 100000) / 100.0 + 1.0"
+            " AS DECIMAL(12,2)) AS ps_supplycost",
+        )
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL},
+        eu AS (
+            SELECT ps.*, s.s_acctbal, s.s_name, n.n_name
+            FROM partsupp ps
+            JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'EUROPE'
+        )
+        SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type,
+               CAST(e.ps_supplycost AS DOUBLE) AS ps_supplycost
+        FROM eu e JOIN part p ON p.p_partkey = e.ps_partkey
+        WHERE p.p_size BETWEEN 10 AND 15 AND p.p_type = 'STANDARD'
+          AND e.ps_supplycost = (SELECT min(e2.ps_supplycost) FROM eu e2
+                                 WHERE e2.ps_partkey = e.ps_partkey)
+        ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+        LIMIT 100
+    """,
+    tags=("tpch", "join", "subquery", "topk"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 (adapted: p_type category for the absent p_mfgr, no
+    address/phone/comment): cheapest EUROPE supplier per qualifying part.
+    The correlated min-cost subquery decorrelates to a window MIN over
+    ps_partkey — one shuffle on partkey, no self-join; dims broadcast.
+    Limit is deterministic: (s_name, p_partkey) is unique per row and both
+    appear in the ORDER BY."""
+    from pyspark.sql import Window
+
+    ps = _partsupp(spark, sf_dir)
+    s, n, r, p = _t(spark, sf_dir, "supplier", "nation", "region", "part")
+    eu_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            n.n_regionkey == r.r_regionkey,
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu = ps.join(F.broadcast(eu_sup), ps.ps_suppkey == eu_sup.s_suppkey)
+    w = Window.partitionBy("ps_partkey")
+    target = p.filter(
+        F.col("p_size").between(10, 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_type")
+    return (
+        eu.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(F.broadcast(target), F.col("ps_partkey") == target.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            F.col("ps_supplycost").cast("double").alias("ps_supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL},
+        de AS (
+            SELECT ps.ps_partkey,
+                   CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(18,2)) AS v
+            FROM partsupp ps
+            JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_7'
+        )
+        SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) AS part_value
+        FROM de GROUP BY ps_partkey
+        HAVING SUM(v) > (SELECT SUM(v) * 0.001 FROM de)
+        ORDER BY part_value DESC, ps_partkey
+    """,
+    tags=("tpch", "agg", "subquery"),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11: parts representing a significant share of one nation's
+    stock value. Inventory value is exact decimal (supplycost ×
+    availqty), so the HAVING threshold (total × 0.001) is bit-identical
+    across engines. The global total is a 1-row broadcast parameter."""
+    ps = _partsupp(spark, sf_dir)
+    s, n = _t(spark, sf_dir, "supplier", "nation")
+    nat_sup = s.join(
+        F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+        s.s_nationkey == n.n_nationkey,
+    ).select("s_suppkey")
+    de = ps.join(F.broadcast(nat_sup), ps.ps_suppkey == nat_sup.s_suppkey).select(
+        "ps_partkey",
+        (F.col("ps_supplycost") * F.col("ps_availqty"))
+        .cast("decimal(18,2)")
+        .alias("v"),
+    )
+    total = de.agg(F.sum("v").alias("tot"))
+    return (
+        de.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("sum_v"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("sum_v") > F.col("tot") * 0.001)
+        .select("ps_partkey", F.col("sum_v").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_q16_part_supplier_relationship",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL}
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM partsupp ps JOIN part p ON p.p_partkey = ps.ps_partkey
+        WHERE p.p_brand <> 'Brand#2' AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND ps.ps_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100.0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("tpch", "agg", "distinct", "subquery"),
+)
+def tpch_q16_part_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 (adapted: the 'customer complaints' comment scan becomes
+    a low-acctbal supplier blacklist — no comment column): supplier
+    variety per brand/type/size. The NOT IN compiles to a broadcast anti
+    join (s_suppkey is never null); COUNT(DISTINCT) shuffles only
+    (brand, type, size, suppkey) tuples."""
+    ps = _partsupp(spark, sf_dir)
+    p, s = _t(spark, sf_dir, "part", "supplier")
+    bad = s.filter(F.col("s_acctbal") < 100.0).select(
+        F.col("s_suppkey").alias("ps_suppkey")
+    )
+    target = p.filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(bad, "ps_suppkey", "left_anti")
+        .join(F.broadcast(target), ps.ps_partkey == target.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20_potential_promotion",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL},
+        qty AS (
+            SELECT l_partkey, l_suppkey, 0.5 * SUM(l_quantity) AS half_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s.s_name, n.n_name
+        FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+          AND s.s_suppkey IN (
+            SELECT ps.ps_suppkey FROM partsupp ps
+            JOIN part p ON p.p_partkey = ps.ps_partkey
+            JOIN qty q ON q.l_partkey = ps.ps_partkey
+                      AND q.l_suppkey = ps.ps_suppkey
+            WHERE p.p_name LIKE 'red%' AND ps.ps_availqty > q.half_qty)
+        ORDER BY s.s_name
+    """,
+    tags=("tpch", "join", "subquery", "semi"),
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 (adapted: EUROPE region for the single-nation filter —
+    keeps the result non-vacuous on the small synthetic corpus; l_quantity
+    sums stay double because 0.5·sum only feeds a > comparison, not an
+    output column): suppliers overstocked on 'red' parts. lineitem
+    aggregates once on (partkey, suppkey); the IN becomes a left-semi
+    chain ending at the supplier dim."""
+    ps = _partsupp(spark, sf_dir)
+    s, n, r, p, li = _t(
+        spark, sf_dir, "supplier", "nation", "region", "part", "lineitem"
+    )
+    qty = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty"))
+    )
+    red = p.filter(F.col("p_name").like("red%")).select("p_partkey")
+    over = (
+        ps.join(F.broadcast(red), ps.ps_partkey == red.p_partkey, "left_semi")
+        .join(
+            qty,
+            (ps.ps_partkey == qty.l_partkey) & (ps.ps_suppkey == qty.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            n.n_regionkey == r.r_regionkey,
+        )
+        .join(over.withColumnRenamed("ps_suppkey", "s_suppkey"), "s_suppkey", "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
     )
