@@ -3,11 +3,16 @@
 Pattern for image/audio/video at 100 TB: the payload is an opaque
 BinaryType column + a typed metadata struct; decode / feature-extract runs
 as Arrow-batched pandas iterators (mapInPandas) so bytes move executor-side
-in columnar batches and never touch the driver. The actual media decode is
-STUBBED (no image/audio libraries in this container — decode_payload raises
-NotImplementedError unless the deterministic fake is requested); everything
-Spark-side — schema, batching, partitioning, UDF signatures — is real and
-tested.
+in columnar batches and never touch the driver.
+
+The image path is REAL: payloads are genuine 24-bit BMP files built by the
+zero-dependency codec in functions/bmp.py, and decode / mean-RGB /
+nearest-neighbor resize are actual pixel math over the decoded arrays —
+oracle-checked because the deterministic fixture pixels are reproducible
+analytically in SQL. Only formats that genuinely need external codecs stay
+env-gated (JPEG/PNG via PIL, video frames via ffmpeg — not in this
+container; decode_image raises NotImplementedError for those, and
+sample_frames keeps its deterministic fake).
 
 Reference parity: the reference treats Kafka values as opaque bytes +
 external schema (application.yml:11-12) — the same opaque-payload pattern
@@ -18,47 +23,97 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.bmp import bmp_decode, bmp_encode
 from . import query
 
+# Deterministic fixture-image bounds: width 8..16, height 8..16, pixel
+# channels are affine in (doc_id, x, y) mod 256 — trivially mirrored in SQL.
+_IMG_SQL = """
+    SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h
+    FROM documents WHERE doc_id < 200
+"""
 
-def decode_payload(payload: bytes, fake: bool = False) -> dict:
-    """Decode one media payload into features.
 
-    Real decode (PIL / librosa / ffmpeg) is unavailable in this
-    environment — STUB. The deterministic fake derives pseudo-dimensions
-    from the payload bytes so the pipeline shape is testable end-to-end.
-    """
+def generate_image(doc_id: int) -> np.ndarray:
+    """Deterministic h×w×3 RGB fixture image for one document.
+
+    Stands in for bytes that would arrive from object storage at scale;
+    generated executor-side so nothing crosses the driver. Keep the
+    formulas in lockstep with the oracle SQL in mm_decode_features /
+    mm_resize_batch."""
+    w = 8 + doc_id % 9
+    h = 8 + (doc_id // 9) % 9
+    y, x = np.mgrid[0:h, 0:w]
+    r = (doc_id + 3 * x + 5 * y) % 256
+    g = (2 * doc_id + 7 * x + y) % 256
+    b = (5 * doc_id + x + 11 * y) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode one image payload to an h×w×3 RGB array.
+
+    BMP decodes for real (functions/bmp.py). JPEG/PNG would need PIL/cv2,
+    absent from this container — env-gated, not silently faked."""
+    if payload[:2] == b"BM":
+        return bmp_decode(payload)
+    raise NotImplementedError(
+        "only BMP decodes in this environment; JPEG/PNG need PIL/cv2 "
+        "(swap decode_image's body when a codec library is available)"
+    )
+
+
+def resize_image(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor resize of one BMP payload to (target_w, target_h),
+    re-encoded as BMP. Real pixel math — source pixel (x·w)//tw, (y·h)//th,
+    the standard NN index map."""
+    img = decode_image(payload)
+    h, w = img.shape[:2]
+    idx_y = (np.arange(target_h) * h) // target_h
+    idx_x = (np.arange(target_w) * w) // target_w
+    return bmp_encode(np.ascontiguousarray(img[idx_y][:, idx_x]))
+
+
+def sample_frames(payload: bytes, every_n: int, fake: bool = False) -> list[bytes]:
+    """Sample every Nth frame from one video payload.
+
+    Real frame extraction (ffmpeg/PyAV) is unavailable here — STUB. The
+    deterministic fake chunks the payload into fixed 32-byte pseudo-frames
+    and keeps every Nth, preserving order."""
     if not fake:
         raise NotImplementedError(
-            "media decode requires an image/audio library not present in "
-            "this environment; pass fake=True for the deterministic stub"
+            "frame sampling requires ffmpeg/PyAV, not present in this "
+            "environment; pass fake=True for the deterministic stub"
         )
-    h = 0
-    for b in payload[:16]:
-        h = (h * 31 + b) & 0x7FFFFFFF
-    return {"width": 64 + h % 1024, "height": 64 + (h // 1024) % 1024}
+    frames = [payload[i : i + 32] for i in range(0, len(payload), 32)]
+    return frames[::every_n]
 
 
-def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched decode: one pandas frame per batch, payload bytes in,
-    feature columns out. This is the exact shape a real image decode
-    (resize / frame-sample) plugs into — swap decode_payload's body."""
+def _payload_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id → real BMP payload bytes (the storage-read stand-in)."""
     for pdf in it:
-        feats = [decode_payload(p, fake=True) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": [len(p) for p in pdf["payload"]],
-                "width": [f["width"] for f in feats],
-                "height": [f["height"] for f in feats],
+                "payload": [
+                    bmp_encode(generate_image(int(d))) for d in pdf["doc_id"]
+                ],
             }
         )
+
+
+def _image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id").mapInPandas(
+        _payload_batches, schema="doc_id long, payload binary"
+    )
 
 
 @query(
@@ -88,74 +143,106 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_decode_features", oracle=None, tags=("llm", "multimodal"))
+def _decode_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        imgs = [decode_image(bytes(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "width": [i.shape[1] for i in imgs],
+                "height": [i.shape[0] for i in imgs],
+                "mean_r": [float(i[:, :, 0].mean()) for i in imgs],
+                "mean_g": [float(i[:, :, 1].mean()) for i in imgs],
+                "mean_b": [float(i[:, :, 2].mean()) for i in imgs],
+            }
+        )
+
+
+@query(
+    "mm_decode_features",
+    oracle=f"""
+        WITH imgs AS ({_IMG_SQL}),
+        px AS (
+            SELECT i.doc_id, i.w, i.h, x.x, y.y
+            FROM imgs i,
+                 LATERAL (SELECT unnest(range(i.w)) AS x) x,
+                 LATERAL (SELECT unnest(range(i.h)) AS y) y
+        )
+        SELECT doc_id,
+               CAST(54 + h * ((3 * w + 3) // 4) * 4 AS BIGINT) AS n_bytes,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               avg((doc_id + 3*x + 5*y) % 256) AS mean_r,
+               avg((2*doc_id + 7*x + y) % 256) AS mean_g,
+               avg((5*doc_id + x + 11*y) % 256) AS mean_b
+        FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("llm", "multimodal"),
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload → features via Arrow-batched mapInPandas (the decode
-    body is the stub; the batching / schema / partition plumbing is the
-    production shape). Rows-only: the fake features are engine-defined."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    """REAL image decode through Arrow-batched mapInPandas: BMP payload
+    bytes in, dimensions + per-channel means from the decoded pixel array
+    out. The oracle reproduces the deterministic fixture pixels
+    analytically (LATERAL range over x,y), so every emitted value —
+    including the BMP file size — is hash-checked. Integer pixel sums are
+    exact in both engines; the final /(w·h) is one IEEE divide, bit-equal.
+    At 100 TB the payload column comes off object storage instead of the
+    generator stage; the decode stage is unchanged."""
+    payloads = _image_payloads(spark, sf_dir)
     return payloads.mapInPandas(
-        _decode_batches, schema="doc_id long, n_bytes long, width long, height long"
+        _decode_feature_batches,
+        schema="doc_id long, n_bytes long, width int, height int,"
+        " mean_r double, mean_g double, mean_b double",
     )
 
 
-def resize_image(payload: bytes, target_w: int, target_h: int, fake: bool = False) -> bytes:
-    """Resize one image payload to (target_w, target_h).
-
-    Real resize (PIL.Image.resize / cv2) is unavailable here — STUB. The
-    deterministic fake emits a payload whose length encodes the target
-    box so batch-shape tests can assert the transform ran per-row."""
-    if not fake:
-        raise NotImplementedError(
-            "image resize requires PIL/cv2, not present in this environment; "
-            "pass fake=True for the deterministic stub"
+def _resize_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        resized = [resize_image(bytes(p), 4, 4) for p in pdf["payload"]]
+        rimgs = [decode_image(r) for r in resized]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": [len(p) for p in pdf["payload"]],
+                "resized_bytes": [len(r) for r in resized],
+                "mean_r_resized": [float(i[:, :, 0].mean()) for i in rimgs],
+                "mean_g_resized": [float(i[:, :, 1].mean()) for i in rimgs],
+            }
         )
-    # deterministic: first 8 bytes of source + the box, so output depends
-    # on both input content and parameters
-    return payload[:8] + target_w.to_bytes(2, "big") + target_h.to_bytes(2, "big")
 
 
-def sample_frames(payload: bytes, every_n: int, fake: bool = False) -> list[bytes]:
-    """Sample every Nth frame from one video payload.
-
-    Real frame extraction (ffmpeg/PyAV) is unavailable here — STUB. The
-    deterministic fake chunks the payload into fixed 32-byte pseudo-frames
-    and keeps every Nth, preserving order."""
-    if not fake:
-        raise NotImplementedError(
-            "frame sampling requires ffmpeg/PyAV, not present in this "
-            "environment; pass fake=True for the deterministic stub"
+@query(
+    "mm_resize_batch",
+    oracle=f"""
+        WITH imgs AS ({_IMG_SQL}),
+        px AS (
+            SELECT i.doc_id, i.w, i.h, x.xo, y.yo
+            FROM imgs i,
+                 LATERAL (SELECT unnest(range(4)) AS xo) x,
+                 LATERAL (SELECT unnest(range(4)) AS yo) y
         )
-    frames = [payload[i : i + 32] for i in range(0, len(payload), 32)]
-    return frames[::every_n]
-
-
-@query("mm_resize_batch", oracle=None, tags=("llm", "multimodal"))
+        SELECT doc_id,
+               CAST(54 + h * ((3 * w + 3) // 4) * 4 AS BIGINT) AS orig_bytes,
+               CAST(102 AS BIGINT) AS resized_bytes,
+               avg((doc_id + 3*((xo*w)//4) + 5*((yo*h)//4)) % 256) AS mean_r_resized,
+               avg((2*doc_id + 7*((xo*w)//4) + (yo*h)//4) % 256) AS mean_g_resized
+        FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("llm", "multimodal"),
+)
 def mm_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch image resize through mapInPandas: payload in, resized payload
-    + old/new byte sizes out — the thumbnail/normalize step of a vision
-    training pipeline. The Arrow plumbing (binary column in, binary column
-    out, no driver transfer) is the production shape; the resize kernel is
-    the env-gated stub. Rows-only (stub output is engine-defined)."""
-
-    def resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = [resize_image(p, 224, 224, fake=True) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "orig_bytes": [len(p) for p in pdf["payload"]],
-                    "resized": out,
-                    "resized_bytes": [len(r) for r in out],
-                }
-            )
-
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    """REAL batch image resize through mapInPandas: decode BMP →
+    nearest-neighbor to 4×4 → re-encode BMP → decode again and emit
+    per-channel means of the resized pixels — the thumbnail/normalize step
+    of a vision training pipeline with every byte real. The oracle mirrors
+    the NN index map ((x·w)//4) analytically, so the resize arithmetic,
+    both encode passes, and the 4×4 BMP file size (always 102 bytes:
+    54-byte headers + 4 rows × 12-byte stride) are all hash-checked."""
+    payloads = _image_payloads(spark, sf_dir)
     return payloads.mapInPandas(
-        resize_batches,
-        schema="doc_id long, orig_bytes long, resized binary, resized_bytes long",
+        _resize_feature_batches,
+        schema="doc_id long, orig_bytes long, resized_bytes long,"
+        " mean_r_resized double, mean_g_resized double",
     )
 
 
