@@ -158,3 +158,106 @@ def test_random_join_aggregates_agree(fuzz_join_env, pred, how):
     srows = [tuple(r) for r in spark.sql(sql).collect()]
     drows = [tuple(r) for r in con.execute(sql).fetchall()]
     assert srows == drows, (pred, how)
+
+
+# --- window-frame fuzzing -------------------------------------------------
+
+_PART_COLS = ["l_returnflag", "l_linestatus", "l_orderkey % 7"]
+_ORDER_NUM_COLS = ["l_quantity", "l_extendedprice", "l_orderkey"]
+
+
+@st.composite
+def window_specs(draw) -> str:
+    """Random PARTITION BY / ORDER BY / frame. ROWS frames order by every
+    column the test observes (synthetic lineitem has no unique key, so
+    rows still tied after the full tiebreak are identical in all observed
+    columns — engine-swappable under the multiset compare); RANGE frames
+    may keep a tied numeric key (all peers are included either way)."""
+    part = draw(st.sampled_from(_PART_COLS))
+    kind = draw(st.sampled_from(["ROWS", "RANGE"]))
+    lo = draw(st.sampled_from(["UNBOUNDED PRECEDING", "5 PRECEDING",
+                               "2 PRECEDING", "CURRENT ROW"]))
+    hi = draw(st.sampled_from(["CURRENT ROW", "2 FOLLOWING", "5 FOLLOWING",
+                               "UNBOUNDED FOLLOWING"]))
+    if lo == "CURRENT ROW" and hi == "CURRENT ROW":
+        hi = "UNBOUNDED FOLLOWING"
+    ordr = draw(st.sampled_from(_ORDER_NUM_COLS))
+    if kind == "ROWS":
+        order_by = f"{ordr}, l_orderkey, l_linenumber, l_quantity, l_extendedprice"
+    else:
+        order_by = ordr
+    return f"(PARTITION BY {part} ORDER BY {order_by} {kind} BETWEEN {lo} AND {hi})"
+
+
+@given(spec=window_specs(), agg=st.sampled_from(
+    ["SUM(CAST(l_quantity AS DECIMAL(18,4)))", "COUNT(*)",
+     "MIN(l_extendedprice)", "MAX(l_extendedprice)"]))
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_frames_agree(fuzz_env, spec, agg):
+    """Random partition/order/frame specs (ROWS and RANGE, every bound
+    combination) must produce identical per-row frame aggregates in both
+    engines — the discipline that keeps the windows.py family honest
+    generalized over the whole spec space."""
+    spark, con = fuzz_env
+    sql = f"""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               CAST({agg} OVER w AS DOUBLE) AS wval
+        FROM lineitem_fuzz
+        WINDOW w AS {spec}
+    """
+    # multiset compare: lineitem has no unique key, so output order on
+    # tied keys is engine-defined even though every frame value is not
+    srows = sorted(tuple(r) for r in spark.sql(sql).collect())
+    drows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert srows == drows, (spec, agg)
+
+
+# --- grouping-sets fuzzing ------------------------------------------------
+
+_GROUP_SPECS = [
+    "CUBE (l_returnflag, l_linestatus)",
+    "ROLLUP (l_returnflag, l_linestatus)",
+    "ROLLUP (l_linestatus, l_returnflag)",
+    "GROUPING SETS ((l_returnflag), (l_linestatus))",
+    "GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())",
+    "GROUPING SETS ((), (l_returnflag, l_linestatus))",
+]
+
+
+@given(pred=predicates(), spec=st.sampled_from(_GROUP_SPECS))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_grouping_sets_agree(fuzz_env, pred, spec):
+    """Random predicates under every multi-grain grouping shape: counts,
+    decimal sums and GROUPING() flags must match row-for-row (rows
+    compared as sorted multisets — NULL group keys sort engine-neutrally
+    python-side).
+
+    Known engine divergence, found by this fuzzer and excluded by the
+    non-empty assume: on EMPTY input the SQL standard (and DuckDB) emit
+    one row for the () grouping set — like a global aggregate — while
+    Spark's cube/rollup/grouping-sets emit zero rows."""
+    from hypothesis import assume
+
+    spark, con = fuzz_env
+    assume(con.execute(f"SELECT count(*) FROM lineitem_fuzz WHERE {pred}").fetchone()[0] > 0)
+    sql = f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,4))), 0) AS DOUBLE)
+                 AS qty,
+               CAST(GROUPING(l_returnflag) AS INT) AS g1,
+               CAST(GROUPING(l_linestatus) AS INT) AS g2
+        FROM lineitem_fuzz WHERE {pred}
+        GROUP BY {spec}
+    """
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    srows = sorted((tuple(r) for r in spark.sql(sql).collect()), key=key)
+    drows = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=key)
+    assert srows == drows, (pred, spec)
