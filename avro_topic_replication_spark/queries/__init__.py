@@ -34,6 +34,7 @@ _MODULES = (
     "llm_vectors",
     "llm_multimodal",
     "llm_sampling",
+    "llm_curation",
     "udfs",
     "streaming_batch",
     "replication_pipeline",
@@ -56,6 +57,7 @@ _FAMILY_ORDER = (
     "streaming_batch",
     "replication_pipeline",
     "sources_sinks",
+    "llm_curation",  # new in r5 — after the families queued for the r5 sample window
     "relational",
     "tpch",
     "aggregates",

@@ -1,0 +1,596 @@
+"""Corpus-curation operators round 2: decontamination, packing, shuffling,
+mixture temperature, repetition and boilerplate filters.
+
+These are the remaining ops a 100-TB pretraining-data pipeline runs between
+raw ingest and the tokenizer, complementing ``llm_text`` (per-doc scoring),
+``llm_dedup`` (cross-doc dedup) and ``llm_sampling`` (hash splits):
+
+- ``dedup_contamination_check``: token-8-gram containment of eval-split
+  documents in the train split (The-Pile/GPT-3-style decontamination).
+- ``pack_sequences_chunks``: concat-and-chunk sequence packing — documents
+  laid out in a deterministic global order and split into fixed token
+  budgets, the layout step before tensorization.
+- ``shuffle_shard_assign``: deterministic global shuffle into shards with
+  within-shard positions (epoch-stable training order).
+- ``sample_language_temperature``: mixture rebalancing with the mC4/XLM-R
+  temperature rule p_l ∝ (n_l/N)^α, α = 0.3, realized as per-language
+  hash-threshold keep rates (RNG-free, scan-stage predicate).
+- ``text_repetition_metrics``: Gopher-style intra-document repetition
+  signals (top-word fraction, duplicate-bigram fraction).
+- ``text_boilerplate_coverage``: fraction of a doc's distinct token
+  4-grams that are corpus boilerplate (document frequency above a cap).
+- ``vec_label_centroid_classify``: nearest-centroid probe over the
+  embedding table — per-label mean vectors, cosine argmax, confusion
+  counts (the cheap quality probe run after every embedding refresh).
+
+All hot paths are JVM column expressions or single-shuffle aggregations;
+sums that feed cross-engine hash checks go through decimal (see
+``functions/numeric.py`` for why). Reference parity: none (the reference
+has no compute surface); [EXT] per SURVEY §2.2's LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+# --------------------------------------------------------------------------
+# token n-grams, identically in both engines.
+#
+# Spark: words = split(text, ' '); grams = transform(sequence(...)) — pure
+# JVM, no Python. DuckDB twin uses list_transform over range with 1-based
+# list_slice. Both emit space-joined token n-grams, de-duplicated.
+# --------------------------------------------------------------------------
+
+
+def _token_grams(text_col, n: int):
+    words = F.split(text_col, " ")
+    k = F.size(words)
+    return F.array_distinct(
+        F.when(
+            k >= n,
+            F.transform(
+                F.sequence(F.lit(1), k - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _token_grams_sql(expr: str, n: int) -> str:
+    return (
+        f"list_distinct(CASE WHEN len(string_split({expr}, ' ')) >= {n} THEN "
+        f"list_transform(range(1, len(string_split({expr}, ' ')) - {n} + 2), "
+        f"i -> array_to_string(list_slice(string_split({expr}, ' '), i, i + {n} - 1), ' ')) "
+        f"ELSE [] END)"
+    )
+
+
+# md5-bucket split boundaries — keep in lockstep with llm_sampling.py.
+_TRAIN = "cccc"  # < cccc → train (~80%)
+_VAL = "e666"  # < e666 → val; >= e666 → test
+
+
+def _bkt(col):
+    return F.substring(F.md5(col.cast("string")), 1, 4)
+
+
+_BKT_SQL = "substring(md5(CAST({k} AS VARCHAR)), 1, 4)"
+
+
+@query(
+    "dedup_contamination_check",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, {_BKT_SQL.format(k='doc_id')} AS bkt,
+                   unnest({_token_grams_sql('text', 8)}) AS g
+            FROM documents
+        ),
+        train_grams AS (SELECT DISTINCT g FROM grams WHERE bkt < '{_TRAIN}'),
+        eval_docs AS (SELECT doc_id, g FROM grams WHERE bkt >= '{_VAL}'),
+        hits AS (
+            SELECT e.doc_id, COUNT(*) AS n_contaminated_grams
+            FROM eval_docs e JOIN train_grams t ON t.g = e.g
+            GROUP BY e.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n_contaminated_grams, 0) AS BIGINT)
+                   AS n_contaminated_grams,
+               COALESCE(h.n_contaminated_grams, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE {_BKT_SQL.format(k='d.doc_id')} >= '{_VAL}'
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: for every TEST-split document, how many of
+    its distinct token 8-grams also occur anywhere in the TRAIN split
+    (GPT-3/The-Pile decontamination semantics, token-level).
+
+    Scale shape: one n-gram pass (pure JVM expressions), the train side
+    collapses to DISTINCT grams before the join, and the join shuffles
+    (gram, doc_id) pairs hashed on the gram — never document text, never
+    doc×doc pairs. The left join back to the eval split restores
+    zero-hit docs. At 100 TB the distinct-train-gram table is the only
+    large state and it partial-aggregates map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        _bkt(F.col("doc_id")).alias("bkt"),
+        F.explode(_token_grams(F.col("text"), 8)).alias("g"),
+    )
+    train_grams = grams.filter(F.col("bkt") < _TRAIN).select("g").distinct()
+    eval_grams = grams.filter(F.col("bkt") >= _VAL).select("doc_id", "g")
+    hits = (
+        eval_grams.join(train_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hit_cnt"))
+    )
+    eval_docs = d.filter(_bkt(F.col("doc_id")) >= _VAL).select("doc_id")
+    return eval_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("hit_cnt"), F.lit(0)).cast("bigint").alias(
+            "n_contaminated_grams"
+        ),
+        (F.coalesce(F.col("hit_cnt"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "pack_sequences_chunks",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        laid AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY key, doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS cum_before
+            FROM toks
+        )
+        SELECT CAST(COALESCE(cum_before, 0) // {_PACK_BUDGET} AS BIGINT)
+                   AS chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM laid
+        GROUP BY 1
+    """,
+    tags=("llm", "curation", "window"),
+)
+def pack_sequences_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in a
+    deterministic pseudo-random global order (md5 of the key — the same
+    order every run, every partitioning), token counts are prefix-summed,
+    and a document starts the chunk ``cum_before // budget`` — GPT-style
+    packing where consecutive documents fill fixed 512-token sequences.
+
+    The global prefix sum does NOT use a single-partition window: rows
+    bucket by the first two hex digits of the order key (256 uniform
+    buckets, bucket id monotone in the key), cumsum runs per-bucket in
+    parallel, and per-bucket token totals — a 256-row aggregate — prefix
+    into broadcast offsets (same two-phase shape as win_distribution's
+    global rank). At 100 TB only the 256-row offset table is serial."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("key"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    ).withColumn("bkt", F.conv(F.substring("key", 1, 2), 16, 10).cast("int"))
+    local = Window.partitionBy("bkt").orderBy("key", "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum_local = F.coalesce(F.sum("n_tokens").over(local), F.lit(0))
+    totals = toks.groupBy("bkt").agg(F.sum("n_tokens").alias("tot"))
+    off_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bkt", F.coalesce(F.sum("tot").over(off_w), F.lit(0)).alias("offset")
+    )  # 256-row window — trivially small, the only serial step
+    laid = (
+        toks.withColumn("cum_local", cum_local)
+        .join(F.broadcast(offsets), "bkt")
+        .withColumn("cum_before", F.col("offset") + F.col("cum_local"))
+    )
+    return (
+        laid.groupBy(
+            (F.col("cum_before") / _PACK_BUDGET).cast("bigint").alias("chunk_id")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )
+
+
+_N_SHARDS = 16
+
+
+@query(
+    "shuffle_shard_assign",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(('0x' || substring(key, 1, 4))::INTEGER % {_N_SHARDS}
+                    AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                        PARTITION BY ('0x' || substring(key, 1, 4))::INTEGER
+                                     % {_N_SHARDS}
+                        ORDER BY key, doc_id) AS BIGINT) AS pos
+        FROM keyed
+    """,
+    tags=("llm", "curation", "window"),
+)
+def shuffle_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a shard
+    (uniform md5 bucket mod N) and a position within its shard (rank by
+    the md5 key) — the epoch-stable shuffled order a data loader consumes,
+    reproducible across runs/engines/partitioning because it depends only
+    on the key. The window partitions by shard, so at 1000 executors each
+    shard ranks independently; shard count scales with the cluster, and
+    no single-partition window exists. Writing shards out is then
+    ``partitionBy(shard) ORDER BY pos`` on the sink."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("key")
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("key", 1, 4), 16, 10).cast("long") % _N_SHARDS).cast(
+            "int"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+
+
+_ALPHA = 0.3
+_TARGET_FRAC = 0.5  # sample half the corpus overall
+
+
+@query(
+    "sample_language_temperature",
+    oracle=f"""
+        WITH stats AS (
+            SELECT lang, COUNT(*) AS n_l, SUM(COUNT(*)) OVER () AS n_total
+            FROM documents GROUP BY lang
+        ),
+        rates AS (
+            SELECT lang, n_l,
+                   LEAST(1.0,
+                         {_TARGET_FRAC} * n_total
+                         * POW(CAST(n_l AS DOUBLE), {_ALPHA})
+                         / SUM(POW(CAST(n_l AS DOUBLE), {_ALPHA})) OVER ()
+                         / n_l) AS keep_rate
+            FROM stats
+        )
+        SELECT d.lang,
+               CAST(MIN(r.n_l) AS BIGINT) AS n_orig,
+               CAST(COUNT(CASE WHEN ('0x' || {_BKT_SQL.format(k='d.doc_id')})::INTEGER
+                                    < CAST(floor(r.keep_rate * 65536) AS INTEGER)
+                               THEN 1 END) AS BIGINT) AS n_sampled,
+               CAST(floor(MIN(r.keep_rate) * 65536) AS BIGINT) AS threshold
+        FROM documents d JOIN rates r ON r.lang = d.lang
+        GROUP BY d.lang
+    """,
+    tags=("llm", "sampling", "curation"),
+)
+def sample_language_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (mC4 / XLM-R): target mixture
+    q_l ∝ n_l^α with α = 0.3, realized as per-language keep rates
+    r_l = min(1, target_total · q_l / n_l) and applied as an md5-bucket
+    threshold per document — RNG-free, so the sampled set is identical on
+    every run and engine, and the predicate evaluates in the scan stage.
+    Low-resource languages keep (rate clamps at 1), high-resource ones
+    downsample. The rates table is one row per language (broadcast);
+    the only shuffle is the final per-language count."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tw = Window.partitionBy()  # over the ≤dozens-row language table only
+    rates = stats.select(
+        "lang",
+        "n_l",
+        F.least(
+            F.lit(1.0),
+            F.lit(_TARGET_FRAC)
+            * F.sum("n_l").over(tw)
+            * F.pow(F.col("n_l").cast("double"), _ALPHA)
+            / F.sum(F.pow(F.col("n_l").cast("double"), _ALPHA)).over(tw)
+            / F.col("n_l"),
+        ).alias("keep_rate"),
+    )
+    keep = F.conv(_bkt(F.col("doc_id")), 16, 10).cast("long") < F.floor(
+        F.col("keep_rate") * 65536
+    ).cast("long")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min("n_l").cast("bigint").alias("n_orig"),
+            F.count(F.when(keep, 1)).cast("bigint").alias("n_sampled"),
+            F.floor(F.min("keep_rate") * 65536).cast("bigint").alias("threshold"),
+        )
+    )
+
+
+@query(
+    "text_repetition_metrics",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
+        word_stats AS (
+            SELECT doc_id, SUM(c) AS n_words,
+                   MAX(c) AS top_word_c,
+                   SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_word_c
+            FROM wc GROUP BY doc_id
+        ),
+        grams AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+                  list_transform(range(1, len(string_split(text, ' '))),
+                    i -> array_to_string(
+                           list_slice(string_split(text, ' '), i, i + 1), ' '))
+                ELSE [] END) AS g
+            FROM documents
+        ),
+        gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+        gram_stats AS (
+            SELECT doc_id, SUM(c) AS n_grams,
+                   SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_gram_c
+            FROM gc GROUP BY doc_id
+        )
+        SELECT w.doc_id, CAST(w.n_words AS BIGINT) AS n_words,
+               CAST(w.top_word_c AS DOUBLE) / w.n_words AS top_word_frac,
+               CAST(w.dup_word_c AS DOUBLE) / w.n_words AS dup_word_frac,
+               CAST(COALESCE(g.dup_gram_c, 0) AS DOUBLE)
+                   / GREATEST(COALESCE(g.n_grams, 0), 1) AS dup_bigram_frac
+        FROM word_stats w LEFT JOIN gram_stats g ON g.doc_id = w.doc_id
+    """,
+    tags=("llm", "text", "curation"),
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of tokens
+    that are the single most frequent word, the fraction covered by any
+    repeated word, and the fraction of bigrams that are repeats — the
+    filters that catch keyword-stuffed and looping documents.
+
+    Both n-gram passes explode to (doc_id, gram) and partial-aggregate
+    map-side; the shuffle key is (doc_id, gram), so work is proportional
+    to corpus token count with no skew hot spot (a pathological one-word
+    document maps to ONE group per gram, not one row per token)."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    word_stats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_word_c"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_word_c"),
+    )
+    words = F.split("text", " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gc = (
+        d.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    gram_stats = gc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_gram_c"),
+    )
+    return word_stats.join(gram_stats, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        (F.col("top_word_c").cast("double") / F.col("n_words")).alias(
+            "top_word_frac"
+        ),
+        (F.col("dup_word_c").cast("double") / F.col("n_words")).alias(
+            "dup_word_frac"
+        ),
+        (
+            F.coalesce(F.col("dup_gram_c"), F.lit(0)).cast("double")
+            / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1))
+        ).alias("dup_bigram_frac"),
+    )
+
+
+_BOILER_DF_CAP = 20  # a 4-gram in more than this many docs is boilerplate
+
+
+@query(
+    "text_boilerplate_coverage",
+    oracle=f"""
+        WITH inv AS (
+            SELECT doc_id, unnest({_token_grams_sql('text', 4)}) AS g
+            FROM documents
+        ),
+        boiler AS (
+            SELECT g FROM inv GROUP BY g
+            HAVING COUNT(DISTINCT doc_id) > {_BOILER_DF_CAP}
+        ),
+        cov AS (
+            SELECT i.doc_id, COUNT(*) AS n_grams,
+                   COUNT(b.g) AS n_boiler
+            FROM inv i LEFT JOIN boiler b ON b.g = i.g
+            GROUP BY i.doc_id
+        )
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(n_boiler AS BIGINT) AS n_boiler,
+               CAST(n_boiler AS DOUBLE) / n_grams AS boiler_frac
+        FROM cov
+        WHERE n_grams > 0
+    """,
+    tags=("llm", "text", "curation"),
+)
+def text_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-boilerplate exposure per document: token 4-grams whose
+    document frequency exceeds a cap are boilerplate (headers, footers,
+    license blurbs — the CCNet/RefinedWeb line-dedup signal, token-level
+    here because the synthetic docs are single-line); each doc reports
+    what fraction of its distinct 4-grams are boilerplate.
+
+    Same inverted-index shape as the dedup family: explode distinct grams,
+    df-count with map-side partials, join the (small) boilerplate set
+    back — count-only rows move through the shuffles, never text."""
+    d = load_table(spark, sf_dir, "documents")
+    inv = d.select(
+        "doc_id", F.explode(_token_grams(F.col("text"), 4)).alias("g")
+    )
+    boiler = (
+        inv.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > _BOILER_DF_CAP)
+        .select("g", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        inv.join(boiler, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.count("is_boiler").cast("bigint").alias("n_boiler"),
+        )
+        .filter(F.col("n_grams") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_grams")).alias(
+                "boiler_frac"
+            ),
+        )
+    )
+
+
+# Decimal casts for exact order-independent float sums (embedding values are
+# |x| ≤ ~1 float32; products ≤ 1): 12 integer digits headroom, 16 fractional
+# digits keep every float32 product exactly (float32 has 24 mantissa bits).
+_DEC = "DECIMAL(28,16)"
+
+
+@query(
+    "vec_label_centroid_classify",
+    oracle=f"""
+        WITH ex AS (
+            SELECT e.vec_id, e.label, r.i AS pos,
+                   CAST(e.embedding[r.i] AS DOUBLE) AS v
+            FROM embeddings e,
+                 LATERAL (SELECT UNNEST(range(1, len(e.embedding) + 1)) AS i) r
+        ),
+        cent AS (
+            SELECT label AS clabel, pos,
+                   CAST(SUM(CAST(v AS {_DEC})) AS DOUBLE) / COUNT(*) AS c
+            FROM ex GROUP BY 1, 2
+        ),
+        cnorm AS (
+            SELECT clabel,
+                   sqrt(CAST(SUM(CAST(c * c AS {_DEC})) AS DOUBLE)) AS cn
+            FROM cent GROUP BY 1
+        ),
+        vnorm AS (
+            SELECT vec_id,
+                   sqrt(CAST(SUM(CAST(v * v AS {_DEC})) AS DOUBLE)) AS vn
+            FROM ex GROUP BY 1
+        ),
+        dots AS (
+            SELECT ex.vec_id, cent.clabel,
+                   CAST(SUM(CAST(ex.v * cent.c AS {_DEC})) AS DOUBLE) AS dot
+            FROM ex JOIN cent ON cent.pos = ex.pos
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT d.vec_id, d.clabel,
+                   d.dot / (v.vn * c.cn) AS cos,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                                      ORDER BY d.dot / (v.vn * c.cn) DESC,
+                                               d.clabel) AS rn
+            FROM dots d JOIN vnorm v ON v.vec_id = d.vec_id
+                        JOIN cnorm c ON c.clabel = d.clabel
+        )
+        SELECT e.label, s.clabel AS predicted,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM scored s JOIN embeddings e ON e.vec_id = s.vec_id
+        WHERE s.rn = 1
+        GROUP BY 1, 2
+    """,
+    tags=("llm", "vector", "curation"),
+)
+def vec_label_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid probe: per-label mean embeddings, then every vector
+    classified to its max-cosine centroid; output is the confusion-count
+    matrix (label, predicted, n) — the cheap linear probe pipelines run
+    to sanity-check an embedding refresh.
+
+    Every float sum (centroid means, norms, dot products) goes through
+    DECIMAL(28,16): float32 products are exact at that scale, decimal
+    addition is associative, so Spark's shuffle order and DuckDB's scan
+    order produce bit-identical doubles — the same trick as
+    functions/numeric.py, at float precision. Long-form layout
+    (vec_id, pos, v): dims×rows rows shuffle once to build centroids
+    (64·|labels| values, broadcast back) and once for per-vector dot
+    groups; ties break on the label for a deterministic argmax."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "v32")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v32").cast("double").alias("v"),
+    )
+    cent = (
+        ex.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            (F.sum(F.col("v").cast(_DEC)).cast("double") / F.count("*")).alias("c")
+        )
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sqrt(F.sum((F.col("c") * F.col("c")).cast(_DEC)).cast("double")).alias(
+            "cn"
+        )
+    )
+    vnorm = ex.groupBy("vec_id").agg(
+        F.sqrt(F.sum((F.col("v") * F.col("v")).cast(_DEC)).cast("double")).alias(
+            "vn"
+        )
+    )
+    dots = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(F.sum((F.col("v") * F.col("c")).cast(_DEC)).cast("double").alias("dot"))
+    )
+    scored = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .withColumn("cos", F.col("dot") / (F.col("vn") * F.col("cn")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        top.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("label", F.col("clabel").alias("predicted"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

@@ -323,6 +323,37 @@ def stream_live_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, output_mode="append")
 
 
+@query("stream_live_chained_stateful", oracle=None, tags=("streaming", "live"))
+def stream_live_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained in one streaming query — watermarked
+    dedup followed by a tumbling event-time aggregation — exercising
+    Spark's multiple-stateful-operator support (3.5+): the watermark
+    propagates through the dedup into the window operator, which emits a
+    window only after the (propagated) watermark passes its end, so the
+    query runs in append mode end-to-end. On an unbounded pipeline this
+    is the canonical "dedup the firehose, then rate it per window" shape
+    with both state stores watermark-evicted; in a bounded replay the
+    final open window is withheld by design (append semantics), which is
+    why the row set is smaller than the complete-mode twin
+    (stream_live_tumbling over raw events)."""
+    from ..streaming.replay import events_stream, run_to_memory
+
+    sdf = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("window.start").alias("wstart"), "event_type", "n_events", "total_value")
+    )
+    return run_to_memory(sdf, output_mode="append")
+
+
 @query(
     "ts_resample_gapfill",
     oracle=f"""

@@ -891,3 +891,134 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+_PROFIT_SQL = (
+    "l.l_extendedprice * (1 - l.l_discount)"
+    " - CAST(ps.ps_supplycost AS DOUBLE) * l.l_quantity"
+)
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL}
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               {dec_sum_sql(_PROFIT_SQL)} AS sum_profit
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                        AND ps.ps_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 (adapted: '%red%' over the synthetic color-word p_name for
+    the original '%green%'; derived partsupp): profit by nation and year
+    for red parts. lineitem⋈orders shuffles on orderkey; part/supplier/
+    nation broadcast; partsupp (4·|part| rows, derivation map-only) joins
+    lineitem on (partkey, suppkey) — at 100 TB that pair join shuffles both
+    sides on the composite key, which AQE coalesces; the restriction to
+    '%red%' parts pushes through the partsupp build via the part semi
+    filter before the fact shuffle."""
+    ps = _partsupp(spark, sf_dir)
+    l, p, s, o, n = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation"
+    )
+    red = p.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost").cast("double") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(red), l.l_partkey == red.p_partkey, "left_semi")
+        .join(
+            ps.join(F.broadcast(red), ps.ps_partkey == red.p_partkey, "left_semi"),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dec_sum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+        WITH lo AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM lo l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.late
+          AND EXISTS (SELECT 1 FROM lo l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lo l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.late)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+    tags=("tpch", "join", "agg", "subquery", "topk"),
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 (adapted: late := shipped >60 days after the order, the
+    same ship-lag SLA as q12, for the absent commit/receipt dates; no
+    single-nation filter so the answer stays non-vacuous at sf0.001):
+    suppliers who were the SOLE late supplier on a multi-supplier 'F'
+    order. The oracle keeps the original's EXISTS / NOT-EXISTS shape; the
+    Spark plan decorrelates both subqueries into ONE per-order aggregate —
+    count distinct suppliers, count distinct late suppliers, the sole late
+    suppkey, and that supplier's late-line count — so lineitem is scanned
+    and shuffled once on orderkey instead of three self-joins. Qualifying
+    orders (n_supp > 1, exactly one late supplier) then aggregate on
+    suppkey: a second shuffle of order-sized rows, not line-sized.
+    Deterministic LIMIT: s_name is unique and tie-breaks numwait."""
+    l, o, s = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    lo = l.join(
+        o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+        l.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    late_supp = F.when(F.col("late"), F.col("l_suppkey"))
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(late_supp).alias("n_late_supp"),
+        F.min(late_supp).alias("late_suppkey"),
+        F.sum(F.col("late").cast("long")).alias("late_lines"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("late_suppkey")
+        .agg(F.sum("late_lines").alias("numwait"))
+        .join(F.broadcast(s), F.col("late_suppkey") == s.s_suppkey)
+        .select("s_name", F.col("numwait").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
