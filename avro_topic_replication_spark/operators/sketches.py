@@ -82,3 +82,59 @@ def estimate_counts(df: DataFrame, key_col: str, sketch_rows: list) -> DataFrame
         return pd.Series(mins)
 
     return df.withColumn("est_count", est(F.col(key_col)))
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch
+# ---------------------------------------------------------------------------
+
+_K = 512  # sample size — error ~ O(1/sqrt(k)) on quantile ranks
+
+
+def _bottomk_hash(keys: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (splitmix64 finalizer) — the sampling
+    'randomness'. Hash-ordered bottom-k is a uniform sample of the keys
+    with no RNG state, so the sketch is identical on every run and at
+    any partitioning."""
+    x = keys.astype(np.uint64) ^ np.uint64(0xD6E8FEB86659FD93)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return (x ^ (x >> np.uint64(31))).astype(np.int64)
+
+
+def bottomk_partials(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-partition bottom-k by hash: each partition emits at most k
+    (hash, value) rows — a mergeable uniform-sample summary. Merging two
+    sketches = union, keep k smallest hashes; the global merge below is
+    Spark's TakeOrderedAndProject (per-partition heaps, O(k) driver)."""
+
+    def batches(it):
+        acc_h = np.empty(0, dtype=np.int64)
+        acc_v = np.empty(0, dtype=np.float64)
+        for pdf in it:
+            h = _bottomk_hash(pdf[key_col].to_numpy(dtype=np.int64))
+            v = pdf[value_col].to_numpy(dtype=np.float64)
+            acc_h = np.concatenate([acc_h, h])
+            acc_v = np.concatenate([acc_v, v])
+            if len(acc_h) > 4 * _K:  # compact: keep partition state bounded
+                idx = np.argpartition(acc_h, _K)[:_K]
+                acc_h, acc_v = acc_h[idx], acc_v[idx]
+        if len(acc_h) > _K:
+            idx = np.argpartition(acc_h, _K)[:_K]
+            acc_h, acc_v = acc_h[idx], acc_v[idx]
+        yield pd.DataFrame({"h": acc_h, "v": acc_v})
+
+    return df.select(key_col, value_col).mapInPandas(batches, schema="h long, v double")
+
+
+def bottomk_quantiles(
+    df: DataFrame, key_col: str, value_col: str, probs: list
+) -> list:
+    """Quantile estimates from the merged bottom-k sample: sort the ≤k
+    sampled values, read ranks. Driver sees k rows, never data."""
+    sample = (
+        bottomk_partials(df, key_col, value_col).orderBy("h").limit(_K).collect()
+    )
+    vals = np.sort(np.array([r["v"] for r in sample]))
+    n = len(vals)
+    return [float(vals[min(n - 1, int(p * (n - 1) + 0.5))]) for p in probs]

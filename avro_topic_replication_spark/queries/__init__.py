@@ -35,6 +35,7 @@ _MODULES = (
     "llm_multimodal",
     "llm_sampling",
     "llm_curation",
+    "engine4",
     "udfs",
     "streaming_batch",
     "replication_pipeline",
@@ -58,6 +59,7 @@ _FAMILY_ORDER = (
     "replication_pipeline",
     "sources_sinks",
     "llm_curation",  # new in r5 — after the families queued for the r5 sample window
+    "engine4",  # new in r5
     "relational",
     "tpch",
     "aggregates",

@@ -158,3 +158,61 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), F.asc("user_id"))
         .limit(10)
     )
+
+
+@query(
+    "sample_reservoir_per_group",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents
+        )
+        SELECT doc_id, lang, n_chars, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 20
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum uniform sample (the deterministic reservoir):
+    rank every doc within its language by the md5 of its key and keep the
+    first 20 — hash order is uniform, so this is a k-reservoir whose
+    membership is stable across runs, engines, and repartitioning (a
+    seeded reservoir loses all three the moment row order changes). The
+    window partitions by stratum — full parallelism, no global sort; at
+    100 TB the rank can further prune via a per-stratum approximate
+    hash-threshold pre-filter so the window only sees ~k candidates."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "lang", "n_chars", "rk")
+    )
+
+
+@query("sketch_quantile_bottomk", oracle=None, tags=("llm", "sketch", "approx"))
+def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k quantile sketch over the event values: every
+    partition emits its k smallest-hash (hash, value) pairs, the global
+    merge is a TakeOrderedAndProject (per-partition heaps, k rows to the
+    driver), and quantiles read off the sorted k-sample — rank error
+    O(1/√k), volume-independent state, the third mergeable summary next
+    to HLL (distinct) and count-min (frequency). Rows-only: the sample
+    is deterministic but the estimates are approximate by design
+    (tests/test_llm_ops.py asserts rank-error bounds vs the exact
+    percentiles)."""
+    from ..operators.sketches import bottomk_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    probs = [0.25, 0.5, 0.75, 0.9]
+    est = bottomk_quantiles(ev, "event_id", "value", probs)
+    return spark.createDataFrame(
+        [(p, e) for p, e in zip(probs, est)], "quantile double, est_value double"
+    )

@@ -323,6 +323,53 @@ def stream_live_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, output_mode="append")
 
 
+@query("stream_live_stream_outer_join", oracle=None, tags=("streaming", "live"))
+def stream_live_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click emits, with its matched
+    view or NULLs. Outer stream-stream joins are watermark-driven — a
+    click's null row can only be emitted once the watermark proves no
+    matching view can still arrive, so the join state holds unmatched
+    left rows exactly until the lateness horizon + join window passes:
+    the semantics (and the state-eviction bound) that distinguish this
+    from the inner twin (stream_live_stream_join)."""
+    from ..streaming.replay import events_stream, run_to_memory
+
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "c_user",
+        "click_ts",
+        "view_id",
+        F.col("view_id").isNull().alias("unmatched"),
+    )
+    return run_to_memory(joined, output_mode="append")
+
+
 @query("stream_live_chained_stateful", oracle=None, tags=("streaming", "live"))
 def stream_live_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO stateful operators chained in one streaming query — watermarked

@@ -268,3 +268,25 @@ def test_shingle_code_packing_is_injective():
     assert _pack_shingle_code("ü" * 5) < 0  # 10-byte UTF-8 → digest range
     assert _pack_shingle_code("üabcd") < 0  # 6-byte but non-ASCII lead → digest
     assert _pack_shingle_code("abcdef") >= 0  # ASCII 6-byte → packed
+
+
+def test_bottomk_quantile_rank_error(spark, sf_dir):
+    """Bottom-k sketch: each estimated quantile's TRUE rank must lie
+    within O(1/sqrt(k)) of the requested rank (k=512 -> tolerance ~0.13
+    at 3 sigma), and the sketch must be deterministic across runs."""
+    from avro_topic_replication_spark.catalog import load_table
+    from avro_topic_replication_spark.operators.sketches import bottomk_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    probs = [0.25, 0.5, 0.75, 0.9]
+    est = bottomk_quantiles(ev, "event_id", "value", probs)
+    est2 = bottomk_quantiles(ev, "event_id", "value", probs)
+    assert est == est2  # hash-based sample: no RNG, identical every run
+
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    n = len(vals)
+    import bisect
+
+    for p, e in zip(probs, est):
+        true_rank = bisect.bisect_right(vals, e) / n
+        assert abs(true_rank - p) <= 0.14, (p, e, true_rank)
