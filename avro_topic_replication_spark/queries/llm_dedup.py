@@ -568,3 +568,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(20)
     )
+
+
+@query("dedup_ml_minhash_join", oracle=None, tags=("llm", "dedup", "approx"))
+def dedup_ml_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via Spark ML's MinHashLSH approxSimilarityJoin — the
+    library counterpart of the hand-rolled dedup_minhash_lsh (both APIs
+    exist for the same reason vec_lsh_pairs has vec_ml_lsh_join: a user
+    picks either). Shingles hash into a fixed binary feature space
+    (HashingTF 2^16, binary — presence, not counts, since MinHash is a
+    set sketch), MinHashLSH ANDs 4 tables for candidates, and the join's
+    Jaccard DISTANCE threshold 0.6 admits pairs with similarity >= 0.4
+    on the hashed-feature sets. Rows-only: hash seeds are
+    engine-internal; tests assert consistency against the exact-Jaccard
+    ground truth (dedup_ngram_jaccard)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles_udf(F.col("text")).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 16, binary=True
+    )
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=7)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (1 - F.col("jaccard_dist")).alias("jaccard_sim"),
+        )
+        .orderBy(F.desc("jaccard_sim"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(50)
+    )

@@ -270,6 +270,34 @@ def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sort_global_range",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+    """,
+    tags=("sort",),
+)
+def sort_global_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Totally-ordered output via a full global sort: orderBy with no
+    limit compiles to RangePartitioning (sampled range boundaries) + a
+    per-partition Sort — every partition holds a disjoint key range and
+    partition i entirely precedes partition i+1, which is what a sorted
+    multi-file export or a merge-ready extract needs. Contrast with
+    sort_topk_global (TakeOrdered heaps, no total order materialized)
+    and sort_partition_local (order within, not across, partitions).
+    The driver's canonicalizer is order-insensitive, so the oracle
+    checks content; tests/test_plans.py pins the rangepartitioning
+    plan shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+    )
+
+
 @query("sort_partition_local", oracle=None, tags=("sort",))
 def sort_partition_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sortWithinPartitions: per-partition ordering with NO global shuffle —

@@ -261,3 +261,43 @@ def test_random_grouping_sets_agree(fuzz_env, pred, spec):
     srows = sorted((tuple(r) for r in spark.sql(sql).collect()), key=key)
     drows = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=key)
     assert srows == drows, (pred, spec)
+
+
+def test_token_gram_helper_cross_engine_parity(spark):
+    """The llm_curation token-n-gram helper must produce identical gram
+    sets in Spark (split + transform/slice) and DuckDB (string_split +
+    list_transform/list_slice) on adversarial inputs: empty strings,
+    leading/trailing/double spaces (empty tokens are KEPT by both
+    engines' splitters — parity matters more than prettiness), unicode
+    tokens, and texts shorter than n."""
+    import duckdb
+    import pandas as pd
+
+    from avro_topic_replication_spark.queries.llm_curation import (
+        _token_grams,
+        _token_grams_sql,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        "",
+        " ",
+        "one",
+        "a b",
+        "a b c d e f g h",
+        "a  b   c",  # runs of spaces -> empty tokens
+        " lead and trail ",
+        "héllo wörld ünïcode tökens here now",
+        "x " * 50,
+        "same same same same same",
+    ]
+    for n in (2, 4, 8):
+        sdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id int, text string"
+        ).select("id", _token_grams(F.col("text"), n).alias("g"))
+        got = {r["id"]: sorted(r["g"]) for r in sdf.collect()}
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"id": range(len(texts)), "text": texts}))
+        sql = f"SELECT id, {_token_grams_sql('text', n)} AS g FROM t"
+        want = {int(r[0]): sorted(r[1]) for r in con.execute(sql).fetchall()}
+        assert got == want, f"n={n}: {got} != {want}"

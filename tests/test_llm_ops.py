@@ -290,3 +290,22 @@ def test_bottomk_quantile_rank_error(spark, sf_dir):
     for p, e in zip(probs, est):
         true_rank = bisect.bisect_right(vals, e) / n
         assert abs(true_rank - p) <= 0.14, (p, e, true_rank)
+
+
+def test_ml_minhash_join_finds_exact_neardups(spark, sf_dir):
+    """Spark ML MinHashLSH must recover the strong ground-truth pairs
+    (exact jaccard >= 0.9 on the bounded subset) among its top pairs,
+    with its hashed-feature jaccard within 0.1 of the exact value."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QS["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    ml = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_sim"]
+        for r in QS["dedup_ml_minhash_join"].fn(spark, sf_dir).collect()
+    }
+    strong = {p: j for p, j in exact.items() if j >= 0.9}
+    assert strong, "ground truth should contain strong near-dups"
+    for pair, j in strong.items():
+        assert pair in ml, f"ML MinHashLSH missed near-dup pair {pair} ({j})"
+        assert abs(ml[pair] - j) <= 0.1, (pair, ml[pair], j)

@@ -35,6 +35,15 @@ def test_global_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
 
 
+def test_global_sort_is_range_partitioned(spark, sf_dir):
+    """A no-limit orderBy must compile to RangePartitioning + Sort (the
+    totally-ordered layout), never a single-partition sort."""
+    plan = _plan(spark, sf_dir, "sort_global_range")
+    assert "rangepartitioning(l_shipdate" in plan
+    assert "Sort [l_shipdate" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_distribution_window_is_partitioned(spark, sf_dir):
     """The supplier-ranking window must hash-partition by bucket; the only
     SinglePartition exchange allowed is the <=32-row offsets aggregate."""
