@@ -296,3 +296,156 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("frame").alias("n_sampled"))
         .select("doc_id", "n_frames", "n_sampled")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio leg (real WAV/PCM math — functions/wav.py, the bmp.py analog)
+# ---------------------------------------------------------------------------
+# Deterministic fixture waveform per doc: n = 800 + (doc_id%5)·100 samples,
+# s_i = ((doc_id·7 + i·13) mod 2001) - 1000 — int16-safe and trivially
+# mirrored in SQL, so every decoded feature has an analytic oracle.
+
+_SR = 16000
+
+
+def _synth_samples(doc_id: int) -> np.ndarray:
+    n = 800 + (doc_id % 5) * 100
+    i = np.arange(n, dtype=np.int64)
+    return (((doc_id * 7 + i * 13) % 2001) - 1000).astype(np.int16)
+
+
+def _audio_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..functions.wav import wav_decode, wav_encode
+
+    for pdf in it:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            payload = wav_encode(_synth_samples(int(doc_id)), _SR)  # REAL bytes
+            s, sr = wav_decode(payload)  # REAL RIFF parse + PCM read
+            s64 = s.astype(np.int64)
+            neg = s < 0
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "payload_bytes": len(payload),
+                    "n_samples": len(s),
+                    "sample_rate": sr,
+                    "duration_ms": len(s) * 1000.0 / sr,
+                    "peak": int(np.abs(s64).max()),
+                    "sum_sq": int((s64 * s64).sum()),
+                    "zero_crossings": int((neg[1:] != neg[:-1]).sum()),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "mm_audio_features",
+    oracle="""
+        WITH samp AS (
+            SELECT d.doc_id, r.i,
+                   ((d.doc_id * 7 + r.i * 13) % 2001) - 1000 AS s
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d,
+                 LATERAL (SELECT unnest(range(0, 800 + (d.doc_id % 5) * 100)) AS i) r
+        ),
+        lagged AS (
+            SELECT doc_id, i, s,
+                   LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM samp
+        )
+        SELECT doc_id,
+               CAST(44 + 2 * COUNT(*) AS BIGINT) AS payload_bytes,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               16000 AS sample_rate,
+               COUNT(*) * 1000.0 / 16000 AS duration_ms,
+               CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+               CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+               CAST(COUNT(CASE WHEN prev IS NOT NULL
+                                AND (s < 0) <> (prev < 0) THEN 1 END)
+                    AS BIGINT) AS zero_crossings
+        FROM lagged
+        GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "udf"),
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction with REAL PCM math: WAV payloads are
+    encoded and decoded executor-side through the pure-Python RIFF codec
+    (functions/wav.py — 44-byte canonical header, int16 LE frames), and
+    the features (duration, peak, energy, zero-crossing rate inputs) come
+    from the decoded sample array. The DuckDB oracle regenerates the same
+    deterministic waveform analytically (LATERAL range + window LAG), so
+    every value is hash-checked — the same de-stubbing pattern the BMP
+    codec gave the image leg; only genuinely-compressed formats
+    (MP3/AAC) remain env-gated. Arrow-batched mapInPandas: at 100 TB the
+    payloads stream through executors batch-wise; nothing is
+    driver-side."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id").mapInPandas(
+        _audio_feature_batches,
+        schema=(
+            "doc_id long, payload_bytes long, n_samples long, sample_rate int, "
+            "duration_ms double, peak long, sum_sq long, zero_crossings long"
+        ),
+    )
+
+
+def _audio_downsample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..functions.wav import wav_decode, wav_encode
+
+    for pdf in it:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            payload = wav_encode(_synth_samples(int(doc_id)), _SR)
+            s, sr = wav_decode(payload)
+            down = wav_encode(s[::2], sr // 2)  # decimate-by-2, re-encode
+            s2, sr2 = wav_decode(down)  # decode AGAIN — real index math
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "orig_bytes": len(payload),
+                    "down_bytes": len(down),
+                    "n_down": len(s2),
+                    "down_rate": sr2,
+                    "down_peak": int(np.abs(s2.astype(np.int64)).max()),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "mm_audio_downsample",
+    oracle="""
+        WITH samp AS (
+            SELECT d.doc_id, r.i,
+                   ((d.doc_id * 7 + r.i * 13) % 2001) - 1000 AS s
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d,
+                 LATERAL (SELECT unnest(range(0, 800 + (d.doc_id % 5) * 100)) AS i) r
+        )
+        SELECT doc_id,
+               CAST(44 + 2 * COUNT(*) AS BIGINT) AS orig_bytes,
+               CAST(44 + 2 * COUNT(CASE WHEN i % 2 = 0 THEN 1 END) AS BIGINT)
+                   AS down_bytes,
+               CAST(COUNT(CASE WHEN i % 2 = 0 THEN 1 END) AS BIGINT) AS n_down,
+               8000 AS down_rate,
+               CAST(MAX(CASE WHEN i % 2 = 0 THEN ABS(s) END) AS BIGINT)
+                   AS down_peak
+        FROM samp
+        GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "udf"),
+)
+def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resampling roundtrip: decode WAV → decimate by 2 → re-encode
+    at half the rate → decode again, with sizes, rates, and the decimated
+    peak all oracle-checked against the analytic waveform (even-index
+    samples). Exercises the full encode→decode→transform→encode→decode
+    chain with real byte layouts — the audio twin of mm_resize_batch."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id").mapInPandas(
+        _audio_downsample_batches,
+        schema=(
+            "doc_id long, orig_bytes long, down_bytes long, n_down long, "
+            "down_rate int, down_peak long"
+        ),
+    )

@@ -406,3 +406,148 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "n_probes")
     )
+
+
+@query(
+    "vec_quantize_int8",
+    oracle=f"""
+        WITH stats AS (
+            SELECT vec_id, label,
+                   CAST(list_aggregate(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE))), 'max') AS DOUBLE)
+                       AS peak
+            FROM embeddings
+        ),
+        q AS (
+            SELECT s.vec_id, s.label, s.peak, s.peak / 127 AS scale,
+                   list_transform(e.embedding,
+                       x -> floor(CAST(x AS DOUBLE) / (s.peak / 127) + 0.5))
+                       AS qv,
+                   e.embedding
+            FROM stats s JOIN embeddings e ON e.vec_id = s.vec_id
+            WHERE s.peak > 0
+        )
+        SELECT vec_id, label,
+               CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'max')
+                    AS BIGINT) AS max_q,
+               CAST(list_reduce(list_transform(qv, x -> abs(x)), (a, b) -> a + b)
+                    AS BIGINT) AS sum_abs_q,
+               CAST(CAST(list_reduce(
+                        list_transform(list_zip(embedding, qv),
+                            p -> CAST(POW(CAST(p[1] AS DOUBLE)
+                                          - p[2] * (peak / 127), 2)
+                                 AS DECIMAL(28,16))),
+                        (a, b) -> a + b) AS VARCHAR) AS DOUBLE) AS sq_err
+        FROM q
+    """,
+    tags=("llm", "vector"),
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the 4× compression step a
+    100-TB vector corpus applies before indexing: per-vector scale =
+    peak/127, q_i = round-half-up(v_i/scale) (spelled floor(x/s + 0.5) so
+    both engines round identically — Spark round(double) and numpy each
+    do something different), reporting the quantized range, the L1 mass,
+    and the exact squared reconstruction error. The error sum goes
+    through DECIMAL(28,16) (+ the string-cast double route of
+    functions/numeric.py) so Spark's fold and DuckDB's list_reduce agree
+    bit-for-bit. All pure array expressions — no UDF, no shuffle: the
+    quantizer is a map-only pass that pushes to the scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = _dbl(F.col("embedding"))
+    peak = F.array_max(F.transform(emb, lambda x: F.abs(x)))
+    scale = (peak / 127).alias("scale")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("embedding"),
+        peak.alias("peak"),
+    ).filter(F.col("peak") > 0)
+    qv = F.transform(
+        _dbl(F.col("embedding")), lambda x: F.floor(x / (F.col("peak") / 127) + 0.5)
+    )
+    sq_err = F.aggregate(
+        F.zip_with(
+            _dbl(F.col("embedding")),
+            qv,
+            lambda v, qi: F.pow(v - qi * (F.col("peak") / 127), 2).cast(
+                "decimal(28,16)"
+            ),
+        ),
+        F.lit(0).cast("decimal(28,16)"),
+        # decimal + widens to (29,16); cast back so the fold's accumulator
+        # type is stable (values are ≤ dim·max_err² ≈ 2⁶ — no overflow)
+        lambda a, b: (a + b).cast("decimal(28,16)"),
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        F.array_max(F.transform(qv, lambda x: F.abs(x))).cast("bigint").alias("max_q"),
+        F.aggregate(
+            F.transform(qv, lambda x: F.abs(x)), F.lit(0.0), lambda a, b: a + b
+        )
+        .cast("bigint")
+        .alias("sum_abs_q"),
+        sq_err.cast("string").cast("double").alias("sq_err"),
+    )
+
+
+@query(
+    "vec_two_stage_rerank",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        coarse AS (
+            SELECT vec_id, label, embedding,
+                   {_DOT_SQL.format(a='list_slice(embedding, 1, 16)',
+                                    b='list_slice(qv, 1, 16)')} AS prefix_dot
+            FROM embeddings, q
+            WHERE vec_id != 0
+            ORDER BY prefix_dot DESC, vec_id
+            LIMIT 50
+        )
+        SELECT c.vec_id, c.label,
+               {_DOT_SQL.format(a='c.embedding', b='q.qv')}
+                 / (sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})
+                    * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})) AS cosine
+        FROM coarse c, q
+        ORDER BY cosine DESC, c.vec_id
+        LIMIT 10
+    """,
+    tags=("llm", "vector", "topk"),
+)
+def vec_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval funnel — the production serving shape for
+    matryoshka/truncated embeddings: stage 1 scores every vector on the
+    FIRST 16 dims only (a quarter of the flops; with dimension-ordered
+    embeddings this is the coarse index) and keeps 50 candidates via
+    TakeOrderedAndProject; stage 2 re-ranks only those 50 with the exact
+    full-dimension cosine. Both stages are deterministic (vec_id
+    tie-breaks), so unlike the LSH/IVF entries this funnel is fully
+    oracle-checked. At 100 TB stage 1 is the only corpus-wide scan and
+    it moves 4× less arithmetic; stage 2 touches k' rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    coarse = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "qv",
+            _dot(F.slice(F.col("embedding"), 1, 16), F.slice(F.col("qv"), 1, 16)).alias(
+                "prefix_dot"
+            ),
+        )
+        .orderBy(F.desc("prefix_dot"), F.asc("vec_id"))
+        .limit(50)
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        coarse.select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -309,3 +309,35 @@ def test_ml_minhash_join_finds_exact_neardups(spark, sf_dir):
     for pair, j in strong.items():
         assert pair in ml, f"ML MinHashLSH missed near-dup pair {pair} ({j})"
         assert abs(ml[pair] - j) <= 0.1, (pair, ml[pair], j)
+
+
+def test_wav_codec_roundtrip():
+    """WAV codec property test: encode→decode is the identity for int16
+    mono at several lengths/rates, incl. empty and extreme values; a
+    payload with an extra RIFF chunk between fmt and data still parses."""
+    import numpy as np
+    import struct
+
+    from avro_topic_replication_spark.functions.wav import (
+        HEADER_BYTES,
+        encoded_size,
+        wav_decode,
+        wav_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    for n in (0, 1, 7, 800, 4096):
+        for sr in (8000, 16000, 44100):
+            s = rng.integers(-32768, 32767, size=n).astype(np.int16)
+            data = wav_encode(s, sr)
+            assert len(data) == encoded_size(n) == HEADER_BYTES + 2 * n
+            s2, sr2 = wav_decode(data)
+            assert sr2 == sr and np.array_equal(s, s2)
+
+    s = np.array([32767, -32768, 0, -1], dtype=np.int16)
+    data = wav_encode(s, 16000)
+    # splice a LIST chunk between fmt and data — chunk walker must skip it
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = data[:36] + extra + data[36:]
+    s2, sr2 = wav_decode(spliced)
+    assert sr2 == 16000 and np.array_equal(s, s2)
