@@ -606,3 +606,113 @@ def vec_label_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.col("clabel").alias("predicted"))
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+@query(
+    "pipeline_pretraining_batch",
+    oracle=f"""
+        WITH dd AS (
+            SELECT doc_id, lang, text,
+                   ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+            WHERE {_BKT_SQL.format(k='doc_id')} < '{_TRAIN}'
+        ),
+        train AS (SELECT doc_id, lang, text FROM dd WHERE rn = 1),
+        test_grams AS (
+            SELECT DISTINCT unnest({_token_grams_sql('text', 8)}) AS g
+            FROM documents
+            WHERE {_BKT_SQL.format(k='doc_id')} >= '{_VAL}'
+        ),
+        clean AS (
+            SELECT t.* FROM train t
+            WHERE NOT EXISTS (
+                SELECT 1
+                FROM unnest({_token_grams_sql('t.text', 8)}) u(g)
+                JOIN test_grams tg ON tg.g = u.g)
+        ),
+        stats AS (
+            SELECT lang, COUNT(*) AS n_l, SUM(COUNT(*)) OVER () AS n_total
+            FROM clean GROUP BY lang
+        ),
+        rates AS (
+            SELECT lang,
+                   LEAST(1.0,
+                         {_TARGET_FRAC} * n_total
+                         * POW(CAST(n_l AS DOUBLE), {_ALPHA})
+                         / SUM(POW(CAST(n_l AS DOUBLE), {_ALPHA})) OVER ()
+                         / n_l) AS keep_rate
+            FROM stats
+        )
+        SELECT c.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(c.text, ' '))) AS BIGINT)
+                   AS total_tokens
+        FROM clean c JOIN rates r ON r.lang = c.lang
+        WHERE ('0x' || {_BKT_SQL.format(k='c.doc_id')})::INTEGER
+              < CAST(floor(r.keep_rate * 65536) AS INTEGER)
+        GROUP BY c.lang
+    """,
+    tags=("llm", "curation", "pipeline"),
+)
+def pipeline_pretraining_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r5 curation ops composed into ONE declarative pretraining-data
+    job: train split (hash threshold, scan-stage) → exact dedup
+    keep-first (one shuffle on the content hash) → DECONTAMINATION (drop
+    any train doc sharing a token 8-gram with the test split — gram
+    explode, semi against the distinct test-gram set, anti back to docs)
+    → temperature resampling (α=0.3 rates from the CLEANED counts, so
+    the mixture reflects what survived) → per-language accounting.
+
+    Shuffle inventory at 100 TB: content-hash dedup, gram semi-join
+    (gram-keyed, partial-aggregated), doc_id anti-join, one stats
+    aggregate — all on unskewed keys; the rates table is
+    languages-sized and broadcast. No stage materializes between steps;
+    Catalyst pipelines the whole chain."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    train = (
+        d.filter(_bkt(F.col("doc_id")) < _TRAIN)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    test_grams = (
+        d.filter(_bkt(F.col("doc_id")) >= _VAL)
+        .select(F.explode(_token_grams(F.col("text"), 8)).alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        train.select("doc_id", F.explode(_token_grams(F.col("text"), 8)).alias("g"))
+        .join(test_grams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    stats = clean.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tw = Window.partitionBy()  # languages-sized aggregate only
+    rates = stats.select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            F.lit(_TARGET_FRAC)
+            * F.sum("n_l").over(tw)
+            * F.pow(F.col("n_l").cast("double"), _ALPHA)
+            / F.sum(F.pow(F.col("n_l").cast("double"), _ALPHA)).over(tw)
+            / F.col("n_l"),
+        ).alias("keep_rate"),
+    )
+    keep = F.conv(_bkt(F.col("doc_id")), 16, 10).cast("long") < F.floor(
+        F.col("keep_rate") * 65536
+    ).cast("long")
+    return (
+        clean.join(F.broadcast(rates), "lang")
+        .filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+        )
+    )
