@@ -114,6 +114,12 @@ def _presentation_order(registry: "dict[str, Query]") -> "dict[str, Query]":
         family = q.fn.__module__.removeprefix(prefix)
         return (
             q.oracle is None,  # oracle-bearing first
+            # "defer-sample": r5 additions inside the families queued for
+            # the r5 correctness window sort AFTER that window, so the
+            # fixed-size sampled prefix stays exactly the entries that
+            # have never received a harness row (they get their turn in
+            # the next rotation).
+            "defer-sample" in q.tags,
             family_rank.get(family, len(family_rank)),
             reg_index[name],
         )

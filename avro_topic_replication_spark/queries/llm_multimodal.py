@@ -366,7 +366,7 @@ def _audio_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         FROM lagged
         GROUP BY doc_id
     """,
-    tags=("llm", "multimodal", "udf"),
+    tags=("llm", "multimodal", "udf", "defer-sample"),
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction with REAL PCM math: WAV payloads are
@@ -433,7 +433,7 @@ def _audio_downsample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         FROM samp
         GROUP BY doc_id
     """,
-    tags=("llm", "multimodal", "udf"),
+    tags=("llm", "multimodal", "udf", "defer-sample"),
 )
 def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio resampling roundtrip: decode WAV → decimate by 2 → re-encode

@@ -440,7 +440,7 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (a, b) -> a + b) AS VARCHAR) AS DOUBLE) AS sq_err
         FROM q
     """,
-    tags=("llm", "vector"),
+    tags=("llm", "vector", "defer-sample"),
 )
 def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization — the 4× compression step a
@@ -513,7 +513,7 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cosine DESC, c.vec_id
         LIMIT 10
     """,
-    tags=("llm", "vector", "topk"),
+    tags=("llm", "vector", "topk", "defer-sample"),
 )
 def vec_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval funnel — the production serving shape for
