@@ -759,3 +759,82 @@ def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "agg_histogram_equidepth",
+    oracle="""
+        WITH tiled AS (
+            SELECT l_extendedprice,
+                   ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey,
+                                  l_linenumber) AS tile
+            FROM lineitem
+        )
+        SELECT tile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(l_extendedprice) AS lo,
+               MAX(l_extendedprice) AS hi,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                         AS VARCHAR) AS DOUBLE) AS total
+        FROM tiled
+        GROUP BY tile
+    """,
+    tags=("agg", "window"),
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (8 tiles of equal row count) — the quantile
+    sibling of agg_histogram_buckets' equi-width bins, and what a cost
+    optimizer's column statistics actually store. Built WITHOUT a
+    single-partition ntile: the two-phase global-rank pattern from
+    win_distribution (equi-width value buckets → per-bucket local
+    row_number in parallel → broadcast prefix offsets → exact global
+    rank), then the SQL ntile bucket rule in integer arithmetic. The
+    tie-break (orderkey, linenumber) makes the tiling unique, so both
+    engines assign identical tiles and even MIN/MAX per tile hash-match."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    mm = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count("*").alias("n"),
+    ).first()
+    mn, mx, n = mm["mn"], mm["mx"], mm["n"]
+    n_buckets = 64
+    span = (mx - mn) or 1.0
+    bkt = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("l_extendedprice") - F.lit(mn)) / F.lit(span) * n_buckets),
+    ).cast("int")
+    bucketed = li.withColumn("bkt", bkt)
+    local = Window.partitionBy("bkt").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    counts = bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
+    off_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bkt", F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("offset")
+    )  # 64-row window — the only serial step
+    k = 8
+    q_, r_ = n // k, n % k
+    ranked = (
+        bucketed.withColumn("local_rn", F.row_number().over(local))
+        .join(F.broadcast(offsets), "bkt")
+        .withColumn("rn", F.col("offset") + F.col("local_rn"))
+    )
+    rn = F.col("rn")
+    tile = F.when(
+        rn <= r_ * (q_ + 1), F.expr(f"(rn - 1) div {q_ + 1}") + 1
+    ).otherwise(F.lit(r_) + F.expr(f"(rn - {r_ * (q_ + 1)} - 1) div {max(q_, 1)}") + 1)
+    return (
+        ranked.withColumn("tile", tile.cast("int"))
+        .groupBy("tile")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.sum(dec("l_extendedprice")).cast("string").cast("double").alias("total"),
+        )
+    )

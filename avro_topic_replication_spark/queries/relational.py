@@ -537,3 +537,55 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         WHERE c.c_custkey < 300
     """)
+
+
+@query(
+    "join_fuzzy_name_match",
+    oracle="""
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               a.c_name AS name_a, b.c_name AS name_b
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND levenshtein(a.c_name, b.c_name) = 1
+        WHERE a.c_custkey < 1000 AND b.c_custkey < 1000
+    """,
+    tags=("join", "fuzzy"),
+)
+def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join — record pairs whose names are ONE
+    edit apart — WITHOUT the quadratic levenshtein join the oracle runs:
+    equal-length distance-1 means exactly one substituted character, so
+    each name explodes into L wildcard masks (position i blanked) and
+    candidates are pairs sharing a mask — the deletion-neighborhood
+    blocking of spell-checker/dedup literature. Work is L rows per
+    record hashed on the mask, candidates only within equal masks;
+    levenshtein then runs on candidates alone as verification. The
+    key bound (< 1000 per side) exists purely so the ORACLE's n² lev
+    join stays feasible at sf0.1 — the masked plan itself is linear in
+    records and is the form that runs unbounded at 100 TB."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1000)
+    L = 18  # Customer#%09d — fixed-width names
+    masks = F.array(
+        *[
+            F.concat(
+                F.substring("c_name", 1, i),
+                F.lit("_"),
+                F.substring("c_name", i + 2, L - i - 1),
+            )
+            for i in range(L)
+        ]
+    )
+    m = c.select("c_custkey", "c_name", F.explode(masks).alias("mask"))
+    a = m.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), "mask"
+    )
+    b = m.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), "mask"
+    )
+    return (
+        a.join(b, "mask")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b")
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") == 1)
+    )
