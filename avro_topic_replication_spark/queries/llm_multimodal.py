@@ -9,10 +9,13 @@ The image path is REAL: payloads are genuine 24-bit BMP files built by the
 zero-dependency codec in functions/bmp.py, and decode / mean-RGB /
 nearest-neighbor resize are actual pixel math over the decoded arrays —
 oracle-checked because the deterministic fixture pixels are reproducible
-analytically in SQL. Only formats that genuinely need external codecs stay
-env-gated (JPEG/PNG via PIL, video frames via ffmpeg — not in this
-container; decode_image raises NotImplementedError for those, and
-sample_frames keeps its deterministic fake).
+analytically in SQL. As of r5 all three modalities have a REAL codec leg:
+BMP images (functions/bmp.py), WAV/PCM audio (functions/wav.py), and Y4M
+video (functions/y4m.py — header parse + FRAME demux). Only compressed
+formats that genuinely need external codecs stay env-gated (JPEG/PNG via
+PIL, MP4/WebM via ffmpeg — not in this container; decode_image raises
+NotImplementedError for those, and sample_frames keeps its deterministic
+fake for the byte-chunk pseudo-frame path).
 
 Reference parity: the reference treats Kafka values as opaque bytes +
 external schema (application.yml:11-12) — the same opaque-payload pattern
@@ -447,5 +450,85 @@ def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, orig_bytes long, down_bytes long, n_down long, "
             "down_rate int, down_peak long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video leg (real Y4M demux — functions/y4m.py; MP4/WebM stay env-gated)
+# ---------------------------------------------------------------------------
+# Deterministic fixture clip per doc: n_frames = 3 + doc_id % 4, 4×4 luma
+# pixels y = (doc_id·5 + f·7 + p) mod 256 — integers, trivially mirrored in
+# SQL, so the sampled-frame statistics have an exact analytic oracle.
+
+_VW = _VH = 4
+
+
+def _synth_frames(doc_id: int) -> np.ndarray:
+    n = 3 + doc_id % 4
+    f = np.arange(n).reshape(n, 1, 1)
+    p = np.arange(_VH * _VW).reshape(1, _VH, _VW)
+    return ((doc_id * 5 + f * 7 + p) % 256).astype(np.uint8)
+
+
+def _video_stat_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..functions.y4m import y4m_decode, y4m_encode
+
+    for pdf in it:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            payload = y4m_encode(_synth_frames(int(doc_id)))  # REAL Y4M bytes
+            frames, fps = y4m_decode(payload)  # REAL header parse + demux
+            sampled = frames[::2]  # every 2nd frame, order-preserving
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "n_frames": int(frames.shape[0]),
+                    "n_sampled": int(sampled.shape[0]),
+                    "fps": fps[0] / fps[1],
+                    "sum_y_sampled": int(sampled.astype(np.int64).sum()),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "mm_video_frame_stats",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id, f.f, p.p,
+                   (d.doc_id * 5 + f.f * 7 + p.p) % 256 AS y
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d,
+                 LATERAL (SELECT unnest(range(0, 3 + d.doc_id % 4)) AS f) f,
+                 LATERAL (SELECT unnest(range(0, 16)) AS p) p
+        )
+        SELECT doc_id,
+               CAST(COUNT(DISTINCT f) AS BIGINT) AS n_frames,
+               CAST(COUNT(DISTINCT CASE WHEN f % 2 = 0 THEN f END) AS BIGINT)
+                   AS n_sampled,
+               25.0 AS fps,
+               CAST(SUM(CASE WHEN f % 2 = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS sum_y_sampled
+        FROM px
+        GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "udf", "defer-sample"),
+)
+def mm_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling with REAL demuxing: Y4M clips are encoded and
+    decoded executor-side through the pure-Python YUV4MPEG2 codec
+    (functions/y4m.py — stream-header parse, FRAME-marker walk, planar
+    4:2:0 layout), every 2nd frame is sampled, and the sampled luma sum
+    + frame counts + parsed fps are all hash-checked by an analytic
+    oracle over the deterministic clip. This de-stubs the video leg the
+    same way bmp.py/wav.py de-stubbed images and audio — only compressed
+    containers (MP4/WebM) remain env-gated (sample_frames' documented
+    stub). Arrow-batched mapInPandas; payloads never touch the driver."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id").mapInPandas(
+        _video_stat_batches,
+        schema=(
+            "doc_id long, n_frames long, n_sampled long, fps double, "
+            "sum_y_sampled long"
         ),
     )

@@ -301,3 +301,63 @@ def test_token_gram_helper_cross_engine_parity(spark):
         sql = f"SELECT id, {_token_grams_sql('text', n)} AS g FROM t"
         want = {int(r[0]): sorted(r[1]) for r in con.execute(sql).fetchall()}
         assert got == want, f"n={n}: {got} != {want}"
+
+
+def test_array_higher_order_cross_engine_parity(spark):
+    """Higher-order array functions over randomized int arrays (fixed
+    seed): Spark's transform/filter/aggregate/zip_with/slice/distinct/
+    sort against DuckDB's list_* dialect — the array surface the scalar
+    registry queries rely on, swept over 60 random arrays including
+    empties and duplicates."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    arrays = [
+        rng.integers(-20, 20, size=rng.integers(0, 12)).tolist() for _ in range(60)
+    ]
+    pdf = pd.DataFrame({"id": range(len(arrays)), "a": arrays})
+    sdf = spark.createDataFrame(pdf.assign(a=pdf.a.map(list)))
+    sdf.createOrReplaceTempView("arr_t")
+    con = duckdb.connect()
+    con.register("arr_t", pdf)
+
+    # second dialect difference from this sweep: DuckDB's
+    # array_to_string returns NULL for an empty list where Spark's
+    # array_join returns '' — the coalesces below pin that down
+    cases = [  # (spark SQL expr, duckdb SQL expr)
+        ("size(a)", "len(a)"),
+        # dialect difference found by this sweep: DuckDB's list_reduce
+        # ERRORS on an empty list (Spark's seeded aggregate returns the
+        # seed) — any oracle using list_reduce must guard emptiness
+        ("aggregate(a, CAST(0 AS BIGINT), (acc, x) -> acc + x)",
+         "CASE WHEN len(a) = 0 THEN 0 ELSE list_reduce(a, (acc, x) -> acc + x) END"),
+        ("array_join(transform(a, x -> x * 2 + 1), ',')",
+         "coalesce(array_to_string(list_transform(a, x -> x * 2 + 1), ','), '')"),
+        ("array_join(filter(a, x -> x > 0), ',')",
+         "coalesce(array_to_string(list_filter(a, x -> x > 0), ','), '')"),
+        ("array_join(slice(a, 1, 3), ',')",
+         "coalesce(array_to_string(list_slice(a, 1, 3), ','), '')"),
+        ("array_join(array_sort(array_distinct(a)), ',')",
+         "coalesce(array_to_string(list_sort(list_distinct(a)), ','), '')"),
+        ("array_join(zip_with(a, a, (x, y) -> x + y), ',')",
+         "coalesce(array_to_string(list_transform(a, x -> x + x), ','), '')"),
+        ("array_max(a)", "list_aggregate(a, 'max')"),
+        ("array_position(a, 3)", "coalesce(list_position(a, 3), 0)"),
+        ("array_contains(a, 7)", "list_contains(a, 7)"),
+    ]
+    for s_expr, d_expr in cases:
+        got = {r["id"]: r["v"] for r in
+               spark.sql(f"SELECT id, {s_expr} AS v FROM arr_t").collect()}
+        want = {int(r[0]): r[1] for r in
+                con.execute(f"SELECT id, {d_expr} AS v FROM arr_t").fetchall()}
+        norm = lambda v: None if v is None else (int(v) if isinstance(v, (bool, int)) and not isinstance(v, bool) else v)
+        for i in got:
+            g, w = got[i], want[i]
+            if isinstance(g, bool) or isinstance(w, bool):
+                assert bool(g) == bool(w), (s_expr, i, g, w)
+            else:
+                assert (g is None and w is None) or g == w or (
+                    g is not None and w is not None and int(g) == int(w)
+                ), (s_expr, i, g, w)

@@ -341,3 +341,26 @@ def test_wav_codec_roundtrip():
     spliced = data[:36] + extra + data[36:]
     s2, sr2 = wav_decode(spliced)
     assert sr2 == 16000 and np.array_equal(s, s2)
+
+
+def test_y4m_codec_roundtrip():
+    """Y4M codec property test: encode→decode identity for random luma
+    stacks at several frame counts/sizes, fps preserved, zero frames
+    handled, non-420 chroma tags rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from avro_topic_replication_spark.functions.y4m import y4m_decode, y4m_encode
+
+    rng = np.random.default_rng(13)
+    for n in (0, 1, 4):
+        for h, w in ((2, 2), (4, 4), (6, 8)):
+            frames = rng.integers(0, 256, size=(n, h, w)).astype(np.uint8)
+            data = y4m_encode(frames, fps=(30, 1))
+            out, fps = y4m_decode(data)
+            assert fps == (30, 1)
+            assert out.shape == frames.shape and np.array_equal(out, frames)
+
+    bad = b"YUV4MPEG2 W4 H4 F25:1 C444\n"
+    with _pytest.raises(ValueError, match="C420"):
+        y4m_decode(bad)
