@@ -716,3 +716,183 @@ def pipeline_pretraining_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring span rewriting (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better"): repeated token spans are removed
+# corpus-wide — keeping the FIRST occurrence — and every document is
+# REASSEMBLED from its surviving spans. This is the one dedup shape the
+# rest of the family doesn't cover: dedup_exact drops whole documents,
+# dedup_minhash_lsh/dedup_ngram_jaccard report pairs — this one rewrites
+# content. The paper's suffix array is replaced by the scalable Spark
+# approximation production pipelines use: non-overlapping k-token spans,
+# global keep-first on the span key.
+# --------------------------------------------------------------------------
+
+_SPAN = 8  # tokens per span (the paper's 50-token threshold, scaled to corpus)
+
+
+@query(
+    "dedup_span_rewrite",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, g.i AS pos,
+                   array_to_string(
+                       list_slice(t, g.i * {_SPAN} + 1, g.i * {_SPAN} + {_SPAN}),
+                       ' ') AS chunk
+            FROM toks,
+                 LATERAL (SELECT unnest(range(0,
+                     CAST(ceil(len(t) / {_SPAN}.0) AS BIGINT))) AS i) g
+        ),
+        ranked AS (
+            SELECT doc_id, pos, chunk,
+                   row_number() OVER (PARTITION BY chunk
+                                      ORDER BY doc_id, pos) AS rn
+            FROM chunks
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END,
+                                   ' ' ORDER BY pos), '') AS rewritten
+        FROM ranked
+        GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "curation", "defer-sample"),
+)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with document REWRITING: chunk every doc into
+    non-overlapping 8-token spans, keep only the globally FIRST occurrence
+    of each span (ordered by doc_id, then position), and reassemble each
+    document from its surviving spans in order. Returns per-doc span
+    accounting plus the rewritten text, hash-checked against the oracle.
+
+    Scale shape: one shuffle keyed on the span string for the keep-first
+    row_number (each window partition is duplicate-group sized — bounded
+    and unskewed after exact dedup upstream), one shuffle on doc_id for
+    reassembly. The span shuffle must carry the text exactly once (the
+    survivor's content IS the output), so keying by the string rather
+    than a hash costs nothing extra and keeps the result bit-exact; at
+    100 TB you'd key on a 128-bit content hash and join text back from
+    the winning (doc_id, pos). No suffix array, no all-pairs — O(corpus)
+    rows through two hash shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {_SPAN}.0) as int) - 1),"
+                f" i -> array_join(slice(split(text, ' '), i * {_SPAN} + 1, {_SPAN}), ' '))"
+            )
+        ).alias("pos", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") == 1, F.struct("pos", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("rewritten"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Filter-funnel yield accounting: every production curation pipeline ships
+# a "where did my data go" report — documents surviving each filter stage
+# in sequence, with per-stage yield. One corpus pass, one 1-row global
+# aggregate, unpivoted driver-side-free into stage rows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_filter_funnel",
+    oracle="""
+        WITH f AS (
+            SELECT n_chars BETWEEN 100 AND 400 AS b1,
+                   len(list_distinct(string_split(text, ' '))) * 1.0
+                       / len(string_split(text, ' ')) >= 0.4 AS b2,
+                   lang = 'en' AS b3
+            FROM documents
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN b1 AND b2 AND b3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n3
+            FROM f
+        )
+        SELECT stage, stage_name, n_in, n_out,
+               CASE WHEN n_in = 0 THEN 0.0
+                    ELSE CAST(n_out AS DOUBLE) / n_in END AS yield_frac
+        FROM (
+            SELECT CAST(1 AS BIGINT) AS stage, 'length' AS stage_name,
+                   n0 AS n_in, n1 AS n_out FROM tot
+            UNION ALL
+            SELECT 2, 'repetition', n1, n2 FROM tot
+            UNION ALL
+            SELECT 3, 'language', n2, n3 FROM tot
+        )
+    """,
+    tags=("llm", "curation", "defer-sample"),
+)
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survival accounting for a three-stage quality funnel
+    (length gate → distinct-token-ratio repetition gate → language gate):
+    each output row reports documents entering and surviving that stage
+    when the stages apply in sequence, plus the stage yield.
+
+    Scale shape: the three predicates evaluate inside the scan stage
+    (pure column expressions, whole-stage codegen), one map-side-combined
+    global aggregate reduces the corpus to a single count row, and the
+    stage unpivot is a 3-row stack over that row — the whole report costs
+    one pass and one 4-long shuffle regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    flags = d.select(
+        F.col("n_chars").between(100, 400).alias("b1"),
+        (F.size(F.array_distinct(t)) * F.lit(1.0) / F.size(t) >= 0.4).alias("b2"),
+        (F.col("lang") == "en").alias("b3"),
+    )
+    tot = flags.agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("b1"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("b1") & F.col("b2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("b1") & F.col("b2") & F.col("b3"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n3"),
+    )
+    stages = tot.selectExpr(
+        "stack(3, "
+        "cast(1 as bigint), 'length', n0, n1, "
+        "cast(2 as bigint), 'repetition', n1, n2, "
+        "cast(3 as bigint), 'language', n2, n3"
+        ") as (stage, stage_name, n_in, n_out)"
+    )
+    return stages.select(
+        "stage",
+        "stage_name",
+        "n_in",
+        "n_out",
+        F.when(F.col("n_in") == 0, F.lit(0.0))
+        .otherwise(F.col("n_out").cast("double") / F.col("n_in"))
+        .alias("yield_frac"),
+    )
