@@ -15,7 +15,16 @@ surface a user migrating from any mature engine expects:
 - ``udf_udtf_table_arg``: a UDTF consuming ``TABLE(...) PARTITION BY``
   input — the SQL-native form of grouped custom table functions.
 
-All four run against the driver testdata and hash-match DuckDB oracles
+Batch 2 (same round) adds the rest of the daily-driver engine surface:
+``sql_pipe_syntax`` (|> chains), ``sql_group_by_all_offset`` (GROUP BY
+ALL / ORDER BY ALL / OFFSET), ``fn_lateral_column_alias`` (select-list
+derivation chains), ``agg_observe_metrics`` (observe() named metrics —
+input accounting from the same job, no second scan), and
+``join_runtime_bloom_filter`` (runtime bloom-filter pruning of a shuffle
+join's application side — the mechanism that keeps selective fact⋈dim
+joins shuffle-light at 100 TB).
+
+All run against the driver testdata and hash-match DuckDB oracles
 (the UDTF via a window-function twin). Reference parity: none (the
 reference has no SQL surface); [EXT] per SURVEY §2.2.
 """
@@ -26,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.numeric import dec_sum
 from . import query
 
 
@@ -230,3 +240,216 @@ def udf_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# --------------------------------------------------------------------------
+# r5 batch 2: SQL pipe syntax, GROUP BY ALL / ORDER BY ALL / OFFSET,
+# lateral column aliases, observe() metrics, and runtime bloom-filter
+# join pruning — the remaining engine-surface items a Spark 4 user
+# exercises daily.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice > 100
+        GROUP BY o_orderstatus
+    """,
+    tags=("sql", "spark4", "defer-sample"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's |> operator chain): the same logical
+    plan as the WHERE→GROUP BY form — Catalyst resolves pipes during
+    parsing, so pushdown/pruning/codegen are identical — checked against
+    a plain-ANSI oracle. The price sum goes through DECIMAL(18,2) so the
+    cross-engine hash is order-independent."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_p")
+    return spark.sql(
+        """
+        FROM orders_p
+        |> WHERE o_totalprice > 100
+        |> AGGREGATE count(*) AS n,
+                     cast(round(sum(cast(o_totalprice as decimal(18,4))), 2)
+                          as double) AS total
+           GROUP BY o_orderstatus
+        |> SELECT o_orderstatus, n, total
+        """
+    )
+
+
+@query(
+    "sql_group_by_all_offset",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        LIMIT 5 OFFSET 2
+    """,
+    tags=("sql", "spark4", "defer-sample"),
+)
+def sql_group_by_all_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL + LIMIT/OFFSET (Spark 3.4/4 SQL
+    niceties, same dialect as DuckDB): grouping keys inferred from the
+    non-aggregate select list, total order over all columns, then a
+    paginated window. The (status, priority) group keys are unique, so
+    ORDER BY ALL is a total order and the OFFSET slice is deterministic —
+    which is what makes this oracle-checkable at all."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_g")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_g
+        GROUP BY ALL
+        ORDER BY ALL
+        LIMIT 5 OFFSET 2
+        """
+    )
+
+
+@query(
+    "fn_lateral_column_alias",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS dbl,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) + 1
+                   AS dblp1,
+               (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) + 1)
+                   * 10 AS chained
+        FROM orders
+        WHERE o_orderkey < 200
+    """,
+    tags=("sql", "spark4", "defer-sample"),
+)
+def fn_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): a select-list expression can
+    reference an alias defined earlier in the SAME select list, so
+    derivation chains don't need nested subqueries. The oracle (DuckDB
+    has no lateral aliases) re-states each expression fully — equal
+    results prove the sugar resolves to the same expressions. Decimal
+    arithmetic keeps the chain bit-exact across engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lca")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               cast(cast(o_totalprice as decimal(18,2)) * 2 as double) AS dbl,
+               dbl + 1 AS dblp1,
+               dblp1 * 10 AS chained
+        FROM orders_lca
+        WHERE o_orderkey < 200
+        """
+    )
+
+
+@query(
+    "agg_observe_metrics",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("sql", "spark4", "observability", "defer-sample"),
+)
+def agg_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """observe() named metrics (the batch arm of the observability story —
+    the streaming arm is the replication listener): an Observation rides
+    the scan of this aggregation and accumulates row count / sum / max at
+    execution time, with ZERO extra passes — metrics fall out of the same
+    job that computes the result. The returned DataFrame is the ordinary
+    oracle-checked aggregate; `tests/test_engine4.py` asserts the
+    observed metric values equal the table's true totals after a single
+    action. At 100 TB this is how you get input accounting (rows read,
+    value bounds) without a second scan."""
+    from pyspark.sql import Observation
+
+    obs = Observation("orders_metrics")
+    d = load_table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_read"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    out = d.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n"), dec_sum("o_totalprice").alias("total")
+    )
+    # stash for the pytest; harmless for the driver (attribute on the fn)
+    agg_observe_metrics.last_observation = obs
+    return out
+
+
+@query(
+    "join_runtime_bloom_filter",
+    oracle="""
+        SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY l.l_returnflag
+    """,
+    tags=("join", "spark4", "runtime-filter", "defer-sample"),
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: a selective filter on the
+    creation side (urgent orders) is compiled into a bloom_filter_agg
+    subquery whose might_contain() predicate is INJECTED into the fact
+    scan — the application side drops non-matching rows before the
+    shuffle, the semantics are untouched (bloom false-positives only pass
+    extra rows into the join, never change its result), and the oracle
+    hash proves it. This is THE mechanism that makes selective fact⋈dim
+    shuffle joins survive 100 TB: shuffle bytes scale with matching rows,
+    not the fact table. Thresholds are forced down for the test-scale
+    data (at real scale the defaults — 10 MB creation side / 10 GB
+    application side — trigger on their own); the broadcast threshold is
+    disabled only to keep the join a shuffle join, since a broadcast join
+    already filters implicitly. Plan-asserted in tests/test_plans.py."""
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                dec_sum("l_extendedprice").alias("revenue"),
+            )
+        )
+        # The bloom injection happens at OPTIMIZATION time, so the plan
+        # must execute while the forced thresholds are active — an eager
+        # localCheckpoint of the (flags-sized) result pins that, and the
+        # confs restore before the caller ever runs an action. The plan
+        # string is captured first for tests/test_plans.py.
+        join_runtime_bloom_filter.last_plan = (
+            out._jdf.queryExecution().executedPlan().toString()
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

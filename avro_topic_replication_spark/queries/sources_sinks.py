@@ -75,6 +75,35 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_xml_roundtrip",
+    oracle=_SLICE_SQL,
+    tags=("source", "xml", "defer-sample"),
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + XML source (native in Spark 4 — no spark-xml package):
+    rows become <lineitem> elements under a document root, read back with
+    an explicit schema (same rule as CSV/JSON: schema inference is a
+    second full scan at 100 TB, never on by default). Values must survive
+    the text round trip bit-exactly — Java's double formatting is
+    parse-lossless, which is what makes the hash check possible."""
+    path = _scratch(sf_dir, "xml")
+    (
+        _slice(spark, sf_dir)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "lineitems")
+        .option("rowTag", "lineitem")
+        .save(path)
+    )
+    return (
+        spark.read.schema(_SLICE_SCHEMA)
+        .format("xml")
+        .option("rowTag", "lineitem")
+        .load(path)
+    )
+
+
+@query(
     "sink_parquet_partitioned",
     oracle="""
         SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice,
