@@ -453,3 +453,37 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "sql_parameterized_identifier",
+    oracle="""
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice > 150000.0
+        GROUP BY o_orderstatus
+    """,
+    tags=("sql", "spark4", "defer-sample"),
+)
+def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL + the IDENTIFIER() clause (Spark 4): the table
+    name and the filter threshold arrive as named bind parameters —
+    IDENTIFIER() promotes the string to a relation identifier, the value
+    parameter binds as a typed literal. This is the injection-safe
+    templating surface a SQL-first application uses instead of string
+    interpolation; the plan is identical to the literal form (binding
+    happens at parse time), which the oracle hash proves."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pid")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n,
+               cast(round(sum(cast(o_totalprice as decimal(18,4))), 2)
+                    as double) AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :minp
+        GROUP BY o_orderstatus
+        """,
+        args={"tbl": "orders_pid", "minp": 150000.0},
+    )

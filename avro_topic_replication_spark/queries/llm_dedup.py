@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType
 
@@ -621,4 +621,77 @@ def dedup_ml_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jaccard_sim"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(50)
+    )
+
+
+@query(
+    "dedup_cluster_representatives",
+    oracle=f"""
+        WITH RECURSIVE {_PAIRS_SQL},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (
+            SELECT doc_id FROM documents WHERE doc_id < 300
+            UNION SELECT doc_a FROM pairs
+            UNION SELECT doc_b FROM pairs
+        ),
+        reach AS (
+            SELECT doc_id AS a, doc_id AS b FROM nodes
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY a
+        ),
+        memb AS (
+            SELECT c.doc_id, c.cluster_id, d.n_chars
+            FROM comp c JOIN documents d USING (doc_id)
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_chars DESC, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+            FROM memb
+        )
+        SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+               doc_id AS rep_doc, n_chars AS rep_chars
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("llm", "dedup", "defer-sample"),
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection — the step a production dedup pipeline actually
+    ships: after connected components collapse near-dup pairs into
+    clusters, each cluster keeps its BEST member (here: most content,
+    ties to the smallest doc_id) rather than the arbitrary min-label
+    doc that the components algorithm happens to use as the cluster id.
+    Returns one row per cluster with its size and representative.
+
+    Scale shape: reuses dedup_clusters' iterative label propagation
+    (O(diameter) checkpointed rounds), then one documents join for the
+    quality column and one cluster-keyed window whose partitions are
+    cluster-sized — tiny after dedup. The quality key is pluggable
+    (n_chars here because it's oracle-exact; production uses the
+    text_quality_score / text_rare_token_ratio signals)."""
+    clusters = dedup_clusters(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    memb = clusters.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        memb.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("doc_id").alias("rep_doc"),
+            F.col("n_chars").alias("rep_chars"),
+        )
     )

@@ -453,3 +453,63 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.size(ws), F.lit(1))
         ).alias("bpe_per_word"),
     )
+
+
+@query(
+    "text_rare_token_ratio",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        vocab AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY word
+        ),
+        stats AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS vsize
+            FROM vocab
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.cnt * s.vsize < s.total THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rare,
+               CAST(SUM(CASE WHEN v.cnt * s.vsize < s.total THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS rare_frac
+        FROM tok t JOIN vocab v ON v.word = t.word CROSS JOIN stats s
+        GROUP BY t.doc_id
+    """,
+    tags=("llm", "text", "defer-sample"),
+)
+def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative rarity scoring (the integer-exact stand-in for the
+    CCNet/Gopher LM-perplexity filter, which needs a trained model): a
+    token is "rare" when its corpus count is below the mean vocabulary
+    count, and each document reports how much of it is rare tokens. The
+    mean-count comparison stays in integers (cnt · |V| < Σcnt) — no float
+    thresholds, so the result is bit-exact cross-engine; the one double
+    division happens per output row at the end.
+
+    Scale shape: the vocabulary aggregate partial-combines map-side
+    (word-keyed, zipf-skewed but count-only rows); the corpus stats are a
+    1-row broadcast; the token→vocab join is word-keyed with counts only.
+    At 100 TB the vocab table is millions of rows — still join-sized —
+    and nothing quadratic appears anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = tok.groupBy("word").agg(F.count("*").cast("bigint").alias("cnt"))
+    stats = vocab.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("vsize"),
+    )
+    rare = F.when(F.col("cnt") * F.col("vsize") < F.col("total"), 1).otherwise(0)
+    return (
+        tok.join(vocab, "word")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(rare).cast("bigint").alias("n_rare"),
+            (F.sum(rare).cast("double") / F.count("*")).alias("rare_frac"),
+        )
+    )

@@ -361,3 +361,51 @@ def test_array_higher_order_cross_engine_parity(spark):
                 assert (g is None and w is None) or g == w or (
                     g is not None and w is not None and int(g) == int(w)
                 ), (s_expr, i, g, w)
+
+
+def test_set_operations_cross_engine_parity(spark):
+    """Set-operation fuzz: all six operators (UNION / UNION ALL /
+    INTERSECT [ALL] / EXCEPT [ALL]) over randomized two-column tables
+    (fixed seed) that include NULLs and duplicate rows — pinning the
+    NULL-equality and multiplicity semantics the setops registry family
+    relies on, across 8 random table pairs."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(17)
+    con = duckdb.connect()
+    ops = ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+           "EXCEPT", "EXCEPT ALL"]
+    for trial in range(8):
+        def mk(n):
+            a = rng.integers(0, 4, size=n).astype(object)
+            a[rng.random(n) < 0.2] = None
+            b = rng.integers(0, 3, size=n).astype(object)
+            b[rng.random(n) < 0.2] = None
+            return pd.DataFrame({"a": a, "b": b})
+
+        ta, tb = mk(int(rng.integers(5, 25))), mk(int(rng.integers(5, 25)))
+        spark.createDataFrame(ta.astype("object"), "a long, b long") \
+            .createOrReplaceTempView("fz_sa")
+        spark.createDataFrame(tb.astype("object"), "a long, b long") \
+            .createOrReplaceTempView("fz_sb")
+        con.register("fz_da", ta)
+        con.register("fz_db", tb)
+        for op in ops:
+            got = sorted(
+                ((r["a"], r["b"]) for r in spark.sql(
+                    f"SELECT a, b FROM fz_sa {op} SELECT a, b FROM fz_sb"
+                ).collect()),
+                key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]),
+            )
+            want = sorted(
+                ((None if pd.isna(x) else int(x), None if pd.isna(y) else int(y))
+                 for x, y in con.execute(
+                     f"SELECT a, b FROM fz_da {op} SELECT a, b FROM fz_db"
+                 ).fetchall()),
+                key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]),
+            )
+            got = [(None if x is None else int(x),
+                    None if y is None else int(y)) for x, y in got]
+            assert got == want, (trial, op, got, want)
