@@ -432,12 +432,14 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS max_q,
                CAST(list_reduce(list_transform(qv, x -> abs(x)), (a, b) -> a + b)
                     AS BIGINT) AS sum_abs_q,
-               CAST(CAST(list_reduce(
+               CAST(list_reduce(
                         list_transform(list_zip(embedding, qv),
-                            p -> CAST(POW(CAST(p[1] AS DOUBLE)
-                                          - p[2] * (peak / 127), 2)
-                                 AS DECIMAL(28,16))),
-                        (a, b) -> a + b) AS VARCHAR) AS DOUBLE) AS sq_err
+                            p -> CAST(floor(
+                                (CAST(p[1] AS DOUBLE) - p[2] * (peak / 127))
+                                * (CAST(p[1] AS DOUBLE) - p[2] * (peak / 127))
+                                * 281474976710656.0 + 0.5) AS BIGINT)),
+                        (a, b) -> a + b) AS DOUBLE)
+                   / 281474976710656.0 AS sq_err
         FROM q
     """,
     tags=("llm", "vector", "defer-sample"),
@@ -448,10 +450,16 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     peak/127, q_i = round-half-up(v_i/scale) (spelled floor(x/s + 0.5) so
     both engines round identically — Spark round(double) and numpy each
     do something different), reporting the quantized range, the L1 mass,
-    and the exact squared reconstruction error. The error sum goes
-    through DECIMAL(28,16) (+ the string-cast double route of
-    functions/numeric.py) so Spark's fold and DuckDB's list_reduce agree
-    bit-for-bit. All pure array expressions — no UDF, no shuffle: the
+    and the squared reconstruction error quantized to a 2^-48 grid:
+    err_i = floor((v_i - q_i·s)² · 2^48 + 0.5), summed as exact BIGINTs
+    and divided back out. Every step is a correctly-rounded IEEE hardware
+    op (mul/sub/mul-by-power-of-two/floor — never pow(), never a
+    double→decimal cast), so the two engines are bit-identical BY
+    CONSTRUCTION at any scale; the earlier DECIMAL(28,16) formulation
+    lost a half-ulp at sf0.1 because Spark rounds the double's shortest
+    string repr while DuckDB rounds its binary value. Grid sums stay
+    < 2^53 (err ≤ (s/2)² ≈ 1.6e-5 per dim), so the integer path is
+    exact. All pure array expressions — no UDF, no shuffle: the
     quantizer is a map-only pass that pushes to the scan."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = _dbl(F.col("embedding"))
@@ -466,18 +474,16 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = F.transform(
         _dbl(F.col("embedding")), lambda x: F.floor(x / (F.col("peak") / 127) + 0.5)
     )
-    sq_err = F.aggregate(
-        F.zip_with(
-            _dbl(F.col("embedding")),
-            qv,
-            lambda v, qi: F.pow(v - qi * (F.col("peak") / 127), 2).cast(
-                "decimal(28,16)"
-            ),
-        ),
-        F.lit(0).cast("decimal(28,16)"),
-        # decimal + widens to (29,16); cast back so the fold's accumulator
-        # type is stable (values are ≤ dim·max_err² ≈ 2⁶ — no overflow)
-        lambda a, b: (a + b).cast("decimal(28,16)"),
+    _GRID = 281474976710656.0  # 2^48 — power of two, so the scaling is exact
+
+    def _qerr(v, qi):
+        e = v - qi * (F.col("peak") / 127)
+        return F.floor(e * e * F.lit(_GRID) + 0.5)
+
+    sq_err_grid = F.aggregate(
+        F.zip_with(_dbl(F.col("embedding")), qv, _qerr),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
     )
     return q.select(
         "vec_id",
@@ -488,7 +494,7 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("sum_abs_q"),
-        sq_err.cast("string").cast("double").alias("sq_err"),
+        (sq_err_grid.cast("double") / F.lit(_GRID)).alias("sq_err"),
     )
 
 

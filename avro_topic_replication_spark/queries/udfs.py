@@ -8,6 +8,10 @@ Ladder of Python-extension points, worst-to-best for 100 TB:
 - pandas_udf (scalar): Arrow-batched, vectorized numpy — 10-100× the
   row UDF; the right tool when an expression genuinely needs Python.
 - pandas_udf (grouped agg) + applyInPandas: per-group vectorized kernels.
+- mapInArrow / applyInArrow (Spark 4): Arrow RecordBatch/Table in and out
+  with NO pandas materialization — zero-copy for strings/binary, the top
+  rung when the kernel speaks Arrow compute or feeds an Arrow-native
+  library (tokenizers, image decoders, parquet writers).
 - UDTF: one row in, many rows out, arrow-batched.
 
 Cross-engine exactness notes: integer kernels are trivially exact; float
@@ -197,4 +201,96 @@ def udf_udtf_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, f.pos, f.word "
         "FROM __udtf_docs, LATERAL first_words(text) AS f"
+    )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+        SELECT doc_id,
+               CAST(n_chars * 2 AS BIGINT) AS n2,
+               CAST(length(string_split(text, ' ')[1]) AS INTEGER) AS first_len
+        FROM documents
+    """,
+    tags=("udf", "arrow", "defer-sample"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (Spark 4 Arrow-native map): the batch iterator yields
+    pyarrow RecordBatches directly — one memory layout end to end, no
+    pandas materialization, which removes the pandas block-construction
+    overhead pandas UDFs pay and keeps non-numeric columns (strings here)
+    zero-copy. The kernel computes with pyarrow.compute (vectorized C++),
+    so the Python worker never loops over rows. This sits one rung above
+    pandas UDFs on the module's worst-to-best ladder; use it when the
+    kernel is expressible in Arrow compute or feeds an Arrow-native
+    library (tokenizers, parquet writers)."""
+    import pyarrow as pa
+
+    def kernel(it):
+        import pyarrow.compute as pc
+
+        for batch in it:
+            ix = {n: i for i, n in enumerate(batch.schema.names)}
+            first = pc.list_element(
+                pc.split_pattern(batch.column(ix["text"]), " "), 0
+            )
+            yield pa.record_batch(
+                {
+                    "doc_id": batch.column(ix["doc_id"]),
+                    "n2": pc.multiply(
+                        pc.cast(batch.column(ix["n_chars"]), pa.int64()),
+                        pa.scalar(2, pa.int64()),
+                    ),
+                    "first_len": pc.cast(
+                        pc.utf8_length(first), pa.int32()
+                    ),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    return d.mapInArrow(kernel, "doc_id long, n2 long, first_len int")
+
+
+@query(
+    "udf_apply_in_arrow",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("udf", "arrow", "defer-sample"),
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow (Spark 4 Arrow-native grouped map): each language
+    group arrives as ONE pyarrow Table and the kernel reduces it with
+    pyarrow.compute — integer sums, so the result is exact and
+    hash-checked (the aggregation itself is the JVM twin `agg_*`
+    family's job; this query exists to pin the Arrow grouped-map API
+    and its schema/keying contract). Same caveat as applyInPandas: the
+    whole group materializes in one worker, so key cardinality and
+    group size must be bounded — languages here, never doc_id."""
+    import pyarrow as pa
+
+    def kernel(key, table):
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "lang": [key[0]],
+                "n_docs": pa.array([table.num_rows], pa.int64()),
+                "sum_chars": pa.array(
+                    [pc.sum(table.column("n_chars")).as_py()], pa.int64()
+                ),
+                "min_doc": pa.array(
+                    [pc.min(table.column("doc_id")).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").applyInArrow(
+        kernel, "lang string, n_docs long, sum_chars long, min_doc long"
     )
