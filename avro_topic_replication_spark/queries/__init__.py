@@ -35,6 +35,7 @@ _MODULES = (
     "llm_multimodal",
     "llm_sampling",
     "llm_curation",
+    "llm_scoring",
     "engine4",
     "udfs",
     "streaming_batch",
@@ -59,6 +60,7 @@ _FAMILY_ORDER = (
     "replication_pipeline",
     "sources_sinks",
     "llm_curation",  # new in r5 — after the families queued for the r5 sample window
+    "llm_scoring",  # new in r5
     "engine4",  # new in r5
     "relational",
     "tpch",
