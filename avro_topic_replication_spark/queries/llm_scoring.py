@@ -22,6 +22,12 @@ training-shard writing:
 - ``dedup_incremental_batch``: new-arrivals batch deduplicated against
   the existing corpus by content fingerprint — the incremental form of
   ``dedup_exact`` that production ingest actually runs per crawl drop.
+- ``text_bpe_encode``: the learned merges applied corpus-wide through a
+  broadcast distinct-word join (per-doc subword counts and fertility).
+- ``sample_token_budget``: greedy quality-ranked selection up to a
+  global token budget (banded two-phase cumsum, no serial window).
+- ``dedup_semantic_prune``: SemDeDup-shaped semantic pruning — k-means
+  clusters, within-cluster cosine threshold, keep-lowest-id.
 
 Reference parity: none of this exists in the reference
 (timtebeek/avro-topic-replication is a 104-line replication app); the
@@ -32,7 +38,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -241,7 +247,6 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = fp.filter(F.col("doc_id") % 5 != 0).select("fp").distinct()
     batch = fp.filter(F.col("doc_id") % 5 == 0)
     novel = batch.join(corpus, "fp", "left_anti")
-    from pyspark.sql import Window
 
     w = Window.partitionBy("fp").orderBy("doc_id")
     return (
@@ -589,4 +594,183 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("n_subwords").cast("double") / F.count("*"), 6
         ).alias("fertility"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global token-budget selection
+# ---------------------------------------------------------------------------
+
+_BUDGET_FRAC = 0.4  # keep the best docs until 40% of corpus tokens are used
+
+
+@query(
+    "sample_token_budget",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   len({_TOKENS_SQL}) AS n_tokens,
+                   CAST(len(list_filter({_TOKENS_SQL},
+                            w -> list_contains(['the','a','an','and','or','of',
+                                                'to','in','is','was','it','for',
+                                                'on','with','as','at','by','be',
+                                                'this','that'], w)))
+                        AS DOUBLE) / len({_TOKENS_SQL}) AS score
+            FROM documents
+        ),
+        tot AS (SELECT SUM(n_tokens) AS total FROM scored),
+        laid AS (
+            SELECT doc_id, n_tokens, score,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_before
+            FROM scored
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(score, 6) AS score,
+               CAST(cum_before AS BIGINT) AS cum_before
+        FROM laid CROSS JOIN tot
+        WHERE cum_before < CAST({_BUDGET_FRAC} * total AS BIGINT)
+    """,
+    tags=("llm", "scoring", "window", "defer-sample"),
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: rank documents by a quality score
+    (stopword ratio here — the naturalness proxy; the key is pluggable:
+    production swaps in text_lm_perplexity / text_quality_classifier
+    outputs) and keep the best until 40% of the corpus's tokens are
+    spent — how a fixed training-token budget is actually allocated.
+
+    The greedy prefix needs a GLOBAL cumulative sum in quality order;
+    like pack_sequences_chunks, it does NOT use a single-partition
+    window: rows bucket by the quantized score band (floor(50·score),
+    monotone in the sort key, ≤51 bands), the cumsum runs per-band in
+    parallel, and band totals — a ≤51-row aggregate — prefix into
+    broadcast offsets. The token total enters the plan as a broadcast
+    1-row aggregate (no driver fetch). At 100 TB only the band-offset
+    table is serial."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    from .llm_text import STOP_EN, _spark_list
+
+    n_tokens = F.size(toks).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda w: F.array_contains(_spark_list(STOP_EN), w))
+    )
+    scored = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (stop_hits.cast("double") / F.size(toks)).alias("score"),
+    ).withColumn("band", (-F.floor(F.col("score") * 50)).cast("int"))
+    local = Window.partitionBy("band").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    cum_local = F.coalesce(F.sum("n_tokens").over(local), F.lit(0))
+    totals = scored.groupBy("band").agg(F.sum("n_tokens").alias("tot"))
+    off_w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "band", F.coalesce(F.sum("tot").over(off_w), F.lit(0)).alias("offset")
+    )  # <=51-row window — the only serial step
+    grand = scored.agg(F.sum("n_tokens").alias("total"))
+    laid = (
+        scored.withColumn("cum_local", cum_local)
+        .join(F.broadcast(offsets), "band")
+        .withColumn("cum_before", F.col("offset") + F.col("cum_local"))
+        .crossJoin(F.broadcast(grand))
+    )
+    return laid.filter(
+        F.col("cum_before")
+        < (F.lit(_BUDGET_FRAC) * F.col("total")).cast("bigint")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.round("score", 6).alias("score"),
+        F.col("cum_before").cast("bigint").alias("cum_before"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape: cluster, then prune within clusters)
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.42  # corpus-calibrated: the synthetic embeddings peak at 0.51
+_SEM_K = 8
+
+
+@query(
+    "dedup_semantic_prune",
+    tags=("llm", "dedup", "vector", "iterative", "rows-only", "defer-sample"),
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic pruning (Abbas et al. 2023): k-means
+    clusters the embedding space, then ONLY within-cluster pairs are
+    cosine-compared; a vector is dropped when a lower-id clustermate
+    sits above the similarity threshold. Returns one row per vector:
+    (vec_id, cluster, kept).
+
+    Rows-only (rides the iterative k-means; no SQL twin);
+    tests/test_llm_ops.py pins the SemDeDup invariants instead: no two
+    KEPT clustermates above τ, and every dropped vector has a lower-id
+    clustermate above τ.
+
+    Scale shape — the whole point of the cluster-first design: candidate
+    pairs exist only inside clusters, so the quadratic term is
+    Σ_c |c|² with k chosen to bound |c| (k scales with the corpus; at
+    100 TB k ~ n/10⁴ keeps clusters ~10⁴ and the pair work linear-ish).
+    The self-join shuffles on the cluster key; cosine is the same
+    deterministic JVM fold as every vector query; k-means itself is the
+    bounded-driver-traffic operator of operators/kmeans.py."""
+    from ..operators.kmeans import kmeans
+    from .llm_vectors import _dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _, _ = kmeans(spark, e, k=_SEM_K, iters=2)
+    # assignments carry (vec_id, cluster, dist2); rejoin the vectors and
+    # unit-normalize ONCE per row — pair scoring is then a single dot
+    # fold instead of dot + two norms (3× less work on the O(Σ|c|²) side)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    unit = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") / F.col("_n")
+    )
+    # persist: both join sides and the final kept/dropped join consume m —
+    # uncached, the Arrow-UDF assignment pass would re-run per consumer
+    m = (
+        assigned.select("vec_id", "cluster")
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .withColumn("_n", norm)
+        .select("vec_id", "cluster", unit.alias("unit"))
+        .persist()
+    )
+    a = m.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster").alias("cluster"),
+        F.col("unit").alias("ua"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster").alias("cluster"),
+        F.col("unit").alias("ub"),
+    )
+    cos = _dot(F.col("ua"), F.col("ub"))
+    strong = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= _SEM_TAU)
+        .select("cluster", "id_a", "id_b")
+    )
+    dropped = strong.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        m.join(dropped.withColumn("is_dropped", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
+        )
     )

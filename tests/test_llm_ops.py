@@ -500,3 +500,45 @@ def test_bpe_encode_matches_reference(spark, sf_dir, oracle_con):
         for r in QS["text_bpe_encode"].fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_semantic_prune_invariants(spark, sf_dir):
+    """SemDeDup invariants: (a) no two KEPT clustermates sit above the
+    similarity threshold, (b) every DROPPED vector has a lower-id
+    clustermate above it (the reason it was dropped), (c) pruning is
+    cluster-local — all comparisons recomputed independently in numpy."""
+    import numpy as np
+
+    from avro_topic_replication_spark.catalog import load_table
+    from avro_topic_replication_spark.queries.llm_scoring import _SEM_TAU
+
+    rows = QS["dedup_semantic_prune"].fn(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    unit = {k: v / np.sqrt((v * v).sum()) for k, v in emb.items()}
+    assert len(rows) == len(emb)
+
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    eps = 1e-9
+    n_dropped = 0
+    for members in by_cluster.values():
+        members.sort(key=lambda r: r["vec_id"])
+        for i, ri in enumerate(members):
+            for rj in members[i + 1 :]:
+                c = float(unit[ri["vec_id"]] @ unit[rj["vec_id"]])
+                if ri["kept"] and rj["kept"]:
+                    assert c < _SEM_TAU + eps, (ri, rj, c)
+        for rj in members:
+            if not rj["kept"]:
+                n_dropped += 1
+                assert any(
+                    ri["vec_id"] < rj["vec_id"]
+                    and float(unit[ri["vec_id"]] @ unit[rj["vec_id"]])
+                    >= _SEM_TAU - eps
+                    for ri in members
+                ), rj
+    assert n_dropped > 0  # the threshold actually bites on this corpus
