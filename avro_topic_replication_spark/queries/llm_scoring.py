@@ -389,8 +389,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: featurization is a pure projection; LogisticRegression
     training is Spark ML's distributed treeAggregate over the feature
     matrix (driver holds only the coefficient vector, one per feature);
-    scoring is again a map. The same fitted model serves streaming
-    scoring via model.transform on a readStream frame."""
+    scoring applies those coefficients as a sigmoid column expression —
+    whole-stage codegen, no prediction UDF — so the same expression
+    scores a readStream frame unchanged."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
@@ -437,16 +438,26 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         maxIter=12, regParam=0.01, labelCol="label", featuresCol="features"
     )
     model = lr.fit(vec)
-    from pyspark.ml.functions import vector_to_array
-
-    prob = F.element_at(vector_to_array("probability"), 2)
-    scored = model.transform(vec).select(
+    # Score with the fitted coefficients as a plain column expression
+    # (sigmoid of the linear term) instead of model.transform: the
+    # coefficient vector is model-sized driver state, the scoring stays
+    # in whole-stage codegen, and it sidesteps a Spark 4.1 issue where
+    # the ML prediction UDF's closure fails to serialize
+    # (NotSerializableException: ObservationManager) once any observe()
+    # query has run in the session (agg_observe_metrics does).
+    coefs = model.coefficients.toArray().tolist()
+    fcols = [c for c in feats.columns if c.startswith("f_")]
+    margin = sum(
+        (F.col(c) * F.lit(float(w)) for c, w in zip(fcols, coefs)),
+        F.lit(float(model.intercept)),
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return vec.select(
         "doc_id",
         F.col("label").cast("int").alias("label"),
         F.round(prob, 4).alias("prob_quality"),
-        F.col("prediction").cast("int").alias("predicted"),
+        (prob > 0.5).cast("int").alias("predicted"),
     )
-    return scored
 
 
 # ---------------------------------------------------------------------------

@@ -409,3 +409,53 @@ def test_set_operations_cross_engine_parity(spark):
             got = [(None if x is None else int(x),
                     None if y is None else int(y)) for x, y in got]
             assert got == want, (trial, op, got, want)
+
+
+@given(data=st.lists(
+    st.tuples(st.floats(min_value=0.0, max_value=1.0, allow_nan=False,
+                        width=32),
+              st.integers(min_value=0, max_value=500)),
+    min_size=1, max_size=60,
+))
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_banded_two_phase_cumsum_equals_global_window(spark, data):
+    """The banded two-phase prefix sum used by sample_token_budget (and
+    pack_sequences_chunks) must equal a naive single-partition global
+    window for arbitrary (score, n_tokens) inputs — including duplicate
+    scores, zero counts, and scores landing exactly on band boundaries
+    (floor(50·score) edges), where a band-vs-order mismatch would
+    misattribute the offset."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(s), int(n)) for i, (s, n) in enumerate(data)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    banded = df.withColumn("band", (-F.floor(F.col("score") * 50)).cast("int"))
+    local = Window.partitionBy("band").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    totals = banded.groupBy("band").agg(F.sum("n_tokens").alias("tot"))
+    off_w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "band", F.coalesce(F.sum("tot").over(off_w), F.lit(0)).alias("offset")
+    )
+    two_phase = (
+        banded.withColumn(
+            "cum_local", F.coalesce(F.sum("n_tokens").over(local), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "band")
+        .select("doc_id", (F.col("offset") + F.col("cum_local")).alias("cum"))
+    )
+    naive_w = Window.orderBy(F.desc("score"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = df.select(
+        "doc_id", F.coalesce(F.sum("n_tokens").over(naive_w), F.lit(0)).alias("cum")
+    )
+    got = {r["doc_id"]: r["cum"] for r in two_phase.collect()}
+    want = {r["doc_id"]: r["cum"] for r in naive.collect()}
+    assert got == want
