@@ -474,6 +474,67 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_regression",
+    oracle="""
+        WITH sums AS (
+            SELECT l_linestatus,
+                   COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS syy,
+                   CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_linestatus
+        )
+        SELECT l_linestatus, n AS regr_count,
+               sx / n AS regr_avgx,
+               sy / n AS regr_avgy,
+               (sxy - sx * sy / n) / (sxx - sx * sx / n) AS regr_slope,
+               sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sx / n)
+                 AS regr_intercept,
+               ((sxy - sx * sy / n) * (sxy - sx * sy / n))
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS regr_r2
+        FROM sums
+    """,
+    tags=("agg", "stats", "defer-sample"),
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL linear-regression aggregate family (regr_slope / intercept /
+    r2 / count / avgx / avgy — x = quantity, y = extended price, per
+    line status) derived from the same exact decimal power sums as
+    agg_corr: both engines' native regr_* are accumulation-order
+    dependent, a fixed IEEE expression over exact sums is bit-exact
+    and keeps the identical partial-aggregation scalability (the
+    shuffle carries six power sums per group, never rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    sums = li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(q)).cast("string").cast("double").alias("sx"),
+        F.sum(dec(q * q)).cast("string").cast("double").alias("sxx"),
+        F.sum(dec(p)).cast("string").cast("double").alias("sy"),
+        F.sum(dec(p * p)).cast("string").cast("double").alias("syy"),
+        F.sum(dec(q * p)).cast("string").cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (
+        F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy")
+    )
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    return sums.select(
+        "l_linestatus",
+        F.col("n").alias("regr_count"),
+        (sx / n).alias("regr_avgx"),
+        (sy / n).alias("regr_avgy"),
+        slope.alias("regr_slope"),
+        (sy / n - slope * (sx / n)).alias("regr_intercept"),
+        (
+            ((sxy - sx * sy / n) * (sxy - sx * sy / n))
+            / ((sxx - sx * sx / n) * (syy - sy * sy / n))
+        ).alias("regr_r2"),
+    )
+
+
+@query(
     "agg_pivot",
     oracle=f"""
         SELECT l_returnflag,
