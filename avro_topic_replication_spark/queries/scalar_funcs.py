@@ -758,3 +758,40 @@ def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("order_info.price") > 200000) & (F.col("order_info.yr") >= 1997)
         ).alias("is_big_recent"),
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+        SELECT c_custkey,
+               TRY_CAST(c_name AS INTEGER) AS bad_parse,
+               TRY_CAST(string_split(c_name, '#')[2] AS BIGINT) AS parsed_id,
+               CAST(c_acctbal AS DOUBLE)
+                 / CAST(c_custkey % 3 AS DOUBLE) AS ratio_or_null,
+               (string_split(c_name, '#'))[3] AS elem_oob,
+               (string_split(c_name, '#'))[1] AS elem_ok
+        FROM customer
+    """,
+    tags=("scalar", "ansi"),
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-handling expressions: try_cast (malformed parse →
+    NULL), try_divide (x/0 → NULL), try_element_at (out-of-bounds →
+    NULL) — the corrupt-tolerant scalar layer an ingest pipeline uses so
+    one bad record can't fail a 100-TB stage. The DuckDB twin relies on
+    its native NULL-on-error semantics for the same operations (division
+    by zero and list out-of-bounds are NULL there by default), so values
+    match without any CASE emulation; all expressions stay in codegen."""
+    c = load_table(spark, sf_dir, "customer")
+    parts = F.split("c_name", "#")
+    return c.select(
+        "c_custkey",
+        F.expr("try_cast(c_name AS int)").alias("bad_parse"),
+        F.expr("try_cast(element_at(split(c_name, '#'), 2) AS bigint)").alias("parsed_id"),
+        F.try_divide(
+            F.col("c_acctbal").cast("double"),
+            (F.col("c_custkey") % 3).cast("double"),
+        ).alias("ratio_or_null"),
+        F.try_element_at(parts, F.lit(3)).alias("elem_oob"),
+        F.try_element_at(parts, F.lit(1)).alias("elem_ok"),
+    )

@@ -459,3 +459,70 @@ def test_banded_two_phase_cumsum_equals_global_window(spark, data):
     got = {r["doc_id"]: r["cum"] for r in two_phase.collect()}
     want = {r["doc_id"]: r["cum"] for r in naive.collect()}
     assert got == want
+
+
+@given(raw=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),   # user key
+              st.integers(min_value=0, max_value=40),  # ts
+              st.booleans()),                          # is_click
+    min_size=1, max_size=40,
+))
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_carry_forward_matches_duckdb_asof_join(spark, raw):
+    """The union+carry-forward as-of join (join_asof_click_view's
+    algorithm) must agree with DuckDB's NATIVE ASOF LEFT JOIN — an
+    independent implementation, not a SQL re-statement of ours — on
+    arbitrary event sets. View (user, ts) pairs are deduplicated so the
+    ASOF match is unique and both sides are deterministic."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    clicks, views = [], {}
+    for i, (u, ts, is_click) in enumerate(raw):
+        if is_click:
+            clicks.append((i, u, ts))
+        else:
+            views[(u, ts)] = (i, u, ts)  # unique (user, ts) per view
+    views = list(views.values())
+    if not clicks:
+        return
+
+    # Spark: tagged union + one carry-forward window per user
+    rows = [(eid, u, ts, 1, None) for eid, u, ts in clicks] + [
+        (eid, u, ts, 0, eid) for eid, u, ts in views
+    ]
+    df = spark.createDataFrame(
+        rows, "eid long, user long, ts long, is_click int, vid long"
+    )
+    w = (
+        Window.partitionBy("user")
+        .orderBy("ts", "is_click", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["eid"]: r["v"]
+        for r in df.withColumn("v", F.last("vid", ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 1)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c(eid BIGINT, u BIGINT, ts BIGINT)")
+    con.execute("CREATE TABLE v(eid BIGINT, u BIGINT, ts BIGINT)")
+    con.executemany("INSERT INTO c VALUES (?,?,?)", clicks)
+    if views:
+        con.executemany("INSERT INTO v VALUES (?,?,?)", views)
+    want = {
+        eid: vid
+        for eid, vid in con.execute(
+            """
+            SELECT c.eid, v.eid FROM c
+            ASOF LEFT JOIN v ON c.u = v.u AND v.ts <= c.ts
+            """
+        ).fetchall()
+    }
+    assert got == want
