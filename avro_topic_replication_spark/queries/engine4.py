@@ -487,3 +487,50 @@ def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders_pid", "minp": 150000.0},
     )
+
+
+@query(
+    "sql_language_udf",
+    oracle="""
+        CREATE OR REPLACE MACRO disc_price(p, d) AS p * (1 - d);
+        CREATE OR REPLACE MACRO price_band(p) AS
+            CASE WHEN p >= 50000 THEN 'high'
+                 WHEN p >= 10000 THEN 'mid' ELSE 'low' END;
+        SELECT price_band(l_extendedprice) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS revenue
+        FROM lineitem GROUP BY 1
+    """,
+    tags=("sql", "spark4", "defer-sample"),
+)
+def sql_language_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language scalar UDFs (CREATE FUNCTION ... RETURN expr,
+    Spark 3.5+/4): reusable business expressions defined IN SQL, no
+    Python and no JVM closure — the optimizer inlines the body, so the
+    plan is identical to writing the expression in place (codegen,
+    pushdown, partial aggregation all intact: the zero-cost abstraction
+    a SQL-first shop wants). The DuckDB twin declares the same bodies as
+    macros, which DuckDB inlines the same way."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_udf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) "
+        "RETURNS STRING RETURN "
+        "CASE WHEN p >= 50000 THEN 'high' "
+        "WHEN p >= 10000 THEN 'mid' ELSE 'low' END"
+    )
+    return spark.sql(
+        """
+        SELECT price_band(l_extendedprice) AS band,
+               count(*) AS n,
+               cast(round(sum(cast(disc_price(l_extendedprice, l_discount)
+                                   as decimal(18,4))), 2) as double)
+                 AS revenue
+        FROM li_udf GROUP BY 1
+        """
+    )

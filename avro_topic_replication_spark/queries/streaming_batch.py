@@ -737,3 +737,48 @@ def stream_live_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.read.parquet(state_dir).orderBy("user_id")
+
+
+@query(
+    "stream_live_doc_curation",
+    oracle=None,
+    tags=("streaming", "live", "llm", "defer-sample"),
+)
+def stream_live_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time corpus curation through the streaming runtime: the
+    documents table replayed as a stream (each micro-batch ≙ a crawl
+    drop), quality-gated with the same char-level rules as
+    text_quality_score, exact-deduplicated on the whitespace-normalized
+    content fingerprint (streaming dropDuplicates — state is one
+    16-byte key per distinct doc, the streaming twin of
+    dedup_incremental_batch's corpus side), then folded into per-language
+    admitted counts in complete mode. pytest pins the result equal to
+    running the identical gates in batch.
+
+    At scale the source swaps for the Kafka/drop-box ingest feed and the
+    dedup state lives in the state store keyed by fingerprint — new
+    drops check against everything already admitted without any batch
+    recompute."""
+    from ..streaming.replay import documents_stream, run_to_memory
+
+    sdf = documents_stream(spark, sf_dir)
+    n_chars = F.length("text")
+    punct_ratio = (
+        F.regexp_count("text", F.lit(r"[\p{Punct}]")).cast("double") / n_chars
+    )
+    digit_ratio = F.regexp_count("text", F.lit("[0-9]")).cast("double") / n_chars
+    gated = (
+        sdf.filter(
+            n_chars.between(100, 20000)
+            & (punct_ratio < 0.1)
+            & (digit_ratio < 0.2)
+        )
+        .withColumn(
+            "fp", F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        )
+        .dropDuplicates(["fp"])
+    )
+    counts = gated.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_admitted")
+    )
+    return run_to_memory(counts, output_mode="complete")

@@ -61,6 +61,26 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a streaming DataFrame — the ingest-time view
+    of the corpus (each micro-batch is a crawl drop). Same staging
+    mechanics as events_stream; documents carry no event time, so
+    consumers either run time-agnostic operators (filters, unbounded
+    dedup) or attach an ingest timestamp at the source."""
+    import shutil
+
+    ensure_runtime_conf(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    replay_dir = os.path.join(SCRATCH, "replay_docs", sf_tag)
+    staged = os.path.join(replay_dir, "documents.parquet")
+    if not os.path.exists(staged):
+        os.makedirs(replay_dir, exist_ok=True)
+        shutil.copyfile(path, staged)
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).format("parquet").load(replay_dir)
+
+
 def run_to_memory(
     sdf: DataFrame,
     output_mode: str = "append",

@@ -182,3 +182,35 @@ def test_upsert_merge_batch_replay_is_idempotent(spark, tmp_path):
     assert second[2] == (2, "3.0000") and second[3] == (1, "7.0000")
     _merge_upsert_batch(b1, 1, state)  # and its replay is also a no-op
     assert snap() == second
+
+
+def test_streaming_doc_curation_equals_batch(spark, sf_dir):
+    """The streamed quality-gate + fingerprint-dedup + per-language counts
+    must equal the identical gates run in one batch pass."""
+    from pyspark.sql import functions as F
+
+    from avro_topic_replication_spark.catalog import load_table
+    from avro_topic_replication_spark.queries import all_queries
+
+    live = {
+        (r["lang"], r["n_admitted"])
+        for r in all_queries()["stream_live_doc_curation"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    punct = F.regexp_count("text", F.lit(r"[\p{Punct}]")).cast("double") / n_chars
+    digit = F.regexp_count("text", F.lit("[0-9]")).cast("double") / n_chars
+    batch = {
+        (r["lang"], r["n"])
+        for r in d.filter(
+            n_chars.between(100, 20000) & (punct < 0.1) & (digit < 0.2)
+        )
+        .withColumn("fp", F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+        .dropDuplicates(["fp"])
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .collect()
+    }
+    assert live == batch
