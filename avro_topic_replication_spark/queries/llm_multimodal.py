@@ -532,3 +532,82 @@ def mm_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_y_sampled long"
         ),
     )
+
+
+def _frame_hash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    from ..functions.y4m import y4m_decode, y4m_encode
+
+    for pdf in it:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            payload = y4m_encode(_synth_frames(int(doc_id)))  # REAL Y4M bytes
+            frames, _ = y4m_decode(payload)  # REAL demux
+            for f in range(frames.shape[0]):
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "f": f,
+                        "frame_hash": hashlib.md5(
+                            frames[f].tobytes()
+                        ).hexdigest(),
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "mm_frame_dedup",
+    oracle="""
+        WITH fr AS (
+            SELECT d.doc_id, f.f,
+                   (d.doc_id * 5 + f.f * 7) % 256 AS content
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d,
+                 LATERAL (SELECT unnest(range(0, 3 + d.doc_id % 4)) AS f) f
+        ),
+        ranked AS (
+            SELECT doc_id, f,
+                   row_number() OVER (PARTITION BY content
+                                      ORDER BY doc_id, f) AS rn
+            FROM fr
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_first_seen,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_of_earlier
+        FROM ranked GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "dedup", "udf", "defer-sample"),
+)
+def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video frame-level dedup: every clip is REALLY encoded and
+    demuxed (functions/y4m.py), each decoded frame's raw bytes are
+    md5-fingerprinted, and frames are deduplicated corpus-wide — per
+    clip, how many of its frames are globally first-seen vs duplicates
+    of an earlier clip's frame (keep-first by (doc_id, frame_idx)).
+    The oracle is analytic: the fixture's frame content is a pure
+    function of (doc_id·5 + f·7) mod 256, so byte-level hash dedup must
+    agree exactly with content-arithmetic dedup — the hash pass is
+    verified against ground truth, not against itself.
+
+    The production shape for frame dedup at 100 TB of video: decode +
+    hash run Arrow-batched executor-side (payloads never move), the
+    dedup shuffle carries (16-byte hash, doc_id, frame_idx) triples
+    only, and the keep-first window partitions by hash — duplicate-
+    group-sized partitions, same mechanics as dedup_exact_keep_first."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    fr = d.select("doc_id").mapInPandas(
+        _frame_hash_batches, schema="doc_id long, f long, frame_hash string"
+    )
+    w = Window.partitionBy("frame_hash").orderBy("doc_id", "f")
+    ranked = fr.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.sum((F.col("rn") == 1).cast("int")).cast("bigint").alias("n_first_seen"),
+        F.sum((F.col("rn") > 1).cast("int")).cast("bigint").alias("n_dup_of_earlier"),
+    )
