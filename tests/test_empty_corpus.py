@@ -1,0 +1,88 @@
+"""Empty-input robustness: curation operators on a zero-row corpus.
+
+ADVICE r4 found a latent empty-payload bug (mm_frame_sample dropped
+empty docs instead of emitting zero counts). This suite pins the whole
+class: every scalar/aggregation-shaped LLM operator must execute on an
+EMPTY documents/embeddings corpus and return an empty (or all-zero)
+result — never raise. Iterative model-fitting operators (k-means, BPE,
+LogisticRegression) are intentionally excluded: fitting a model on zero
+rows is a caller error, and their docstrings say so.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from avro_topic_replication_spark.queries import all_queries
+
+QS = all_queries()
+
+# Operators whose semantics are well-defined on an empty corpus.
+EMPTY_SAFE = [
+    "text_tokenize_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_shingle_stats",
+    "text_tfidf",
+    "text_pii_redaction",
+    "text_bpe_token_count",
+    "text_repetition_metrics",
+    "text_rare_token_ratio",
+    "text_boilerplate_coverage",
+    "text_lm_perplexity",
+    "dedup_exact",
+    "dedup_exact_keep_first",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_incremental_batch",
+    "dedup_contamination_check",
+    "dedup_span_rewrite",
+    "sample_hash_fraction",
+    "sample_stratified_rates",
+    "split_train_val_test",
+    "sample_token_budget",
+    "pack_sequences_chunks",
+    "shuffle_shard_assign",
+    "sample_language_temperature",
+    "pipeline_corpus_curation",
+    "pipeline_filter_funnel",
+    "vec_norms",
+    "vec_random_projection",
+    "vec_quantize_int8",
+    "vec_cosine_pairs_exact",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    """A testdata dir with the real schemas and ZERO rows."""
+    base = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in ("documents", "embeddings", "events", "lineitem", "orders",
+              "customer", "supplier", "part", "nation", "region"):
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        spark.read.parquet(src).limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, f"{t}.parquet"))
+    return base
+
+
+# Report-shaped queries emit a fixed spine (e.g. the funnel's stage rows)
+# whose identifier columns are non-zero by design; only their COUNT
+# columns must be zero/NULL on an empty corpus.
+_IDENTIFIER_COLS = {"stage", "stage_name"}
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE)
+def test_runs_empty(name, spark, empty_dir):
+    df = QS[name].fn(spark, empty_dir)
+    rows = df.collect()
+    # empty corpus → empty result (or all-zero accounting rows)
+    for r in rows:
+        d = {k: v for k, v in r.asDict().items() if k not in _IDENTIFIER_COLS}
+        assert all(
+            v is None or v == 0 or v == 0.0 or v == "" or v == [] or v is False
+            for v in d.values()
+        ), (name, d)
