@@ -162,3 +162,29 @@ def test_tpch_q22_anti_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q22_idle_customers")
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan  # recent filter pushed
+
+
+def test_random_projection_is_pure_projection(spark, sf_dir):
+    """The JL sign projection must stay a zero-shuffle, zero-Python map:
+    literal matrices folded in codegen, nothing else."""
+    plan = _plan(spark, sf_dir, "vec_random_projection")
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_incremental_dedup_is_anti_join(spark, sf_dir):
+    """Corpus-vs-batch dedup must compile to a hash anti join (never a
+    nested-loop pair scan), with the keep-first window keyed on fp."""
+    plan = _plan(spark, sf_dir, "dedup_incremental_batch")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_perplexity_caches_bigrams_and_broadcasts_counts(spark, sf_dir):
+    """The LM scorer's plan must reuse the cached bigram table (one
+    tokenize pass over the corpus) and broadcast the vocab-bounded count
+    tables into the scoring joins."""
+    plan = _plan(spark, sf_dir, "text_lm_perplexity")
+    assert "InMemoryTableScan" in plan  # cached bigrams reused
+    assert "BroadcastHashJoin" in plan  # count tables broadcast
