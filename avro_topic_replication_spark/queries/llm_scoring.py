@@ -43,12 +43,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import query
-
-_TOKENS_SQL = "string_split_regex(lower(text), '\\s+')"
-
-
-def _tokens_col():
-    return F.split(F.lower("text"), r"\s+")
+from .llm_text import _TOKENS_SQL, _tokens_col  # one tokenizer, all modules
 
 
 # ---------------------------------------------------------------------------
@@ -397,14 +392,11 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .llm_text import STOP_EN, _spark_list
 
+    from .llm_text import quality_gate
+
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens_col()
-    n_chars = F.length("text")
-    punct_ratio = F.regexp_count("text", F.lit(r"[\p{Punct}]")).cast("double") / n_chars
-    digit_ratio = F.regexp_count("text", F.lit("[0-9]")).cast("double") / n_chars
-    weak_label = (
-        n_chars.between(100, 20000) & (punct_ratio < 0.1) & (digit_ratio < 0.2)
-    )
+    weak_label = quality_gate()
     n_tok = F.greatest(F.size(toks), F.lit(1))
     stop_ratio = (
         F.size(F.filter(toks, lambda w: F.array_contains(_spark_list(STOP_EN), w))).cast(
@@ -642,7 +634,7 @@ _BUDGET_FRAC = 0.4  # keep the best docs until 40% of corpus tokens are used
                round(score, 6) AS score,
                CAST(cum_before AS BIGINT) AS cum_before
         FROM laid CROSS JOIN tot
-        WHERE cum_before < CAST({_BUDGET_FRAC} * total AS BIGINT)
+        WHERE cum_before < CAST(floor({_BUDGET_FRAC} * total) AS BIGINT)
     """,
     tags=("llm", "scoring", "window", "defer-sample"),
 )
@@ -691,8 +683,11 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(grand))
     )
     return laid.filter(
+        # explicit floor: Spark's cast(double AS bigint) truncates while
+        # DuckDB's CAST rounds to nearest — floor() first so both engines
+        # use the identical cutoff when 0.4·total is fractional
         F.col("cum_before")
-        < (F.lit(_BUDGET_FRAC) * F.col("total")).cast("bigint")
+        < F.floor(F.lit(_BUDGET_FRAC) * F.col("total")).cast("bigint")
     ).select(
         "doc_id",
         "n_tokens",

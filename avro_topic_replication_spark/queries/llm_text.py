@@ -45,6 +45,23 @@ def _tokens_col():
     return F.split(F.lower("text"), r"\s+")
 
 
+def quality_gate():
+    """THE char-level quality gate (length 100-20000, punct ratio < 0.1,
+    digit ratio < 0.2) as a boolean Column over a ``text`` column — the
+    single definition shared by text_quality_score's passes_quality,
+    pipeline_corpus_curation's filter, text_quality_classifier's weak
+    labels, and stream_live_doc_curation's streaming filter, so one
+    threshold tweak cannot silently desynchronize them."""
+    n_chars = F.length("text")
+    punct_ratio = (
+        F.regexp_count("text", F.lit(r"[\p{Punct}]")).cast("double") / n_chars
+    )
+    digit_ratio = F.regexp_count("text", F.lit("[0-9]")).cast("double") / n_chars
+    return (
+        n_chars.between(100, 20000) & (punct_ratio < 0.1) & (digit_ratio < 0.2)
+    )
+
+
 @query(
     "text_tokenize_stats",
     oracle=f"""
@@ -125,9 +142,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_upper.alias("n_upper"),
         punct_ratio.alias("punct_ratio"),
         digit_ratio.alias("digit_ratio"),
-        (n_chars.between(100, 20000) & (punct_ratio < 0.1) & (digit_ratio < 0.2)).alias(
-            "passes_quality"
-        ),
+        quality_gate().alias("passes_quality"),
     )
 
 
@@ -338,12 +353,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    n_chars = F.length("text")
-    quality = (
-        n_chars.between(100, 20000)
-        & (F.regexp_count("text", F.lit(r"[\p{Punct}]")).cast("double") / n_chars < 0.1)
-        & (F.regexp_count("text", F.lit("[0-9]")).cast("double") / n_chars < 0.2)
-    )
+    quality = quality_gate()
     w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     survivors = (
         d.filter(quality)

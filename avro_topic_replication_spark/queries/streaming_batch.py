@@ -747,12 +747,13 @@ def stream_live_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_live_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time corpus curation through the streaming runtime: the
     documents table replayed as a stream (each micro-batch ≙ a crawl
-    drop), quality-gated with the same char-level rules as
-    text_quality_score, exact-deduplicated on the whitespace-normalized
-    content fingerprint (streaming dropDuplicates — state is one
-    16-byte key per distinct doc, the streaming twin of
-    dedup_incremental_batch's corpus side), then folded into per-language
-    admitted counts in complete mode. pytest pins the result equal to
+    drop), quality-gated with THE shared char-level gate
+    (llm_text.quality_gate), exact-deduplicated on the whitespace-
+    normalized content fingerprint with a DETERMINISTIC survivor
+    (min-doc_id per fingerprint, one streaming aggregation — state is
+    one 16-byte key per distinct doc, the streaming twin of
+    dedup_incremental_batch's corpus side), then rolled up into
+    per-language admitted counts. pytest pins the result equal to
     running the identical gates in batch.
 
     At scale the source swaps for the Kafka/drop-box ingest feed and the
@@ -760,25 +761,25 @@ def stream_live_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops check against everything already admitted without any batch
     recompute."""
     from ..streaming.replay import documents_stream, run_to_memory
+    from .llm_text import quality_gate
 
     sdf = documents_stream(spark, sf_dir)
-    n_chars = F.length("text")
-    punct_ratio = (
-        F.regexp_count("text", F.lit(r"[\p{Punct}]")).cast("double") / n_chars
-    )
-    digit_ratio = F.regexp_count("text", F.lit("[0-9]")).cast("double") / n_chars
-    gated = (
-        sdf.filter(
-            n_chars.between(100, 20000)
-            & (punct_ratio < 0.1)
-            & (digit_ratio < 0.2)
-        )
+    # Deterministic survivor per fingerprint: min_by(lang, doc_id) in ONE
+    # streaming aggregation (streaming dropDuplicates keeps the arbitrary
+    # first arrival, and duplicate fingerprints can span languages — the
+    # counts would then depend on micro-batch order). The per-language
+    # rollup runs in batch on the memory-sink result: two chained
+    # arbitrary groupBys are not a supported streaming shape, and the
+    # admitted-fingerprint table is already dedup-sized.
+    admitted = (
+        sdf.filter(quality_gate())
         .withColumn(
             "fp", F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
         )
-        .dropDuplicates(["fp"])
+        .groupBy("fp")
+        .agg(F.min_by("lang", "doc_id").alias("lang"))
     )
-    counts = gated.groupBy("lang").agg(
+    kept = run_to_memory(admitted, output_mode="complete")
+    return kept.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_admitted")
     )
-    return run_to_memory(counts, output_mode="complete")

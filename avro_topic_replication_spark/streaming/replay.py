@@ -26,6 +26,28 @@ from ..session import ensure_runtime_conf
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
 
 
+def _stage_replay(
+    spark: SparkSession, sf_dir: str, table: str, subdir: str
+) -> DataFrame:
+    """Stage <table>.parquet once into a scratch replay dir (the file
+    source tails a directory listing) and open it with readStream.
+    Shared by every replay source so staleness/caching behavior stays in
+    one place: the staged copy persists for the process lifetime; delete
+    the scratch dir if the testdata is regenerated."""
+    import shutil
+
+    ensure_runtime_conf(spark)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    replay_dir = os.path.join(SCRATCH, subdir, sf_tag)
+    staged = os.path.join(replay_dir, f"{table}.parquet")
+    if not os.path.exists(staged):
+        os.makedirs(replay_dir, exist_ok=True)
+        shutil.copyfile(path, staged)
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).format("parquet").load(replay_dir)
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a streaming DataFrame (event-time ts, µs NTZ).
 
@@ -33,22 +55,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     new files); the testdata is a single file, so it is staged once into a
     scratch replay dir — the cluster equivalent is a drop-box directory or
     a Kafka topic, with an identical downstream plan."""
-    import shutil
-
-    ensure_runtime_conf(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    replay_dir = os.path.join(SCRATCH, "replay", sf_tag)
-    staged = os.path.join(replay_dir, "events.parquet")
-    if not os.path.exists(staged):
-        os.makedirs(replay_dir, exist_ok=True)
-        shutil.copyfile(path, staged)
-    schema = spark.read.parquet(path).schema
-    df = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .load(replay_dir)
-    )
+    df = _stage_replay(spark, sf_dir, "events", "replay")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts",
@@ -67,18 +74,7 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanics as events_stream; documents carry no event time, so
     consumers either run time-agnostic operators (filters, unbounded
     dedup) or attach an ingest timestamp at the source."""
-    import shutil
-
-    ensure_runtime_conf(spark)
-    path = os.path.join(sf_dir, "documents.parquet")
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    replay_dir = os.path.join(SCRATCH, "replay_docs", sf_tag)
-    staged = os.path.join(replay_dir, "documents.parquet")
-    if not os.path.exists(staged):
-        os.makedirs(replay_dir, exist_ok=True)
-        shutil.copyfile(path, staged)
-    schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).format("parquet").load(replay_dir)
+    return _stage_replay(spark, sf_dir, "documents", "replay_docs")
 
 
 def run_to_memory(

@@ -57,12 +57,13 @@ EMPTY_SAFE = [
 
 
 @pytest.fixture(scope="module")
-def empty_dir(spark, tmp_path_factory):
-    """A testdata dir with the real schemas and ZERO rows."""
+def empty_dir(spark, sf_dir, tmp_path_factory):
+    """A testdata dir with the real schemas (taken from the suite's
+    sf_dir, so SPARK_GRAFT_TEST_SF_DIR overrides work) and ZERO rows."""
     base = str(tmp_path_factory.mktemp("empty_sf"))
     for t in ("documents", "embeddings", "events", "lineitem", "orders",
               "customer", "supplier", "part", "nation", "region"):
-        src = f"/root/testdata/sf0.001/{t}.parquet"
+        src = os.path.join(sf_dir, f"{t}.parquet")
         spark.read.parquet(src).limit(0).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(base, f"{t}.parquet"))

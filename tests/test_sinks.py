@@ -192,6 +192,8 @@ def test_streaming_doc_curation_equals_batch(spark, sf_dir):
     from avro_topic_replication_spark.catalog import load_table
     from avro_topic_replication_spark.queries import all_queries
 
+    from avro_topic_replication_spark.queries.llm_text import quality_gate
+
     live = {
         (r["lang"], r["n_admitted"])
         for r in all_queries()["stream_live_doc_curation"]
@@ -199,16 +201,12 @@ def test_streaming_doc_curation_equals_batch(spark, sf_dir):
         .collect()
     }
     d = load_table(spark, sf_dir, "documents")
-    n_chars = F.length("text")
-    punct = F.regexp_count("text", F.lit(r"[\p{Punct}]")).cast("double") / n_chars
-    digit = F.regexp_count("text", F.lit("[0-9]")).cast("double") / n_chars
     batch = {
         (r["lang"], r["n"])
-        for r in d.filter(
-            n_chars.between(100, 20000) & (punct < 0.1) & (digit < 0.2)
-        )
+        for r in d.filter(quality_gate())
         .withColumn("fp", F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")))
-        .dropDuplicates(["fp"])
+        .groupBy("fp")
+        .agg(F.min_by("lang", "doc_id").alias("lang"))
         .groupBy("lang")
         .agg(F.count("*").cast("bigint").alias("n"))
         .collect()
