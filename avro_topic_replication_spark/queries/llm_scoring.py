@@ -90,6 +90,7 @@ _LM_K = 0.5  # add-k smoothing constant
             LEFT JOIN c_bg c ON h.bg = c.bg
             LEFT JOIN c_ctx x ON split_part(h.bg, ' ', 1) = x.w1
             CROSS JOIN vocab
+            WHERE v > 0
         )
         SELECT doc_id,
                COUNT(*) AS n_bigrams,
@@ -164,6 +165,12 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     held = bigrams.filter(F.col("doc_id") % 10 == 0).select(
         "doc_id", F.explode("bgs").alias("bg")
     )
+    # An empty model (V = 0: the train split produced no bigrams) scores
+    # nothing — the smoothing denominator would be zero for every unseen
+    # context. Constant-false filter keeps the schema; the oracle's
+    # WHERE v > 0 is the same rule.
+    if v == 0:
+        held = held.filter(F.lit(False))
     scored = (
         held.join(c_bg, "bg", "left")
         .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))

@@ -16,6 +16,8 @@ predicate space than any fixed query set.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -526,3 +528,43 @@ def test_asof_carry_forward_matches_duckdb_asof_join(spark, raw):
         ).fetchall()
     }
     assert got == want
+
+
+@given(docs=st.lists(
+    st.lists(
+        st.sampled_from(["aa", "b", "cc", "d", "é", "zz"]),
+        min_size=0, max_size=8,
+    ).map(" ".join),
+    min_size=1, max_size=12,
+))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lm_perplexity_fuzz_random_corpora(spark, tmp_path_factory, docs):
+    """The REAL text_lm_perplexity query function against its REAL oracle
+    SQL on adversarial random corpora: empty documents, one-token docs
+    (no bigrams), all-identical docs, non-ASCII tokens, and train/held
+    splits where either side can be empty. Catches smoothing and
+    split-boundary bugs the fixed synthetic corpus can't reach."""
+    import duckdb as _duckdb
+
+    from avro_topic_replication_spark.queries import all_queries
+    from tests.oracle import compare
+
+    q = all_queries()["text_lm_perplexity"]
+    base = str(tmp_path_factory.mktemp("lmfuzz"))
+    rows = [(i, t, "en", "fuzz", len(t)) for i, t in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "documents.parquet")
+    )
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(base, 'documents.parquet')}/*.parquet')"
+    )
+    problems = compare(q.fn(spark, base), con, q.oracle)
+    assert not problems, (docs, problems)
