@@ -523,3 +523,71 @@ def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rare).cast("double") / F.count("*")).alias("rare_frac"),
         )
     )
+
+
+@query(
+    "text_langid_eval",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+        hits AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, w -> list_contains({_sql_list(STOP_EN)}, w))) AS en_hits,
+                   len(list_filter(toks, w -> list_contains({_sql_list(STOP_DE)}, w))) AS de_hits,
+                   len(list_filter(toks, w -> list_contains({_sql_list(STOP_FR)}, w))) AS fr_hits
+            FROM t
+        ),
+        pred AS (
+            SELECT lang,
+                   CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                        WHEN de_hits >= fr_hits THEN 'de'
+                        ELSE 'fr' END AS predicted_lang
+            FROM hits
+        ),
+        conf AS (
+            SELECT lang, predicted_lang, COUNT(*) AS n
+            FROM pred GROUP BY 1, 2
+        ),
+        tot AS (SELECT lang, SUM(n) AS lang_n FROM conf GROUP BY lang)
+        SELECT c.lang, c.predicted_lang, CAST(c.n AS BIGINT) AS n,
+               round(CAST(c.n AS DOUBLE) / t.lang_n, 6) AS frac_of_lang,
+               c.lang = c.predicted_lang AS is_correct
+        FROM conf c JOIN tot t USING (lang)
+    """,
+    tags=("llm", "text", "eval"),
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-quality evaluation for the stopword language ID: the
+    confusion matrix of (true lang, predicted lang) with per-true-lang
+    fractions — the eval harness a curation pipeline runs before
+    trusting a cheap classifier at 100 TB (here it quantifies exactly
+    how the 3-list heuristic collapses es/zh into the en/de/fr label
+    set). Pure reuse of text_lang_id's prediction expression followed by
+    a states²-bounded aggregate and a broadcast totals join — eval cost
+    is scan-dominated, like the classifier itself."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+
+    def hits(words):
+        return F.size(
+            F.filter(toks, lambda w: F.array_contains(_spark_list(words), w))
+        )
+
+    en, de, fr = hits(STOP_EN), hits(STOP_DE), hits(STOP_FR)
+    pred = d.select(
+        "lang",
+        F.when((en >= de) & (en >= fr), "en")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+        .alias("predicted_lang"),
+    )
+    conf = pred.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n"))
+    tot = conf.groupBy("lang").agg(F.sum("n").alias("lang_n"))
+    return conf.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "predicted_lang",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("lang_n"), 6).alias(
+            "frac_of_lang"
+        ),
+        (F.col("lang") == F.col("predicted_lang")).alias("is_correct"),
+    )

@@ -783,3 +783,137 @@ def stream_live_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_admitted")
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week,
+                                  date_trunc('week', e.ts)) // 7 AS INTEGER)
+                       AS weeks_since,
+                   e.user_id
+            FROM events e JOIN first_seen f USING (user_id)
+        ),
+        cohort_sizes AS (
+            SELECT cohort_week, COUNT(*) AS cohort_size FROM first_seen
+            GROUP BY cohort_week
+        )
+        SELECT CAST(a.cohort_week AS DATE) AS cohort_week,
+               a.weeks_since,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users,
+               CAST(s.cohort_size AS BIGINT) AS cohort_size,
+               round(CAST(COUNT(DISTINCT a.user_id) AS DOUBLE)
+                     / s.cohort_size, 6) AS retention
+        FROM activity a JOIN cohort_sizes s USING (cohort_week)
+        GROUP BY a.cohort_week, a.weeks_since, s.cohort_size
+    """,
+    tags=("events", "analytics", "defer-sample"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, one row
+    per (cohort, weeks-since) with active distinct users and the
+    retention fraction of the cohort — the canonical product-analytics
+    rollup.
+
+    Scale shape: first-seen is one groupBy(user) aggregate; the join
+    back is user-keyed (broadcastable while the user dimension fits, the
+    usual case — events outnumber users by orders of magnitude); the
+    final aggregate partial-aggregates map-side. Week truncation is ISO
+    Monday-start in both engines, and weeks_since is integer day-diff
+    div 7 — no float time math anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.join(F.broadcast(first_seen), "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+            / 7
+        )
+        .cast("int")
+        .alias("weeks_since"),
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        activity.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "weeks_since", "cohort_size")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "weeks_since",
+            "active_users",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        trans AS (
+            SELECT prev_type AS from_type, event_type AS to_type,
+                   COUNT(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT from_type, SUM(n) AS tot FROM trans GROUP BY from_type
+        )
+        SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+               round(CAST(t.n AS DOUBLE) / x.tot, 6) AS p
+        FROM trans t JOIN totals x USING (from_type)
+    """,
+    tags=("events", "analytics", "window", "defer-sample"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: consecutive event-type pairs (deterministic order by
+    (ts, event_id)), transition counts, and row-normalized transition
+    probabilities — the sequence-analytics primitive behind journey
+    mining and next-event prediction baselines.
+
+    Scale shape: ONE user-keyed window (lag) — per-user partitions,
+    no global sort — then a states²-bounded aggregate (|event_types|² =
+    25 rows here; bounded by the vocabulary of states, not by event
+    volume) whose totals join is a broadcast of a states-sized table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
+    )
