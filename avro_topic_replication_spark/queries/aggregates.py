@@ -899,3 +899,58 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_extendedprice")).cast("string").cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+        WITH cnt AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        tot AS (SELECT user_id, SUM(n) AS total FROM cnt GROUP BY user_id),
+        terms AS (
+            SELECT c.user_id, t.total,
+                   round(-(CAST(c.n AS DOUBLE) / t.total)
+                         * ln(CAST(c.n AS DOUBLE) / t.total) / ln(2.0), 6)
+                       AS term
+            FROM cnt c JOIN tot t USING (user_id)
+        )
+        SELECT user_id,
+               CAST(total AS BIGINT) AS n_events,
+               CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS entropy_bits
+        FROM terms GROUP BY user_id, total
+    """,
+    tags=("agg", "stats", "defer-sample"),
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy (bits) of the event-type distribution —
+    the information-theoretic aggregate behind behavioral-diversity and
+    data-mixing diagnostics (a user doing one thing scores 0; uniform
+    over 5 types scores log2(5) ≈ 2.32).
+
+    Scale shape: two hash aggregations, both partial-aggregated
+    map-side; per-(user, type) counts are the only event-sized shuffle,
+    the entropy fold runs over a users×types-bounded table.
+    Cross-engine exactness: each -p·log2(p) term is IEEE-deterministic
+    up to the transcendental, so terms round to 6 and sum in
+    DECIMAL(18,6) — shuffle order cannot move the total (the
+    text_lm_perplexity pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    terms = cnt.join(tot, "user_id").select(
+        "user_id",
+        "total",
+        F.round(-p * F.log(p) / F.log(F.lit(2.0)), 6).alias("term"),
+    )
+    return terms.groupBy("user_id", "total").agg(
+        F.sum(F.col("term").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("entropy_bits"),
+    ).select(
+        "user_id",
+        F.col("total").cast("bigint").alias("n_events"),
+        "entropy_bits",
+    )

@@ -917,3 +917,151 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
     )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+            FROM events GROUP BY user_id
+        ),
+        conv AS (
+            SELECT user_id,
+                   CAST(date_diff('second', signup_ts, purchase_ts) AS BIGINT)
+                       AS secs_to_convert
+            FROM firsts
+            WHERE signup_ts IS NOT NULL AND purchase_ts IS NOT NULL
+              AND purchase_ts >= signup_ts
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               CAST(MIN(secs_to_convert) AS BIGINT) AS min_secs,
+               CAST(MAX(secs_to_convert) AS BIGINT) AS max_secs,
+               CAST(CAST(SUM(secs_to_convert) AS DOUBLE) / COUNT(*) AS DOUBLE)
+                   AS avg_secs,
+               CAST(median(secs_to_convert) AS DOUBLE) AS median_secs
+        FROM conv
+    """,
+    tags=("events", "analytics", "defer-sample"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, the gap between first
+    signup and first purchase (when the purchase follows), summarized as
+    count/min/max/mean/median — the funnel-latency readout next to
+    events_funnel_conversion's step counts.
+
+    Scale shape: ONE user-keyed aggregate builds both first-event
+    timestamps via conditional MIN (no self-join of the events table),
+    then a scalar summary; exact median over converted users is the only
+    rank operation and it runs on the users-sized table, not events.
+    Integer second arithmetic everywhere — the mean is one IEEE divide
+    of an exact integer sum."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "signup_ts"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purchase_ts"
+        ),
+    )
+    conv = firsts.filter(
+        F.col("signup_ts").isNotNull()
+        & F.col("purchase_ts").isNotNull()
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+    ).select(
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+        ).alias("secs_to_convert")
+    )
+    return conv.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.min("secs_to_convert").cast("bigint").alias("min_secs"),
+        F.max("secs_to_convert").cast("bigint").alias("max_secs"),
+        (F.sum("secs_to_convert").cast("double") / F.count("*")).alias(
+            "avg_secs"
+        ),
+        F.expr("percentile(secs_to_convert, 0.5)").alias("median_secs"),
+    )
+
+
+@query(
+    "events_rfm_segmentation",
+    oracle="""
+        WITH rfm AS (
+            SELECT user_id,
+                   date_diff('day', MAX(ts), TIMESTAMP '2024-02-01 00:00:00')
+                       AS recency_days,
+                   COUNT(*) AS frequency,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+                        AS DOUBLE) AS monetary
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        scored AS (
+            SELECT user_id, recency_days, frequency, monetary,
+                   ntile(4) OVER (ORDER BY recency_days, user_id) AS r_score,
+                   ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+                   ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+            FROM rfm
+        )
+        SELECT r_score, f_score, m_score,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(CAST(SUM(CAST(monetary AS DECIMAL(18,4))) AS VARCHAR)
+                    AS DOUBLE) AS segment_value
+        FROM scored GROUP BY 1, 2, 3
+    """,
+    tags=("events", "analytics", "window", "defer-sample"),
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per purchasing user, recency (days before the
+    analysis date), frequency, and monetary value, quartile-scored with
+    deterministic tie-breaks (user_id), rolled up to segment counts and
+    value — the classic customer-value cube.
+
+    Scale shape: one purchase-filtered user aggregate (events never
+    self-join); the three ntile windows run over the users-sized table.
+    The windows here are unpartitioned because the scored table is
+    users-sized; at 100 TB with billions of users the quartile cuts come
+    from approx quantiles (sketch_quantile_bottomk's shape) applied as
+    map-side predicates instead — the output contract is identical.
+    Monetary sums are decimal-exact (via-string double conversion, the
+    agg_corr pattern)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    rfm = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.lit("2024-02-01").cast("timestamp"), F.max("ts")
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("string")
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "user_id"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.col("monetary").cast("decimal(18,4)"))
+        .cast("string")
+        .cast("double")
+        .alias("segment_value"),
+    )
