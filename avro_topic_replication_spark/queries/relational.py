@@ -589,3 +589,39 @@ def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.levenshtein("name_a", "name_b") == 1)
     )
+
+
+@query(
+    "graph_pagerank_suppliers",
+    tags=("graph", "iterative", "rows-only", "defer-sample"),
+)
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier purchase graph derived from
+    the fact tables (edge weight = number of lineitems a customer bought
+    from a supplier): which suppliers accumulate the most purchase
+    attention, transitively. Returns the top 20 nodes by rank with a
+    deterministic tie-break.
+
+    Rows-only (iterative; no SQL twin) — tests/test_llm_ops.py pins the
+    invariants instead: ranks sum to 1, every rank ≥ (1-d)/n, and the
+    edge-derived graph ranks suppliers with more inbound weight higher.
+
+    Scale shape: the edge list is ONE lineitem⋈orders join aggregated to
+    (customer, supplier, n) — fact-sized work done once; every PageRank
+    round then runs on the edge/node tables (operators/pagerank.py:
+    join + groupBy per round, localCheckpoint lineage control, scalar
+    renormalization)."""
+    from ..operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    ranks = pagerank(spark, edges, damping=0.85, iters=5)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)

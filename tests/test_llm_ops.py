@@ -542,3 +542,41 @@ def test_semantic_prune_invariants(spark, sf_dir):
                     for ri in members
                 ), rj
     assert n_dropped > 0  # the threshold actually bites on this corpus
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """PageRank sanity: full rank vector sums to 1, every rank is at
+    least the teleport floor (1-d)/n, suppliers (the only nodes with
+    inbound edges in the customer→supplier graph) outrank customers,
+    and more inbound purchase weight → more rank at the top."""
+    from pyspark.sql import functions as F
+
+    from avro_topic_replication_spark.catalog import load_table
+    from avro_topic_replication_spark.operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(spark, edges, iters=5).collect()}
+    n = len(ranks)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    floor = (1 - 0.85) / n
+    assert all(v >= floor * 0.999 for v in ranks.values())
+    supplier_ranks = [v for k, v in ranks.items() if k.startswith("s")]
+    customer_ranks = [v for k, v in ranks.items() if k.startswith("c")]
+    assert min(supplier_ranks) > max(customer_ranks)
+
+    top = {r["node"] for r in QS["graph_pagerank_suppliers"].fn(spark, sf_dir).collect()}
+    inbound = {
+        r["dst"]: r["w"]
+        for r in edges.groupBy("dst").agg(F.sum("weight").alias("w")).collect()
+    }
+    heaviest = max(inbound, key=lambda k: inbound[k])
+    assert heaviest in top
