@@ -2,21 +2,22 @@
 
 The centrality primitive beside connected components (queries/llm_dedup
 clustering): rank mass flows along out-edges each round with damping,
-until the rank vector stabilizes. Implemented exactly like the other
+for a fixed iteration count. Implemented exactly like the other
 iterative operators in this repo (dedup_clusters, kmeans, BPE):
 
 - per round: ONE join of ranks onto the edge list + one groupBy(dst) —
   both hash-shuffles on node keys, partial-aggregated map-side;
-- dangling nodes' mass is redistributed uniformly (a 1-value aggregate,
-  not a collect of data);
+- dangling nodes' mass is redistributed UNIFORMLY (the textbook
+  definition): dangling mass is derived from a 1-value aggregate of the
+  round's contributions, never a collect of data;
 - ``localCheckpoint`` per round truncates the lineage that would
   otherwise double per iteration;
-- the only driver-sized values are the dangling-mass scalar and the
-  convergence delta.
+- the only driver-sized value is the per-round dangling-mass scalar.
 
 At 100 TB the same loop runs with the edge list pre-partitioned
-(bucketed) on src so the per-round join is co-located; rounds are
-O(diameter-ish) for convergence at fixed tolerance.
+(bucketed) on src so the per-round join is co-located; the iteration
+count trades accuracy for rounds (a production run adds an L1-delta
+stop on top, one more scalar per round).
 
 Reference parity: none (the reference has no graph surface); [EXT]
 north-star per SURVEY §2.2.
@@ -36,27 +37,33 @@ def pagerank(
 ) -> DataFrame:
     """PageRank over ``edges(src, dst, weight)``; returns (node, rank).
 
-    Weights are normalized per src (transition probabilities). Ranks are
-    initialized uniform at 1/n and renormalized each round so the total
-    mass stays exactly 1 (dangling redistribution).
+    Weights are normalized per src (transition probabilities); ranks
+    start uniform at 1/n; each round every node receives the teleport
+    share (1-d)/n plus d·(its in-flow + the uniform share of dangling
+    mass), so total mass stays 1 by construction. An EMPTY edge list
+    yields an empty result (no graph → no ranks), not an error.
 
-    The rank loop narrows ``shuffle.partitions`` to 8 for its duration
-    (restored on exit): per-round state is node-table-sized, so at 32
-    partitions task overhead dominates — the same narrowing
-    dedup_clusters and run_to_memory use. A cluster run sizes this to
-    nodes/partition-target instead."""
+    The input edge plan is materialized ONCE up front (localCheckpoint,
+    at the session's shuffle width — the edge build may be fact-sized);
+    only the node-sized rank loop then runs under a narrowed
+    ``shuffle.partitions`` of 8, where task overhead would otherwise
+    dominate (the dedup_clusters / run_to_memory narrowing). A cluster
+    run sizes the loop width to nodes/partition-target instead."""
+    edges = edges.localCheckpoint(eager=True)  # fact-sized build runs once
+    if not edges.take(1):
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank double"
+        )
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        return _pagerank_loop(spark, edges, damping, iters)
+        return _pagerank_loop(edges, damping, iters)
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def _pagerank_loop(
-    spark: SparkSession, edges: DataFrame, damping: float, iters: int
-) -> DataFrame:
+def _pagerank_loop(edges: DataFrame, damping: float, iters: int) -> DataFrame:
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -70,30 +77,37 @@ def _pagerank_loop(
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
         .localCheckpoint(eager=True)
     )
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    # dangling node set is static: nodes with no out-edges (node-sized)
+    dang = nodes.join(
+        out_w, nodes.node == out_w.src, "left_anti"
+    ).localCheckpoint(eager=True)
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint(eager=True)
     for _ in range(iters):
+        # dangling mass (rank held by no-out-edge nodes) rides the SAME
+        # plan as a broadcast 1-row aggregate — no driver round-trip,
+        # exactly one job per round (the checkpoint materialization)
+        dmass = ranks.join(dang, "node").agg(F.sum("rank").alias("dm"))
         contrib = (
             trans.join(ranks, trans.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("in_mass"))
         )
-        # checkpoint FIRST, then take the renormalization scalar from the
-        # checkpointed data — one materializing action per round, the
-        # 1-value agg and the next round's join both reuse it
-        new_ranks = (
+        ranks = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dmass))
             .select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("in_mass", F.lit(0.0))
+                        + F.coalesce("dm", F.lit(0.0)) / n
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
-        )
-        # dangling mass: renormalize so total rank stays exactly 1
-        total = new_ranks.agg(F.sum("rank")).collect()[0][0]
-        ranks = new_ranks.select(
-            "node", (F.col("rank") / F.lit(float(total))).alias("rank")
         )
     return ranks

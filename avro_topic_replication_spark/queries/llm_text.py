@@ -62,6 +62,43 @@ def quality_gate():
     )
 
 
+_LANGID_PRED_SQL = f"""
+        hits AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, w -> list_contains({_sql_list(STOP_EN)}, w))) AS en_hits,
+                   len(list_filter(toks, w -> list_contains({_sql_list(STOP_DE)}, w))) AS de_hits,
+                   len(list_filter(toks, w -> list_contains({_sql_list(STOP_FR)}, w))) AS fr_hits
+            FROM t
+        ),
+        pred AS (
+            SELECT doc_id, lang, en_hits, de_hits, fr_hits,
+                   CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                        WHEN de_hits >= fr_hits THEN 'de'
+                        ELSE 'fr' END AS predicted_lang
+            FROM hits
+        )"""
+
+
+def _langid_hits_and_pred():
+    """Stopword-hit counts and the argmax prediction Column — THE lang-id
+    heuristic, shared by text_lang_id and text_langid_eval so the eval
+    always measures exactly the classifier that runs."""
+    toks = _tokens_col()
+
+    def hits(words):
+        return F.size(
+            F.filter(toks, lambda w: F.array_contains(_spark_list(words), w))
+        )
+
+    en, de, fr = hits(STOP_EN), hits(STOP_DE), hits(STOP_FR)
+    pred = (
+        F.when((en >= de) & (en >= fr), "en")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return en, de, fr, pred
+
+
 @query(
     "text_tokenize_stats",
     oracle=f"""
@@ -150,18 +187,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_lang_id",
     oracle=f"""
         WITH t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
-        hits AS (
-            SELECT doc_id, lang,
-                   len(list_filter(toks, w -> list_contains({_sql_list(STOP_EN)}, w))) AS en_hits,
-                   len(list_filter(toks, w -> list_contains({_sql_list(STOP_DE)}, w))) AS de_hits,
-                   len(list_filter(toks, w -> list_contains({_sql_list(STOP_FR)}, w))) AS fr_hits
-            FROM t
-        )
-        SELECT doc_id, lang, en_hits, de_hits, fr_hits,
-               CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
-                    WHEN de_hits >= fr_hits THEN 'de'
-                    ELSE 'fr' END AS predicted_lang
-        FROM hits
+        {_LANGID_PRED_SQL}
+        SELECT doc_id, lang, en_hits, de_hits, fr_hits, predicted_lang
+        FROM pred
     """,
     tags=("llm", "text"),
 )
@@ -171,22 +199,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tie rule. Column-expression only — at 100 TB this runs
     at scan speed."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens_col()
-
-    def hits(words):
-        return F.size(F.filter(toks, lambda w: F.array_contains(_spark_list(words), w)))
-
-    en, de, fr = hits(STOP_EN), hits(STOP_DE), hits(STOP_FR)
+    en, de, fr, pred = _langid_hits_and_pred()
     return d.select(
         "doc_id",
         "lang",
         en.alias("en_hits"),
         de.alias("de_hits"),
         fr.alias("fr_hits"),
-        F.when((en >= de) & (en >= fr), "en")
-        .when(de >= fr, "de")
-        .otherwise("fr")
-        .alias("predicted_lang"),
+        pred.alias("predicted_lang"),
     )
 
 
@@ -529,20 +549,7 @@ def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_langid_eval",
     oracle=f"""
         WITH t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
-        hits AS (
-            SELECT doc_id, lang,
-                   len(list_filter(toks, w -> list_contains({_sql_list(STOP_EN)}, w))) AS en_hits,
-                   len(list_filter(toks, w -> list_contains({_sql_list(STOP_DE)}, w))) AS de_hits,
-                   len(list_filter(toks, w -> list_contains({_sql_list(STOP_FR)}, w))) AS fr_hits
-            FROM t
-        ),
-        pred AS (
-            SELECT lang,
-                   CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
-                        WHEN de_hits >= fr_hits THEN 'de'
-                        ELSE 'fr' END AS predicted_lang
-            FROM hits
-        ),
+        {_LANGID_PRED_SQL},
         conf AS (
             SELECT lang, predicted_lang, COUNT(*) AS n
             FROM pred GROUP BY 1, 2
@@ -565,21 +572,8 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     a states²-bounded aggregate and a broadcast totals join — eval cost
     is scan-dominated, like the classifier itself."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens_col()
-
-    def hits(words):
-        return F.size(
-            F.filter(toks, lambda w: F.array_contains(_spark_list(words), w))
-        )
-
-    en, de, fr = hits(STOP_EN), hits(STOP_DE), hits(STOP_FR)
-    pred = d.select(
-        "lang",
-        F.when((en >= de) & (en >= fr), "en")
-        .when(de >= fr, "de")
-        .otherwise("fr")
-        .alias("predicted_lang"),
-    )
+    _, _, _, pred_col = _langid_hits_and_pred()
+    pred = d.select("lang", pred_col.alias("predicted_lang"))
     conf = pred.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n"))
     tot = conf.groupBy("lang").agg(F.sum("n").alias("lang_n"))
     return conf.join(F.broadcast(tot), "lang").select(

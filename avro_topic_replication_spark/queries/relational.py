@@ -591,6 +591,23 @@ def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer→supplier edge list from the facts: ONE lineitem⋈orders
+    join aggregated to (customer node, supplier node, lineitem count) —
+    the single fact-sized step of the PageRank query, shared with its
+    invariant test so both always rank the same graph."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+
+
 @query(
     "graph_pagerank_suppliers",
     tags=("graph", "iterative", "rows-only", "defer-sample"),
@@ -613,15 +630,5 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     renormalization)."""
     from ..operators.pagerank import pagerank
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-        .agg(F.count("*").cast("double").alias("weight"))
-    )
-    ranks = pagerank(spark, edges, damping=0.85, iters=5)
+    ranks = pagerank(spark, purchase_graph_edges(spark, sf_dir), damping=0.85, iters=5)
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)

@@ -548,8 +548,6 @@ def test_lm_perplexity_fuzz_random_corpora(spark, tmp_path_factory, docs):
     (no bigrams), all-identical docs, non-ASCII tokens, and train/held
     splits where either side can be empty. Catches smoothing and
     split-boundary bugs the fixed synthetic corpus can't reach."""
-    import duckdb as _duckdb
-
     from avro_topic_replication_spark.queries import all_queries
     from tests.oracle import compare
 
@@ -561,7 +559,7 @@ def test_lm_perplexity_fuzz_random_corpora(spark, tmp_path_factory, docs):
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(base, "documents.parquet")
     )
-    con = _duckdb.connect()
+    con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM read_parquet("
         f"'{os.path.join(base, 'documents.parquet')}/*.parquet')"

@@ -551,19 +551,12 @@ def test_pagerank_invariants(spark, sf_dir):
     and more inbound purchase weight → more rank at the top."""
     from pyspark.sql import functions as F
 
-    from avro_topic_replication_spark.catalog import load_table
     from avro_topic_replication_spark.operators.pagerank import pagerank
-
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-        .agg(F.count("*").cast("double").alias("weight"))
+    from avro_topic_replication_spark.queries.relational import (
+        purchase_graph_edges,
     )
+
+    edges = purchase_graph_edges(spark, sf_dir)
     ranks = {r["node"]: r["rank"] for r in pagerank(spark, edges, iters=5).collect()}
     n = len(ranks)
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
