@@ -53,6 +53,16 @@ EMPTY_SAFE = [
     "vec_random_projection",
     "vec_quantize_int8",
     "vec_cosine_pairs_exact",
+    "events_cohort_retention",
+    "events_markov_transitions",
+    "events_time_to_convert",
+    "events_rfm_segmentation",
+    "events_funnel_conversion",
+    "agg_entropy",
+    "agg_regression",
+    "text_langid_eval",
+    "fn_try_arithmetic",
+    "graph_pagerank_suppliers",
 ]
 
 
