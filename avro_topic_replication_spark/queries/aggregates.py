@@ -954,3 +954,68 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("bigint").alias("n_events"),
         "entropy_bits",
     )
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle="""
+        WITH cuts AS (
+            SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+                   quantile_cont(l_extendedprice, 0.95) AS hi
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(
+                    CASE WHEN l_extendedprice < lo THEN lo
+                         WHEN l_extendedprice > hi THEN hi
+                         ELSE l_extendedprice END AS DECIMAL(18,4)))
+                    AS VARCHAR) AS DOUBLE) / COUNT(*) AS winsorized_mean,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS VARCHAR) AS DOUBLE) / COUNT(*) AS raw_mean
+        FROM lineitem CROSS JOIN cuts
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats", "defer-sample"),
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (outliers clipped to the exact p5/p95 before
+    averaging) next to the raw mean — the robust-statistics aggregate a
+    metrics pipeline uses when heavy tails poison plain averages.
+
+    Scale shape: the clip bounds come from ONE exact-percentile
+    aggregate that rides the plan as a broadcast 1-row relation (no
+    driver fetch); the clipped mean is then an ordinary decimal-exact
+    partial-aggregated sum. At 100 TB the exact percentile swaps for
+    approx_percentile (or the bottom-k sketch) with the identical
+    downstream plan. Spark's percentile() and DuckDB's quantile_cont
+    both linearly interpolate, so the bounds match bit-for-bit; sums
+    are via-string decimal-exact (the agg_corr pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    p = F.col("l_extendedprice")
+    clipped = (
+        F.when(p < F.col("lo"), F.col("lo"))
+        .when(p > F.col("hi"), F.col("hi"))
+        .otherwise(p)
+    )
+    return (
+        li.crossJoin(F.broadcast(cuts))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (
+                F.sum(clipped.cast("decimal(18,4)"))
+                .cast("string")
+                .cast("double")
+                / F.count("*")
+            ).alias("winsorized_mean"),
+            (
+                F.sum(p.cast("decimal(18,4)")).cast("string").cast("double")
+                / F.count("*")
+            ).alias("raw_mean"),
+        )
+    )

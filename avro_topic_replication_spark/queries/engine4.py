@@ -534,3 +534,41 @@ def sql_language_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM li_udf GROUP BY 1
         """
     )
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+        SELECT r_name,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               'emea_check' AS tag
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('EUROPE', 'AFRICA', 'MIDDLE EAST')
+        GROUP BY r_name
+    """,
+    tags=("sql", "spark4", "defer-sample"),
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (DECLARE / SET VARIABLE, Spark 4): typed,
+    session-scoped state referenced from later statements — the
+    procedural-SQL glue scripts use instead of client-side string
+    building. The variables bind at parse time, so the executed plan is
+    identical to the literal form (the oracle hash proves it; DuckDB
+    mirrors with inlined literals)."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_sv")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region_sv")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE emea_regions ARRAY<STRING> "
+        "DEFAULT array('EUROPE', 'AFRICA', 'MIDDLE EAST')"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE result_tag STRING DEFAULT 'emea_check'")
+    return spark.sql(
+        """
+        SELECT r_name,
+               count(*) AS n_nations,
+               result_tag AS tag
+        FROM nation_sv JOIN region_sv ON n_regionkey = r_regionkey
+        WHERE array_contains(emea_regions, r_name)
+        GROUP BY r_name
+        """
+    )

@@ -1065,3 +1065,67 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("segment_value"),
     )
+
+
+@query(
+    "events_activity_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        grp AS (
+            SELECT user_id, d,
+                   d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                            AS INTEGER) AS anchor
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, COUNT(*) AS len, MIN(d) AS streak_start
+            FROM grp GROUP BY user_id, anchor
+        ),
+        best AS (
+            SELECT user_id, len, streak_start,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY len DESC, streak_start) AS rn
+            FROM streaks
+        )
+        SELECT user_id, CAST(len AS BIGINT) AS longest_streak_days,
+               streak_start
+        FROM best WHERE rn = 1
+    """,
+    tags=("events", "analytics", "window", "defer-sample"),
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (classic
+    gaps-and-islands: distinct active days, anchor = day minus its
+    per-user rank so consecutive runs share an anchor, longest island
+    wins with earliest-start tie-break) — the engagement metric next to
+    the cohort matrix.
+
+    Scale shape: distinct(user, day) collapses events to at most
+    users×days rows in one partial-aggregated shuffle; both windows
+    partition by user (no global ordering); everything else is integer
+    date arithmetic, identical in both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"), F.min("d").alias("streak_start")
+    )
+    best_w = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(best_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("bigint").alias("longest_streak_days"),
+            "streak_start",
+        )
+    )
