@@ -63,6 +63,9 @@ EMPTY_SAFE = [
     "text_langid_eval",
     "fn_try_arithmetic",
     "graph_pagerank_suppliers",
+    "agg_winsorized_mean",
+    "events_activity_streaks",
+    "sql_session_variables",
 ]
 
 
