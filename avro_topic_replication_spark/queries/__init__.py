@@ -44,30 +44,74 @@ _MODULES = (
 )
 
 # Presentation order for the registry. The external correctness harness samples
-# a fixed-size prefix of the registry each round, so the prefix rotates to the
-# families whose oracle-bearing queries have not yet received a harness row
-# (rounds 1-4 sampled relational/tpch/aggregates/windows/setops/scalar_funcs).
-# Within the ordering, oracle-bearing queries come before rows-only ones so the
-# sampled prefix is spent on hash-checkable entries.
+# a fixed-size (50-row) prefix of the registry each round, so the prefix rotates
+# each round to the oracle-bearing queries that have never received a harness
+# CORRECTNESS row. ``_DRIVER_SAMPLED`` is the union of the keys of
+# CORRECTNESS_r01..r05.json (127 names); everything oracle-bearing outside it
+# sorts first, in ``_FAMILY_ORDER`` order sized so the r6 window covers exactly
+# the 50 highest-priority backlog entries (replication roundtrip, llm_curation,
+# llm_scoring, engine4, events, new tpch, mm audio/video, aggregates extras,
+# windows extras) and the remaining ~24 land in the r7 window.
+_DRIVER_SAMPLED = frozenset((
+    "agg_approx_count_distinct", "agg_arg_minmax", "agg_collect_sorted",
+    "agg_conditional", "agg_corr", "agg_count_distinct", "agg_cube",
+    "agg_distinct_rows", "agg_grouping_id", "agg_grouping_sets", "agg_minmax",
+    "agg_moment_stats", "agg_percentiles", "agg_pivot", "agg_pricing_summary",
+    "agg_rollup", "agg_skew_kurtosis", "agg_unpivot", "conditional_expressions",
+    "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_exact_keep_first", "dedup_ngram_jaccard", "dedup_simhash",
+    "events_funnel_conversion", "filter_predicates", "flagship_revenue_by_nation",
+    "fn_array", "fn_datetime", "fn_explode_posexplode", "fn_hash",
+    "fn_hash_spark_native", "fn_json", "fn_json_from_json", "fn_map", "fn_math",
+    "fn_string_basic", "fn_string_regex_split", "join_anti", "join_asof_click_view",
+    "join_bucketed_colocated", "join_cross", "join_full_outer", "join_left_outer",
+    "join_range_bands", "join_right_outer", "join_salted_skew", "join_semi",
+    "join_shuffle_hash", "join_theta_ship_after_order", "mm_binary_metadata",
+    "mm_decode_features", "mm_frame_sample", "mm_resize_batch",
+    "pipeline_corpus_curation", "proj_computed_columns",
+    "replication_batch_roundtrip", "replication_evolved_consumer",
+    "sample_hash_fraction", "sample_stratified_rates", "setop_except",
+    "setop_except_all", "setop_intersect", "setop_intersect_all", "setop_union_all",
+    "setop_union_distinct", "sink_parquet_clustered", "sink_parquet_partitioned",
+    "sink_upsert_merge", "sort_partition_local", "sort_topk_global",
+    "source_binaryfile", "source_csv_roundtrip", "source_json_roundtrip",
+    "source_orc_roundtrip", "source_text_lines", "split_train_val_test",
+    "sql_cte_text_entry", "sql_exists_subquery", "sql_lateral_topn",
+    "sql_scalar_subquery", "stream_dedup_keyed", "stream_session_window",
+    "stream_sliding_window", "stream_tumbling_window", "text_bpe_token_count",
+    "text_fingerprint", "text_lang_id", "text_langid_eval", "text_pii_redaction",
+    "text_quality_score", "text_shingle_stats", "text_tfidf", "text_tokenize_stats",
+    "tpch_q10_returned_items", "tpch_q12_late_shipments",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer", "tpch_q19_discounted_revenue",
+    "tpch_q22_idle_customers", "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "ts_resample_gapfill", "ts_rollup_hierarchy", "udf_apply_in_pandas",
+    "udf_grouped_agg_pandas", "udf_pandas_cosine", "udf_scalar_python",
+    "udf_udtf_words", "vec_cosine_pairs_exact", "vec_knn_query", "vec_norms",
+    "win_distribution", "win_first_last_value", "win_lag_lead", "win_moving_avg",
+    "win_range_frame", "win_rank_customers", "win_running_sum", "win_topk_per_group",
+))
 _FAMILY_ORDER = (
+    "replication_pipeline",
+    "llm_curation",
+    "llm_scoring",
+    "engine4",
+    "streaming_batch",
+    "tpch",
+    "llm_multimodal",
+    "aggregates",
+    "windows",
+    "scalar_funcs",
+    "sources_sinks",
     "llm_text",
     "llm_dedup",
     "llm_vectors",
     "llm_sampling",
-    "llm_multimodal",
     "udfs",
-    "streaming_batch",
-    "replication_pipeline",
-    "sources_sinks",
-    "llm_curation",  # new in r5 — after the families queued for the r5 sample window
-    "llm_scoring",  # new in r5
-    "engine4",  # new in r5
     "relational",
-    "tpch",
-    "aggregates",
-    "windows",
     "setops",
-    "scalar_funcs",
 )
 
 _loaded = False
@@ -116,12 +160,11 @@ def _presentation_order(registry: "dict[str, Query]") -> "dict[str, Query]":
         family = q.fn.__module__.removeprefix(prefix)
         return (
             q.oracle is None,  # oracle-bearing first
-            # "defer-sample": r5 additions inside the families queued for
-            # the r5 correctness window sort AFTER that window, so the
-            # fixed-size sampled prefix stays exactly the entries that
-            # have never received a harness row (they get their turn in
-            # the next rotation).
-            "defer-sample" in q.tags,
+            # Backlog first: oracle queries that already have a driver
+            # CORRECTNESS row (union r1-r5) sort after the never-sampled
+            # set, as do brand-new r6 additions tagged "defer-sample"
+            # (they must not displace the backlog from the 50-row window).
+            name in _DRIVER_SAMPLED or "defer-sample" in q.tags,
             family_rank.get(family, len(family_rank)),
             reg_index[name],
         )

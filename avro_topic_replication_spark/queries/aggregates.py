@@ -496,7 +496,7 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS regr_r2
         FROM sums
     """,
-    tags=("agg", "stats", "defer-sample"),
+    tags=("agg", "stats"),
 )
 def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL linear-regression aggregate family (regr_slope / intercept /
@@ -921,7 +921,7 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS entropy_bits
         FROM terms GROUP BY user_id, total
     """,
-    tags=("agg", "stats", "defer-sample"),
+    tags=("agg", "stats"),
 )
 def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Shannon entropy (bits) of the event-type distribution —
@@ -956,6 +956,80 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_percentiles_scalable(
+    spark: SparkSession, df: DataFrame, col: str, quantiles: "dict[str, float]"
+) -> DataFrame:
+    """Exact linear-interpolated percentiles as a 1-row DataFrame, without
+    an ungrouped all-values aggregation buffer (scale-safe stand-in for
+    ``percentile(col, q)``).
+
+    Two-phase bucket-rank: (1) one partial-aggregated min/max/count pass
+    sizes a 64-bucket range histogram; (2) bucket counts (64 rows) give
+    each bucket's global rank offset; the ≤2·len(quantiles) ranks the
+    interpolation needs are range-joined (broadcast, 64×k rows) to their
+    containing buckets; ONLY those buckets' rows are window-ranked. The
+    largest single task is one bucket's sort (~n/64 rows — at 100 TB
+    raise the bucket count; cost is a 1-row-per-bucket aggregate).
+    Interpolation: position h = 1 + (n-1)·q (1-indexed),
+    value = v[floor(h)] + (v[ceil(h)] - v[floor(h)])·(h - floor(h)) —
+    the formula Spark's percentile() and DuckDB's quantile_cont share.
+    """
+    from pyspark.sql import Window
+
+    mm = df.agg(
+        F.min(col).alias("mn"), F.max(col).alias("mx"), F.count("*").alias("n")
+    ).first()  # 1-row plan-parameter fetch, not a data collect
+    mn, mx, n = mm["mn"], mm["mx"], mm["n"]
+    if not n:
+        return spark.createDataFrame(
+            [tuple(None for _ in quantiles)],
+            ", ".join(f"{name} double" for name in quantiles),
+        )
+    # driver-side rank arithmetic on the scalar n (pure Python doubles —
+    # bit-identical to the engines' own position computation)
+    needed: dict[int, str] = {}
+    parts = {}
+    for name, q in quantiles.items():
+        h = 1.0 + (n - 1) * q
+        k1 = int(h)
+        k2 = min(k1 + 1, n)
+        frac = h - k1
+        parts[name] = (k1, k2, frac)
+        needed[k1] = needed.get(k1, "") or f"r{k1}"
+        needed[k2] = needed.get(k2, "") or f"r{k2}"
+    nb = 64
+    span = (mx - mn) or 1.0
+    bkt = F.least(
+        F.lit(nb - 1), F.floor((F.col("v") - F.lit(mn)) / F.lit(span) * nb)
+    ).cast("int")
+    bucketed = df.select(F.col(col).alias("v")).withColumn("bkt", bkt)
+    counts = bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
+    off_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bkt", "cnt", F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("offset")
+    )  # ≤64-row window — the only serial step
+    ranks = spark.createDataFrame([(k,) for k in sorted(needed)], "k bigint")
+    target = offsets.join(
+        F.broadcast(ranks),
+        (F.col("k") > F.col("offset")) & (F.col("k") <= F.col("offset") + F.col("cnt")),
+    ).select("bkt", "offset").distinct()
+    local = Window.partitionBy("bkt").orderBy("v")
+    ranked = (
+        bucketed.join(F.broadcast(target), "bkt")
+        .withColumn("rn", F.col("offset") + F.row_number().over(local))
+        .filter(F.col("rn").isin(list(needed)))
+    )
+    # pivot the ≤2k selected order statistics into one row, interpolate
+    vals = ranked.groupBy().agg(
+        *[F.min(F.when(F.col("rn") == k, F.col("v"))).alias(a) for k, a in needed.items()]
+    )
+    exprs = []
+    for name, (k1, k2, frac) in parts.items():
+        v1, v2 = F.col(needed[k1]), F.col(needed[k2])
+        exprs.append((v1 + (v2 - v1) * F.lit(frac)).alias(name))
+    return vals.select(*exprs)
+
+
 @query(
     "agg_winsorized_mean",
     oracle="""
@@ -976,25 +1050,28 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem CROSS JOIN cuts
         GROUP BY l_returnflag
     """,
-    tags=("agg", "stats", "defer-sample"),
+    tags=("agg", "stats"),
 )
 def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized mean (outliers clipped to the exact p5/p95 before
     averaging) next to the raw mean — the robust-statistics aggregate a
     metrics pipeline uses when heavy tails poison plain averages.
 
-    Scale shape: the clip bounds come from ONE exact-percentile
-    aggregate that rides the plan as a broadcast 1-row relation (no
-    driver fetch); the clipped mean is then an ordinary decimal-exact
-    partial-aggregated sum. At 100 TB the exact percentile swaps for
-    approx_percentile (or the bottom-k sketch) with the identical
-    downstream plan. Spark's percentile() and DuckDB's quantile_cont
-    both linearly interpolate, so the bounds match bit-for-bit; sums
-    are via-string decimal-exact (the agg_corr pattern)."""
+    Scale shape: the clip bounds come from the two-phase bucket-rank
+    exact percentile (`agg_histogram_equidepth`'s pattern) — a range
+    histogram locates the ≤4 global ranks the interpolation needs, only
+    the target buckets (≈n/64 rows each) are window-ranked, and the
+    interpolated bounds ride the plan as a broadcast 1-row relation.
+    No ungrouped all-values aggregation buffer anywhere: the old
+    single-buffer `percentile()` would accumulate every value in one
+    executor at 100 TB; this shape's biggest task is one bucket sort.
+    The interpolation formula (lower + (higher-lower)*frac on the
+    1-indexed position 1+(n-1)*q) is the one both Spark's percentile()
+    and DuckDB's quantile_cont use, so bounds still match bit-for-bit;
+    sums are via-string decimal-exact (the agg_corr pattern)."""
     li = load_table(spark, sf_dir, "lineitem")
-    cuts = li.agg(
-        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    cuts = _exact_percentiles_scalable(
+        spark, li, "l_extendedprice", {"lo": 0.05, "hi": 0.95}
     )
     p = F.col("l_extendedprice")
     clipped = (

@@ -261,7 +261,7 @@ def udf_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice > 100
         GROUP BY o_orderstatus
     """,
-    tags=("sql", "spark4", "defer-sample"),
+    tags=("sql", "spark4"),
 )
 def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL pipe syntax (Spark 4's |> operator chain): the same logical
@@ -293,7 +293,7 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         LIMIT 5 OFFSET 2
     """,
-    tags=("sql", "spark4", "defer-sample"),
+    tags=("sql", "spark4"),
 )
 def sql_group_by_all_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ALL + ORDER BY ALL + LIMIT/OFFSET (Spark 3.4/4 SQL
@@ -326,7 +326,7 @@ def sql_group_by_all_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         WHERE o_orderkey < 200
     """,
-    tags=("sql", "spark4", "defer-sample"),
+    tags=("sql", "spark4"),
 )
 def fn_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lateral column aliases (Spark 3.4+): a select-list expression can
@@ -358,7 +358,7 @@ def fn_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         GROUP BY o_orderstatus
     """,
-    tags=("sql", "spark4", "observability", "defer-sample"),
+    tags=("sql", "spark4", "observability"),
 )
 def agg_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """observe() named metrics (the batch arm of the observability story —
@@ -397,7 +397,7 @@ def agg_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderpriority = '1-URGENT'
         GROUP BY l.l_returnflag
     """,
-    tags=("join", "spark4", "runtime-filter", "defer-sample"),
+    tags=("join", "spark4", "runtime-filter"),
 )
 def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime bloom-filter join pruning: a selective filter on the
@@ -465,7 +465,7 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice > 150000.0
         GROUP BY o_orderstatus
     """,
-    tags=("sql", "spark4", "defer-sample"),
+    tags=("sql", "spark4"),
 )
 def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parameterized SQL + the IDENTIFIER() clause (Spark 4): the table
@@ -503,7 +503,7 @@ def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS revenue
         FROM lineitem GROUP BY 1
     """,
-    tags=("sql", "spark4", "defer-sample"),
+    tags=("sql", "spark4"),
 )
 def sql_language_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-language scalar UDFs (CREATE FUNCTION ... RETURN expr,
@@ -546,7 +546,7 @@ def sql_language_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r_name IN ('EUROPE', 'AFRICA', 'MIDDLE EAST')
         GROUP BY r_name
     """,
-    tags=("sql", "spark4", "defer-sample"),
+    tags=("sql", "spark4"),
 )
 def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL session variables (DECLARE / SET VARIABLE, Spark 4): typed,

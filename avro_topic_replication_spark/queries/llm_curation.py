@@ -763,7 +763,7 @@ _SPAN = 8  # tokens per span (the paper's 50-token threshold, scaled to corpus)
         FROM ranked
         GROUP BY doc_id
     """,
-    tags=("llm", "dedup", "curation", "defer-sample"),
+    tags=("llm", "dedup", "curation"),
 )
 def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup with document REWRITING: chunk every doc into
@@ -850,7 +850,7 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT 3, 'language', n2, n3 FROM tot
         )
     """,
-    tags=("llm", "curation", "defer-sample"),
+    tags=("llm", "curation"),
 )
 def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stage survival accounting for a three-stage quality funnel

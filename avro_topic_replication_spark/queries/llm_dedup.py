@@ -471,8 +471,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact-table shuffle width; per-round cost here is stage overhead, so
     # narrow the shuffle for the loop and restore after (a cluster run
     # sizes this to |edges| / target-partition-size instead).
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions", None)
+    # conf.get without a default returns the effective SQLConf value, so
+    # the restore in the finally is unconditional (ADVICE r5: a None-guard
+    # could leave the session narrowed to 8 forever). AQE off inside the
+    # loop only — per-round re-planning costs ~0.3 s at toy scale and its
+    # coalescing fights the fixed-width loop (the pagerank r6 A/B).
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         prev_sum = None
         for _ in range(30):  # safety cap ≫ any real near-dup chain diameter
@@ -498,8 +505,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             prev_sum = cur_sum
     finally:
-        if prev_shuffle is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     edges.unpersist()
     pairs.unpersist()
     return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
@@ -661,7 +668,7 @@ def dedup_ml_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                doc_id AS rep_doc, n_chars AS rep_chars
         FROM ranked WHERE rn = 1
     """,
-    tags=("llm", "dedup", "defer-sample"),
+    tags=("llm", "dedup"),
 )
 def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keeper selection — the step a production dedup pipeline actually

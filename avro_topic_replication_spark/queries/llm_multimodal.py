@@ -13,9 +13,9 @@ analytically in SQL. As of r5 all three modalities have a REAL codec leg:
 BMP images (functions/bmp.py), WAV/PCM audio (functions/wav.py), and Y4M
 video (functions/y4m.py — header parse + FRAME demux). Only compressed
 formats that genuinely need external codecs stay env-gated (JPEG/PNG via
-PIL, MP4/WebM via ffmpeg — not in this container; decode_image raises
-NotImplementedError for those, and sample_frames keeps its deterministic
-fake for the byte-chunk pseudo-frame path).
+PIL, MP4/WebM via ffmpeg — not in this container; decode_image and
+sample_frames raise NotImplementedError for those; every executed path
+runs real codec math).
 
 Reference parity: the reference treats Kafka values as opaque bytes +
 external schema (application.yml:11-12) — the same opaque-payload pattern
@@ -84,19 +84,22 @@ def resize_image(payload: bytes, target_w: int, target_h: int) -> bytes:
     return bmp_encode(np.ascontiguousarray(img[idx_y][:, idx_x]))
 
 
-def sample_frames(payload: bytes, every_n: int, fake: bool = False) -> list[bytes]:
-    """Sample every Nth frame from one video payload.
+def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
+    """Sample every Nth frame from one video payload, order-preserving.
 
-    Real frame extraction (ffmpeg/PyAV) is unavailable here — STUB. The
-    deterministic fake chunks the payload into fixed 32-byte pseudo-frames
-    and keeps every Nth, preserving order."""
-    if not fake:
-        raise NotImplementedError(
-            "frame sampling requires ffmpeg/PyAV, not present in this "
-            "environment; pass fake=True for the deterministic stub"
-        )
-    frames = [payload[i : i + 32] for i in range(0, len(payload), 32)]
-    return frames[::every_n]
+    Y4M (YUV4MPEG2) demuxes for REAL via functions/y4m.py — header parse
+    + FRAME-marker walk — and each kept frame is returned as its raw luma
+    bytes. Compressed containers (MP4/WebM) genuinely need ffmpeg/PyAV,
+    absent from this container — env-gated, not silently faked."""
+    if payload[:9] == b"YUV4MPEG2":
+        from ..functions.y4m import y4m_decode
+
+        frames, _ = y4m_decode(payload)
+        return [frames[i].tobytes() for i in range(0, frames.shape[0], every_n)]
+    raise NotImplementedError(
+        "only Y4M demuxes in this environment; MP4/WebM need ffmpeg/PyAV "
+        "(swap sample_frames' body when a codec library is available)"
+    )
 
 
 def _payload_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -252,52 +255,75 @@ def mm_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_frame_sample",
     oracle="""
-        WITH chunks AS (
-            SELECT doc_id,
-                   CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames
-            FROM documents WHERE doc_id < 200
+        WITH px AS (
+            SELECT d.doc_id, f.f, p.p,
+                   (d.doc_id * 5 + f.f * 7 + p.p) % 256 AS y
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+                 LATERAL (SELECT unnest(range(0, 3 + d.doc_id % 13)) AS f) f,
+                 LATERAL (SELECT unnest(range(0, 16)) AS p) p
         )
-        SELECT doc_id, n_frames,
-               CAST(ceil(n_frames / 4.0) AS BIGINT) AS n_sampled
-        FROM chunks
+        SELECT doc_id,
+               CAST(COUNT(DISTINCT f) AS BIGINT) AS n_frames,
+               CAST(COUNT(DISTINCT CASE WHEN f % 4 = 0 THEN f END) AS BIGINT)
+                   AS n_sampled,
+               CAST(SUM(CASE WHEN f % 4 = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS sum_y_sampled
+        FROM px
+        GROUP BY doc_id
     """,
-    tags=("llm", "multimodal"),
+    tags=("llm", "multimodal", "udf"),
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling through mapInPandas: payload → every-4th
-    pseudo-frame, exploded one row per kept frame then re-counted — the
-    clip-sampling step of a video training pipeline. The fake framer is
-    deterministic (fixed 32-byte chunks), so frame COUNTS are
-    oracle-checkable even though the kernel is stubbed: n_frames =
-    ceil(bytes/32), n_sampled = ceil(n_frames/4). At 100 TB the explode
-    multiplies rows executor-side only; frames never visit the driver."""
+    """Video frame sampling over REAL demuxed frames: every doc carries a
+    genuine Y4M clip (3..15 4×4-luma frames through functions/y4m.py's
+    encoder), sample_frames() parses the YUV4MPEG2 header and walks the
+    FRAME markers to keep every 4th frame, one row is emitted per kept
+    frame (executor-side explode — frames never visit the driver), then
+    the clip-level accounting is re-aggregated. The oracle is analytic:
+    the fixture luma is (doc_id·5 + f·7 + p) mod 256, so the demuxed
+    frame count, the kept count, and the summed luma of the KEPT frames'
+    real decoded bytes must all match content arithmetic exactly — the
+    demux path is verified against ground truth, not against itself.
+    Replaces the r5 32-byte pseudo-frame stub; only compressed
+    containers (MP4/WebM) remain env-gated inside sample_frames."""
 
     def frame_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.y4m import y4m_encode
+
         for pdf in it:
-            payloads = [p if p is not None else b"" for p in pdf["payload"]]
-            frames = [sample_frames(p, 4, fake=True) for p in payloads]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_frames": [(len(p) + 31) // 32 for p in payloads],
-                    "frames": frames,
-                }
-            )
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = y4m_encode(
+                    _synth_frames(doc_id, 3 + doc_id % 13)
+                )  # REAL Y4M bytes
+                kept = sample_frames(payload, 4)  # REAL demux + stride
+                n_frames = 3 + doc_id % 13
+                for frame in kept:
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "n_frames": n_frames,
+                            "y_sum": int(
+                                np.frombuffer(frame, dtype=np.uint8)
+                                .astype(np.int64)
+                                .sum()
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows)
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
-    sampled = payloads.mapInPandas(
-        frame_batches, schema="doc_id long, n_frames long, frames array<binary>"
+    per_frame = d.select("doc_id").mapInPandas(
+        frame_batches, schema="doc_id long, n_frames long, y_sum long"
     )
     return (
-        # explode_outer + count(frame): an empty/NULL payload yields zero
-        # frames but must still emit a (doc_id, 0, 0) row like the oracle
-        sampled.select(
-            "doc_id", "n_frames", F.explode_outer("frames").alias("frame")
+        per_frame.groupBy("doc_id", "n_frames")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.sum("y_sum").cast("bigint").alias("sum_y_sampled"),
         )
-        .groupBy("doc_id", "n_frames")
-        .agg(F.count("frame").alias("n_sampled"))
-        .select("doc_id", "n_frames", "n_sampled")
+        .select("doc_id", "n_frames", "n_sampled", "sum_y_sampled")
     )
 
 
@@ -369,7 +395,7 @@ def _audio_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         FROM lagged
         GROUP BY doc_id
     """,
-    tags=("llm", "multimodal", "udf", "defer-sample"),
+    tags=("llm", "multimodal", "udf"),
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction with REAL PCM math: WAV payloads are
@@ -436,7 +462,7 @@ def _audio_downsample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         FROM samp
         GROUP BY doc_id
     """,
-    tags=("llm", "multimodal", "udf", "defer-sample"),
+    tags=("llm", "multimodal", "udf"),
 )
 def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio resampling roundtrip: decode WAV → decimate by 2 → re-encode
@@ -464,8 +490,9 @@ def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VW = _VH = 4
 
 
-def _synth_frames(doc_id: int) -> np.ndarray:
-    n = 3 + doc_id % 4
+def _synth_frames(doc_id: int, n: "int | None" = None) -> np.ndarray:
+    if n is None:
+        n = 3 + doc_id % 4
     f = np.arange(n).reshape(n, 1, 1)
     p = np.arange(_VH * _VW).reshape(1, _VH, _VW)
     return ((doc_id * 5 + f * 7 + p) % 256).astype(np.uint8)
@@ -512,7 +539,7 @@ def _video_stat_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         FROM px
         GROUP BY doc_id
     """,
-    tags=("llm", "multimodal", "udf", "defer-sample"),
+    tags=("llm", "multimodal", "udf"),
 )
 def mm_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling with REAL demuxing: Y4M clips are encoded and
@@ -580,7 +607,7 @@ def _frame_hash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                    AS n_dup_of_earlier
         FROM ranked GROUP BY doc_id
     """,
-    tags=("llm", "multimodal", "dedup", "udf", "defer-sample"),
+    tags=("llm", "multimodal", "dedup", "udf"),
 )
 def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-video frame-level dedup: every clip is REALLY encoded and

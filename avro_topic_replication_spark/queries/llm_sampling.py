@@ -173,7 +173,7 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang, n_chars, CAST(rk AS BIGINT) AS rk
         FROM ranked WHERE rk <= 20
     """,
-    tags=("llm", "sampling", "defer-sample"),
+    tags=("llm", "sampling"),
 )
 def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k-per-stratum uniform sample (the deterministic reservoir):

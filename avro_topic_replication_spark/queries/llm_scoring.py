@@ -104,7 +104,7 @@ _LM_K = 0.5  # add-k smoothing constant
                          / COUNT(*)), 6) AS perplexity
         FROM scored GROUP BY doc_id
     """,
-    tags=("llm", "scoring", "defer-sample"),
+    tags=("llm", "scoring"),
 )
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Add-k bigram LM perplexity gate: train on doc_id%10!=0, score the
@@ -189,13 +189,25 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unseen = F.sum(F.when(F.col("c_bg") == 0, 1).otherwise(0)).cast("bigint")
     h = (-F.sum(F.col("lp").cast("decimal(18,6)"))).cast("double") / F.count("*")
-    return scored.groupBy("doc_id").agg(
+    out = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         unseen.alias("n_unseen"),
         (unseen.cast("double") / F.count("*")).alias("oov_rate"),
         h.alias("cross_entropy"),
         F.round(F.exp(h), 6).alias("perplexity"),
     )
+    # materialize the per-doc result (held-out-doc-sized), then release
+    # the corpus-sized caches — no reliance on LRU eviction across a
+    # long session (ADVICE r5). The pre-checkpoint plan is captured for
+    # tests/test_plans.py (the join_runtime_bloom_filter.last_plan
+    # pattern), since the returned frame's plan is just the RDD scan.
+    text_lm_perplexity.last_plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+    )
+    out = out.localCheckpoint(eager=True)
+    bigrams.unpersist()
+    c_bg.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +236,7 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id, lang, fp FROM kept WHERE rn = 1
     """,
-    tags=("llm", "dedup", "defer-sample"),
+    tags=("llm", "dedup"),
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup: a new-arrivals batch (doc_id%5=0) is
@@ -309,7 +321,7 @@ def _proj_cols_sql() -> str:
                      / (sqrt({_PROJ_K}.0) * l2_in), 6) AS distortion
         FROM p
     """,
-    tags=("llm", "vector", "defer-sample"),
+    tags=("llm", "vector"),
 )
 def vec_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random ±1 (Achlioptas/JL) projection 64 → 8 dims, plus the
@@ -374,7 +386,7 @@ def vec_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality_classifier",
-    tags=("llm", "scoring", "ml", "rows-only", "defer-sample"),
+    tags=("llm", "scoring", "ml", "rows-only"),
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weak-supervision quality classifier (the fastText-bootstrap
@@ -451,12 +463,14 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(model.intercept)),
     )
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-    return vec.select(
+    out = vec.select(
         "doc_id",
         F.col("label").cast("int").alias("label"),
         F.round(prob, 4).alias("prob_quality"),
         (prob > 0.5).cast("int").alias("predicted"),
-    )
+    ).localCheckpoint(eager=True)  # doc-sized scores; then drop the cache
+    vec.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -500,7 +514,7 @@ def _merge_pair(syms, a: str, b: str):
 
 @query(
     "text_bpe_vocab_learn",
-    tags=("llm", "scoring", "iterative", "rows-only", "defer-sample"),
+    tags=("llm", "scoring", "iterative", "rows-only"),
 )
 def text_bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning: 8 rounds of
@@ -528,9 +542,29 @@ def text_bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MERGE_CACHE: "dict[tuple[str, str], tuple[list, DataFrame]]" = {}
+
+
 def _learn_merges(spark: SparkSession, sf_dir: str):
     """Run the BPE merge loop; return (merge list, final symbolized
-    word-count DataFrame — word, cnt, syms with all merges applied)."""
+    word-count DataFrame — word, cnt, syms with all merges applied).
+
+    Memoized per (Spark application, sf_dir): text_bpe_vocab_learn and
+    text_bpe_encode both need the merge table, and without the cache the
+    entire 8-round training loop (one corpus aggregation + a driver-side
+    argmax + localCheckpoint per round) would run twice per session
+    (ADVICE r5). The cached frame is localCheckpoint-ed, so it stays
+    valid for the application's lifetime; the key includes applicationId
+    so a new session never sees a stale frame."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _MERGE_CACHE:
+        return _MERGE_CACHE[key]
+    result = _learn_merges_uncached(spark, sf_dir)
+    _MERGE_CACHE[key] = result
+    return result
+
+
+def _learn_merges_uncached(spark: SparkSession, sf_dir: str):
     words = _bpe_words(spark, sf_dir).select(
         "word", "cnt", F.split("word", "").alias("syms")
     )
@@ -568,7 +602,7 @@ def _learn_merges(spark: SparkSession, sf_dir: str):
 
 @query(
     "text_bpe_encode",
-    tags=("llm", "scoring", "iterative", "rows-only", "defer-sample"),
+    tags=("llm", "scoring", "iterative", "rows-only"),
 )
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned BPE merges to tokenize the corpus: per document,
@@ -643,7 +677,7 @@ _BUDGET_FRAC = 0.4  # keep the best docs until 40% of corpus tokens are used
         FROM laid CROSS JOIN tot
         WHERE cum_before < CAST(floor({_BUDGET_FRAC} * total) AS BIGINT)
     """,
-    tags=("llm", "scoring", "window", "defer-sample"),
+    tags=("llm", "scoring", "window"),
 )
 def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget selection: rank documents by a quality score
@@ -713,7 +747,7 @@ _SEM_K = 8
 
 @query(
     "dedup_semantic_prune",
-    tags=("llm", "dedup", "vector", "iterative", "rows-only", "defer-sample"),
+    tags=("llm", "dedup", "vector", "iterative", "rows-only"),
 )
 def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic pruning (Abbas et al. 2023): k-means
@@ -779,11 +813,14 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", "id_a", "id_b")
     )
     dropped = strong.select(F.col("id_b").alias("vec_id")).distinct()
-    return (
+    out = (
         m.join(dropped.withColumn("is_dropped", F.lit(True)), "vec_id", "left")
         .select(
             "vec_id",
             "cluster",
             F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
         )
+        .localCheckpoint(eager=True)  # vec_id-sized verdicts; then drop cache
     )
+    m.unpersist()
+    return out

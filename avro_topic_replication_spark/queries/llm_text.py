@@ -509,7 +509,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok t JOIN vocab v ON v.word = t.word CROSS JOIN stats s
         GROUP BY t.doc_id
     """,
-    tags=("llm", "text", "defer-sample"),
+    tags=("llm", "text"),
 )
 def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative rarity scoring (the integer-exact stand-in for the

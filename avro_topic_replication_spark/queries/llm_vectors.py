@@ -442,7 +442,7 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / 281474976710656.0 AS sq_err
         FROM q
     """,
-    tags=("llm", "vector", "defer-sample"),
+    tags=("llm", "vector"),
 )
 def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization — the 4× compression step a
@@ -519,7 +519,7 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cosine DESC, c.vec_id
         LIMIT 10
     """,
-    tags=("llm", "vector", "topk", "defer-sample"),
+    tags=("llm", "vector", "topk"),
 )
 def vec_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval funnel — the production serving shape for

@@ -109,6 +109,49 @@ def replication_stream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "replication_stream_roundtrip",
+    oracle="""
+        SELECT CAST(n_nationkey AS VARCHAR) AS kafka_key,
+               CAST(n_nationkey AS VARCHAR) AS id,
+               n_name AS name
+        FROM nation
+    """,
+    tags=("replication", "avro", "streaming"),
+)
+def replication_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 capability statement, driver-hash-verified end to end on
+    the STREAMING path: envelope-dir source (Kafka stand-in, R1) →
+    read-committed filter (R2) → Confluent-Avro decode with registry
+    dispatch (R3) → extract value.id (R4) → re-key key = str(id) (R5) →
+    re-encode + auto-register on the target registry (R6) → foreachBatch
+    transactional commit-marker sink with checkpointing (R7–R8, offsets
+    acked post-commit R9) → read-committed consumer decode. The decoded
+    target topic must hash-match ``SELECT ... FROM nation`` exactly —
+    every record exactly once, key == value.id (mirrors
+    reference ReplicationApplicationTest.java:118-124)."""
+    scope = uuid.uuid4().hex[:8]
+    src_reg = MockSchemaRegistry.get_scope(f"src-{scope}")
+    tgt_reg = MockSchemaRegistry.get_scope(f"tgt-{scope}")
+    try:
+        sf_tag = os.path.basename(os.path.normpath(sf_dir))
+        base = os.path.join(SCRATCH, "replq-rt", sf_tag, scope)
+        src_dir = _staged_source(spark, sf_dir, src_reg)
+        tgt_dir = os.path.join(base, "target-topic-b")
+        ckpt = os.path.join(base, "ckpt")
+        R.replicate_stream(
+            spark, src_dir, tgt_dir, src_reg, tgt_reg,
+            "target-topic-b", R.FOO_SCHEMA, ckpt,
+        )
+        out_env = R.read_committed(spark, tgt_dir)
+        return R.decode_envelope(out_env, tgt_reg.snapshot(), R.FOO_SCHEMA).select(
+            "kafka_key", "id", "name"
+        )
+    finally:
+        MockSchemaRegistry.drop_scope(f"src-{scope}")
+        MockSchemaRegistry.drop_scope(f"tgt-{scope}")
+
+
+@query(
     "replication_evolved_consumer",
     oracle="""
         SELECT CAST(n_nationkey AS VARCHAR) AS id,

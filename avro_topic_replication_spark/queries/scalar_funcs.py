@@ -767,7 +767,7 @@ def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                TRY_CAST(c_name AS INTEGER) AS bad_parse,
                TRY_CAST(string_split(c_name, '#')[2] AS BIGINT) AS parsed_id,
                CAST(c_acctbal AS DOUBLE)
-                 / CAST(c_custkey % 3 AS DOUBLE) AS ratio_or_null,
+                 / NULLIF(CAST(c_custkey % 3 AS DOUBLE), 0) AS ratio_or_null,
                (string_split(c_name, '#'))[3] AS elem_oob,
                (string_split(c_name, '#'))[1] AS elem_ok
         FROM customer
@@ -778,10 +778,11 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe error-handling expressions: try_cast (malformed parse →
     NULL), try_divide (x/0 → NULL), try_element_at (out-of-bounds →
     NULL) — the corrupt-tolerant scalar layer an ingest pipeline uses so
-    one bad record can't fail a 100-TB stage. The DuckDB twin relies on
-    its native NULL-on-error semantics for the same operations (division
-    by zero and list out-of-bounds are NULL there by default), so values
-    match without any CASE emulation; all expressions stay in codegen."""
+    one bad record can't fail a 100-TB stage. The DuckDB twin wraps the
+    divisor in NULLIF(·, 0) so the divide-by-zero → NULL contract is
+    version-proof (DuckDB ≥ 1.1 defaults ieee_floating_point_ops=true,
+    where x/0.0 is inf, not NULL); list out-of-bounds is NULL natively.
+    All Spark-side expressions stay in codegen."""
     c = load_table(spark, sf_dir, "customer")
     parts = F.split("c_name", "#")
     return c.select(

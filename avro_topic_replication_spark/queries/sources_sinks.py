@@ -77,7 +77,7 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "source_xml_roundtrip",
     oracle=_SLICE_SQL,
-    tags=("source", "xml", "defer-sample"),
+    tags=("source", "xml"),
 )
 def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sink + XML source (native in Spark 4 — no spark-xml package):

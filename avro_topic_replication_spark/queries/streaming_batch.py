@@ -742,7 +742,7 @@ def stream_live_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_live_doc_curation",
     oracle=None,
-    tags=("streaming", "live", "llm", "defer-sample"),
+    tags=("streaming", "live", "llm"),
 )
 def stream_live_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time corpus curation through the streaming runtime: the
@@ -813,7 +813,7 @@ def stream_live_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM activity a JOIN cohort_sizes s USING (cohort_week)
         GROUP BY a.cohort_week, a.weeks_since, s.cohort_size
     """,
-    tags=("events", "analytics", "defer-sample"),
+    tags=("events", "analytics"),
 )
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen week, one row
@@ -882,7 +882,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(t.n AS DOUBLE) / x.tot, 6) AS p
         FROM trans t JOIN totals x USING (from_type)
     """,
-    tags=("events", "analytics", "window", "defer-sample"),
+    tags=("events", "analytics", "window"),
 )
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
@@ -944,7 +944,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(median(secs_to_convert) AS DOUBLE) AS median_secs
         FROM conv
     """,
-    tags=("events", "analytics", "defer-sample"),
+    tags=("events", "analytics"),
 )
 def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion-latency distribution: per user, the gap between first
@@ -1013,7 +1013,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DOUBLE) AS segment_value
         FROM scored GROUP BY 1, 2, 3
     """,
-    tags=("events", "analytics", "window", "defer-sample"),
+    tags=("events", "analytics", "window"),
 )
 def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per purchasing user, recency (days before the
@@ -1093,7 +1093,7 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                streak_start
         FROM best WHERE rn = 1
     """,
-    tags=("events", "analytics", "window", "defer-sample"),
+    tags=("events", "analytics", "window"),
 )
 def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive-day activity streak per user (classic

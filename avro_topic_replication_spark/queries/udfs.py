@@ -212,7 +212,7 @@ def udf_udtf_words(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(length(string_split(text, ' ')[1]) AS INTEGER) AS first_len
         FROM documents
     """,
-    tags=("udf", "arrow", "defer-sample"),
+    tags=("udf", "arrow"),
 )
 def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow (Spark 4 Arrow-native map): the batch iterator yields
@@ -261,7 +261,7 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
         GROUP BY lang
     """,
-    tags=("udf", "arrow", "defer-sample"),
+    tags=("udf", "arrow"),
 )
 def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInArrow (Spark 4 Arrow-native grouped map): each language

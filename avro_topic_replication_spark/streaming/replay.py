@@ -95,7 +95,8 @@ def run_to_memory(
     spark = sdf.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(SCRATCH, "ckpt", name)
-    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    # effective-value fetch (never None) so the restore is unconditional
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
@@ -107,8 +108,7 @@ def run_to_memory(
             .start()
         )
     finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.awaitTermination(timeout_sec)
     finally:

@@ -66,6 +66,27 @@ EMPTY_SAFE = [
     "agg_winsorized_mean",
     "events_activity_streaks",
     "sql_session_variables",
+    # r6 extension (VERDICT item 6): the vector + multimodal legs and the
+    # MinHash band path. k-means-fitted ANN ops (vec_ivf_search,
+    # vec_kmeans, vec_ann_recall, dedup_semantic_prune) stay excluded —
+    # fitting centroids on zero vectors is a caller error by docstring.
+    "vec_knn_query",
+    "vec_two_stage_rerank",
+    "vec_label_centroid_classify",
+    "vec_lsh_pairs",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_ml_minhash_join",
+    "dedup_clusters",
+    "dedup_cluster_representatives",
+    "mm_binary_metadata",
+    "mm_decode_features",
+    "mm_resize_batch",
+    "mm_frame_sample",
+    "mm_audio_features",
+    "mm_audio_downsample",
+    "mm_video_frame_stats",
+    "mm_frame_dedup",
 ]
 
 

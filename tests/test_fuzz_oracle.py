@@ -566,3 +566,184 @@ def test_lm_perplexity_fuzz_random_corpora(spark, tmp_path_factory, docs):
     )
     problems = compare(q.fn(spark, base), con, q.oracle)
     assert not problems, (docs, problems)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+            st.just(42.0),  # bias toward ties / constant stretches
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    qlo=st.floats(min_value=0.0, max_value=0.5, allow_nan=False),
+    qhi=st.floats(min_value=0.5, max_value=1.0, allow_nan=False),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_percentile_two_phase_fuzz(spark, vals, qlo, qhi):
+    """The scale-safe two-phase bucket-rank percentile (r6 replacement
+    for agg_winsorized_mean's single-buffer percentile()) against
+    DuckDB's quantile_cont on random distributions: constant columns,
+    ties, single values, negative ranges, arbitrary quantiles. An
+    off-by-one in the rank→bucket routing or the interpolation frac
+    shows up far above the 1e-9 tolerance (the registry's oracle gate
+    separately pins bit-exactness on the real data)."""
+    from avro_topic_replication_spark.queries.aggregates import (
+        _exact_percentiles_scalable,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = _exact_percentiles_scalable(
+        spark, df, "v", {"lo": qlo, "hi": qhi}
+    ).first()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = con.execute(
+        f"SELECT quantile_cont(v, {qlo!r}) AS lo, quantile_cont(v, {qhi!r}) AS hi FROM t"
+    ).fetchone()
+    for g, w in zip((got["lo"], got["hi"]), want):
+        assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (vals, qlo, qhi, got, want)
+
+
+@given(
+    gaps=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),    # user id
+            st.integers(min_value=0, max_value=30),   # day offset
+            st.integers(min_value=0, max_value=2),    # events that day
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_activity_streaks_fuzz_random_gaps(spark, tmp_path_factory, gaps):
+    """The REAL events_activity_streaks query vs its REAL oracle SQL on
+    random gap patterns: repeated days (multiple events per day must
+    collapse), isolated days, runs that tie in length (earliest-start
+    tie-break), and users whose entire history is one day. Catches
+    anchor-arithmetic and tie-break bugs the fixed corpus can't reach."""
+    import datetime as dt
+
+    from avro_topic_replication_spark.queries import all_queries
+    from tests.oracle import compare
+
+    q = all_queries()["events_activity_streaks"]
+    base = str(tmp_path_factory.mktemp("streakfuzz"))
+    rows = []
+    i = 0
+    for user, day, n_ev in gaps:
+        for k in range(n_ev + 1):
+            rows.append(
+                (
+                    f"u{user}",
+                    dt.datetime(2024, 3, 1, 8, 0, 0)
+                    + dt.timedelta(days=day, minutes=13 * k),
+                    "click",
+                    i,
+                )
+            )
+            i += 1
+    spark.createDataFrame(
+        rows, "user_id string, ts timestamp_ntz, event_type string, event_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "events.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(base, 'events.parquet')}/*.parquet')"
+    )
+    problems = compare(q.fn(spark, base), con, q.oracle)
+    assert not problems, (gaps, problems)
+
+
+@given(
+    regions=st.lists(
+        st.sampled_from(["EUROPE", "AFRICA", "MIDDLE EAST", "ASIA", "AMERICA"]),
+        min_size=0,
+        max_size=5,
+        unique=True,
+    ),
+    tag=st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12
+    ),
+    band_cut=st.integers(min_value=1000, max_value=90000),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_session_variables_and_sql_udf_fuzz(spark, regions, tag, band_cut):
+    """Random parameters through BOTH Spark-4 procedural-SQL surfaces:
+    session variables (DECLARE/array binding, arbitrary region subsets
+    incl. empty, arbitrary tag strings) and SQL-language UDFs (random
+    band threshold) — each against a DuckDB twin with the same values
+    inlined. Pins that variable binding and UDF inlining are value-
+    faithful for ANY parameter, not just the registry's constants."""
+    sf_dir = "/root/testdata/sf0.001"
+    from avro_topic_replication_spark.catalog import load_table
+    from tests.oracle import compare
+
+    con = duckdb.connect()
+    for t in ("nation", "region", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_svf")
+
+    arr = ", ".join(f"'{r}'" for r in regions)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE fuzz_regions ARRAY<STRING> "
+        f"DEFAULT array({arr})" if regions else
+        "DECLARE OR REPLACE VARIABLE fuzz_regions ARRAY<STRING> "
+        "DEFAULT array()"
+    )
+    spark.sql(f"DECLARE OR REPLACE VARIABLE fuzz_tag STRING DEFAULT '{tag}'")
+    sdf = spark.sql(
+        """
+        SELECT r_name, count(*) AS n_nations, fuzz_tag AS tag
+        FROM nation_svf JOIN region_svf ON n_regionkey = r_regionkey
+        WHERE array_contains(fuzz_regions, r_name)
+        GROUP BY r_name
+        """
+    )
+    in_list = f"({arr})" if regions else "(NULL)"
+    oracle = f"""
+        SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations, '{tag}' AS tag
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN {in_list}
+        GROUP BY r_name
+    """
+    problems = compare(sdf, con, oracle)
+    assert not problems, (regions, tag, problems)
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION fuzz_band(p DOUBLE) "
+        f"RETURNS STRING RETURN CASE WHEN p >= {band_cut} THEN 'hi' ELSE 'lo' END"
+    )
+    sdf2 = spark.sql(
+        """
+        SELECT fuzz_band(l_extendedprice) AS band, count(*) AS n
+        FROM lineitem_svf GROUP BY 1
+        """
+    )
+    oracle2 = f"""
+        SELECT CASE WHEN l_extendedprice >= {band_cut} THEN 'hi' ELSE 'lo' END
+                   AS band,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    """
+    problems2 = compare(sdf2, con, oracle2)
+    assert not problems2, (band_cut, problems2)

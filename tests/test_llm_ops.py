@@ -137,12 +137,14 @@ def test_ann_recall_harness(spark, sf_dir):
 
 def test_multimodal_resize_real_and_frame_stub(spark, sf_dir):
     """resize_image does a real nearest-neighbor downsample (checked
-    against direct numpy indexing); sample_frames stays env-gated (video
-    codecs genuinely absent)."""
+    against direct numpy indexing); sample_frames demuxes real Y4M and
+    stays env-gated for compressed containers (codecs genuinely absent)."""
     import numpy as np
 
     from avro_topic_replication_spark.functions.bmp import bmp_encode
+    from avro_topic_replication_spark.functions.y4m import y4m_encode
     from avro_topic_replication_spark.queries.llm_multimodal import (
+        _synth_frames,
         decode_image,
         generate_image,
         resize_image,
@@ -152,10 +154,12 @@ def test_multimodal_resize_real_and_frame_stub(spark, sf_dir):
     with pytest.raises(NotImplementedError):
         resize_image(b"\x00" * 16, 4, 4)  # not a BMP → gated
     with pytest.raises(NotImplementedError):
-        sample_frames(b"\x00" * 64, 4)
-    frames = sample_frames(bytes(range(96)) + b"\x00" * 40, 2, fake=True)
-    assert len(frames) == 3  # ceil(136/32)=5 frames, every 2nd -> 3
-    assert frames[0] == bytes(range(32))
+        sample_frames(b"\x00" * 64, 4)  # not Y4M (MP4/WebM stand-in) → gated
+    clip = _synth_frames(7, 5)  # 5 real 4×4 frames
+    frames = sample_frames(y4m_encode(clip), 2)
+    assert len(frames) == 3  # frames 0, 2, 4
+    assert frames[0] == clip[0].tobytes()
+    assert frames[2] == clip[4].tobytes()
 
     img = generate_image(11)
     h, w = img.shape[:2]
@@ -170,6 +174,13 @@ def test_multimodal_resize_real_and_frame_stub(spark, sf_dir):
     fs = QS["mm_frame_sample"].fn(spark, sf_dir).collect()
     import math
     assert all(r["n_sampled"] == math.ceil(r["n_frames"] / 4) for r in fs)
+    # sampled luma sums must match the fixture's content arithmetic
+    for r in fs[:10]:
+        expect = sum(
+            int(_synth_frames(r["doc_id"], r["n_frames"])[f].astype(np.int64).sum())
+            for f in range(0, r["n_frames"], 4)
+        )
+        assert r["sum_y_sampled"] == expect
 
 
 def test_countmin_sketch_bounds(spark, sf_dir):

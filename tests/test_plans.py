@@ -185,6 +185,14 @@ def test_lm_perplexity_caches_bigrams_and_broadcasts_counts(spark, sf_dir):
     """The LM scorer's plan must reuse the cached bigram table (one
     tokenize pass over the corpus) and broadcast the vocab-bounded count
     tables into the scoring joins."""
-    plan = _plan(spark, sf_dir, "text_lm_perplexity")
+    from avro_topic_replication_spark.queries.llm_scoring import (
+        text_lm_perplexity,
+    )
+
+    _plan(spark, sf_dir, "text_lm_perplexity")
+    # the returned frame is a localCheckpoint (caches released after
+    # materialization — ADVICE r5), so assert on the captured
+    # pre-checkpoint plan instead
+    plan = text_lm_perplexity.last_plan
     assert "InMemoryTableScan" in plan  # cached bigrams reused
     assert "BroadcastHashJoin" in plan  # count tables broadcast
