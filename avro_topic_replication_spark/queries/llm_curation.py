@@ -896,3 +896,106 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n_out").cast("double") / F.col("n_in"))
         .alias("yield_frac"),
     )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'https://WWW.Example.com/page'
+                                 || CAST(doc_id % 50 AS VARCHAR) || '/'
+                     WHEN 1 THEN 'http://www.example.com/page'
+                                 || CAST(doc_id % 50 AS VARCHAR)
+                     WHEN 2 THEN 'https://example.com/page'
+                                 || CAST(doc_id % 50 AS VARCHAR)
+                                 || '?utm_source=feed&ref=rss'
+                     ELSE 'https://www.EXAMPLE.com/page'
+                          || CAST(doc_id % 50 AS VARCHAR) || '#section-2'
+                   END AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id, url,
+                   regexp_replace(
+                       lower(regexp_extract(url, 'https?://([^/?#]+)', 1)),
+                       '^www\\.', '')
+                   || regexp_replace(
+                       regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1),
+                       '/$', '') AS canonical_url
+            FROM u
+        )
+        SELECT canonical_url,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+        FROM canon
+        GROUP BY canonical_url
+    """,
+    tags=("llm", "dedup", "curation", "defer-sample"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the step a web-crawl corpus runs
+    BEFORE any content dedup: the same page arrives under scheme
+    variants, host-case variants, www-prefixes, tracking query params
+    and fragments; canonicalize (lowercase host, strip www./query/
+    fragment/trailing slash) and keep the first doc per canonical URL.
+    URLs are synthesized deterministically from doc_id so every variant
+    class is exercised; Spark canonicalizes with native parse_url +
+    regexp_replace (codegen), the oracle with equivalent anchored
+    regexes — both must collapse the four variants of each page to one
+    canonical key.
+
+    Scale shape: canonicalization is per-row scan-stage work; the only
+    shuffle is the hash aggregate on the canonical key carrying
+    (canonical_url, doc_id) — dedup_exact mechanics, ~50-byte keys (at
+    100 TB, xxhash64 of the canonical key shrinks the exchange the same
+    way dedup_line_rewrite documents)."""
+    d = load_table(spark, sf_dir, "documents")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("https://WWW.Example.com/page"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("http://www.example.com/page"),
+                (F.col("doc_id") % 50).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://example.com/page"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit("?utm_source=feed&ref=rss"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.EXAMPLE.com/page"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit("#section-2"),
+            )
+        )
+    )
+    u = d.select("doc_id", url.alias("url"))
+    canonical = F.concat(
+        F.regexp_replace(
+            F.lower(F.parse_url("url", F.lit("HOST"))), "^www\\.", ""
+        ),
+        F.regexp_replace(F.parse_url("url", F.lit("PATH")), "/$", ""),
+    )
+    return (
+        u.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+    )

@@ -702,3 +702,86 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n_chars").alias("rep_chars"),
         )
     )
+
+
+@query(
+    "dedup_line_rewrite",
+    oracle="""
+        WITH chunked AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, CAST(ceil(len(string_split(text, ' ')) / 10.0)
+                                     AS INTEGER) + 1),
+                       i -> array_to_string(
+                           list_slice(string_split(text, ' '),
+                                      (i - 1) * 10 + 1, (i - 1) * 10 + 10), ' ')
+                   ) AS chunks
+            FROM documents
+        ),
+        exploded AS (
+            SELECT c.doc_id, g.i AS chunk_idx, c.chunks[g.i] AS chunk
+            FROM chunked c,
+                 LATERAL (SELECT unnest(range(1, len(c.chunks) + 1)) AS i) g
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+            FROM exploded
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                                   ORDER BY chunk_idx), '') AS rewritten
+        FROM ranked
+        GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "defer-sample"),
+)
+def dedup_line_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide LINE-level exact dedup with document rewrite — the
+    C4/CCNet step that removes repeated boilerplate lines across the
+    whole corpus while keeping every document's first occurrence, then
+    reassembles each document from its surviving lines in order. The
+    corpus here has no newlines, so a "line" is a fixed 10-word segment
+    (same operator shape, deterministic segmentation); the full
+    rewritten text is emitted, so the oracle hash checks the actual
+    reassembly, not just the counts.
+
+    Scale shape (contrast with dedup_span_rewrite, which dedups repeated
+    spans WITHIN a neighborhood): segmentation is a per-row array
+    expression in the scan stage; the only corpus-sized shuffle carries
+    (line-hash → here the line itself, doc_id, idx) triples; keep-first
+    is a line-keyed window over duplicate-group-sized partitions
+    (dedup_exact_keep_first mechanics); the rewrite re-aggregates by
+    doc_id (second shuffle) with an order-pinned string_agg. At 100 TB
+    the line column is replaced by xxhash64(line) in the window key so
+    the shuffle carries 8-byte hashes, with the line text riding only
+    the doc-keyed rewrite — same plan, smaller exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.concat_ws(" ", F.slice(words, (i - 1) * 10 + 1, 10)),
+    )
+    exploded = d.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "chunk")
+    ).select("doc_id", (F.col("pos") + 1).alias("chunk_idx"), "chunk")
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("chunk_idx", "chunk")
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum((F.col("rn") == 1).cast("int")).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["chunk"],
+            ),
+        ).alias("rewritten"),
+    )

@@ -216,3 +216,94 @@ def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(p, e) for p, e in zip(probs, est)], "quantile double, est_value double"
     )
+
+
+@query(
+    "sample_domain_mixture",
+    oracle=f"""
+        WITH counts AS (
+            SELECT source,
+                   COUNT(*) AS n_available,
+                   1 + (CAST(substring(source, 4) AS INTEGER) % 4) AS w
+            FROM documents GROUP BY source
+        ),
+        sums AS (
+            SELECT SUM(w) AS sw, SUM(n_available) AS n_total FROM counts
+        ),
+        rates AS (
+            SELECT source, n_available,
+                   CAST(floor(LEAST(
+                       1.0,
+                       (CAST(w AS DOUBLE) / sw)
+                           * (0.5 * n_total) / n_available
+                   ) * 65536) AS BIGINT) AS thr
+            FROM counts, sums
+        ),
+        kept AS (
+            SELECT d.source
+            FROM documents d JOIN rates r USING (source)
+            WHERE r.thr >= 65536
+               OR {_BKT_SQL.format(k='d.doc_id')} < printf('%04x', r.thr)
+        )
+        SELECT r.source,
+               CAST(r.n_available AS BIGINT) AS n_available,
+               CAST(r.thr AS BIGINT) AS thr,
+               CAST(COALESCE(k.n, 0) AS BIGINT) AS n_sampled
+        FROM rates r
+        LEFT JOIN (SELECT source, COUNT(*) AS n FROM kept GROUP BY source) k
+               USING (source)
+    """,
+    tags=("llm", "sampling", "defer-sample"),
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling with a DATA-DRIVEN rates table — the
+    production form of ``sample_stratified_rates``' CASE expression.
+    Target mixture weights per source domain (here w = 1 + idx mod 4,
+    standing in for curated domain weights a-la mC4/DoReMi), a total
+    budget of half the corpus, and per-domain acceptance rate
+    min(1, share_d · B / n_d) — computed IN-PLAN from two tiny
+    aggregates, converted to a 4-hex md5 threshold, and broadcast-joined
+    back onto the corpus so the per-row keep decision is a pure scan
+    predicate. Emits per-domain accounting (available, threshold,
+    sampled).
+
+    Scale shape: corpus is touched twice (domain counts; the filtered
+    count), both partial-aggregated on the low-cardinality domain key;
+    the rates table is domains-sized and broadcast. Rate → threshold
+    uses floor(rate·65536) with an explicit thr ≥ 65536 keep-all guard
+    (a 4-hex lexicographic compare cannot express rate 1.0), and the
+    double arithmetic runs in the same order on integer inputs in both
+    engines, so thresholds — and therefore the sampled set — match
+    exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_available")).withColumn(
+        "w", 1 + F.substring("source", 4, 10).cast("int") % 4
+    )
+    sums = counts.agg(
+        F.sum("w").alias("sw"), F.sum("n_available").alias("n_total")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("w").cast("double") / F.col("sw"))
+        * (0.5 * F.col("n_total"))
+        / F.col("n_available"),
+    )
+    rates = counts.crossJoin(F.broadcast(sums)).select(
+        "source",
+        "n_available",
+        F.floor(rate * 65536).cast("bigint").alias("thr"),
+    )
+    kept = d.join(F.broadcast(rates), "source").filter(
+        (F.col("thr") >= 65536)
+        | (_bkt(F.col("doc_id")) < F.format_string("%04x", F.col("thr")))
+    )
+    kept_counts = kept.groupBy("source").agg(F.count("*").alias("n"))
+    return (
+        rates.join(kept_counts, "source", "left")
+        .select(
+            "source",
+            F.col("n_available").cast("bigint").alias("n_available"),
+            F.col("thr").cast("bigint").alias("thr"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_sampled"),
+        )
+    )

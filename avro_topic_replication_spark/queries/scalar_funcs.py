@@ -796,3 +796,55 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(parts, F.lit(3)).alias("elem_oob"),
         F.try_element_at(parts, F.lit(1)).alias("elem_ok"),
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+        WITH u AS (
+            SELECT c_custkey,
+                   'https://shop' || CAST(c_custkey % 5 AS VARCHAR)
+                     || '.example.com/seg/' || lower(replace(c_mktsegment, ' ', '-'))
+                     || '?cust=' || CAST(c_custkey AS VARCHAR)
+                     || '&page=' || CAST(c_custkey % 7 AS VARCHAR) AS url
+            FROM customer WHERE c_custkey < 500
+        )
+        SELECT c_custkey, url,
+               regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+               regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(url, '[?&]cust=([^&#]*)', 1) AS cust_param,
+               regexp_extract(url, 'https?://[^/?#]+[^?#]*\\?([^#]*)', 1)
+                   AS query_string
+        FROM u
+    """,
+    tags=("scalar", "url"),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction — the canonicalization primitive of any
+    web-corpus pipeline — through Spark's native parse_url (HOST / PATH
+    / QUERY, per-key query lookup), all codegen expressions. The URLs
+    are synthesized deterministically from customer columns so every
+    component has a closed form; DuckDB has no URL functions, so the
+    oracle mirrors with the equivalent anchored regexes — the two
+    implementations must agree character-for-character, which is
+    exactly the property a migration between engines needs pinned."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    url = F.concat(
+        F.lit("https://shop"),
+        (F.col("c_custkey") % 5).cast("string"),
+        F.lit(".example.com/seg/"),
+        F.lower(F.replace(F.col("c_mktsegment"), F.lit(" "), F.lit("-"))),
+        F.lit("?cust="),
+        F.col("c_custkey").cast("string"),
+        F.lit("&page="),
+        (F.col("c_custkey") % 7).cast("string"),
+    )
+    u = c.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("cust")).alias("cust_param"),
+        F.parse_url("url", F.lit("QUERY")).alias("query_string"),
+    )

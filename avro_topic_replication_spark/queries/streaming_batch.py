@@ -1129,3 +1129,80 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streak_start",
         )
     )
+
+
+@query(
+    "events_sessionize_batch",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                             OR date_diff('microsecond', prev_ts, ts)
+                                > 1800 * 1000000
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM ordered
+        ),
+        sess AS (
+            SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(session_idx AS BIGINT) AS session_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS session_start,
+               CAST(date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000
+                    AS BIGINT) AS duration_sec,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
+        FROM sess
+        GROUP BY user_id, session_idx
+    """,
+    tags=("events", "analytics", "window", "defer-sample"),
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (the 30-minute-inactivity rule):
+    per user, a new session starts whenever the gap to the previous
+    event exceeds 1800 s; sessions are numbered by a running sum of the
+    new-session flags, then aggregated to per-session stats (event
+    count, start, duration, distinct event types). The batch twin of
+    ``stream_session_window`` — the same session boundaries a streaming
+    session window with a 30-minute gap would close, computed over the
+    historical table.
+
+    Scale shape: both windows and the final aggregate partition by
+    user_id — one shuffle key end to end, no global ordering anywhere;
+    the running sum is per-user ROWS UNBOUNDED PRECEDING (streamable
+    frame, no buffering beyond the partition). Gap arithmetic uses
+    timestampdiff on the NTZ timestamps — timezone-free and identical
+    in both engines; (ts, event_id) makes the within-user order total,
+    so session numbering is deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1800 * 1000000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts)) div 1000000")
+        .cast("bigint")
+        .alias("duration_sec"),
+        F.countDistinct("event_type").cast("bigint").alias("n_event_types"),
+    )

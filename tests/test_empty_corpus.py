@@ -87,6 +87,13 @@ EMPTY_SAFE = [
     "mm_audio_downsample",
     "mm_video_frame_stats",
     "mm_frame_dedup",
+    # r6 additions (vec_pq_adc_search excluded: codebook fitting on zero
+    # vectors is a caller error, like the other fitted operators)
+    "events_sessionize_batch",
+    "sample_domain_mixture",
+    "dedup_line_rewrite",
+    "dedup_url_canonical",
+    "fn_url_parse",
 ]
 
 

@@ -584,3 +584,49 @@ def test_pagerank_invariants(spark, sf_dir):
     }
     heaviest = max(inbound, key=lambda k: inbound[k])
     assert heaviest in top
+
+
+def test_pq_adc_invariants(spark, sf_dir):
+    """Product quantization: codes are in range, reconstruction error is
+    far below vector energy, and the reranked ADC top-10 recalls most of
+    the exact top-10."""
+    import numpy as np
+
+    from avro_topic_replication_spark.catalog import load_table
+    from avro_topic_replication_spark.queries.llm_vectors import (
+        _PQ_K,
+        _PQ_M,
+        _pq_codebooks,
+        _pq_encode,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(spark, sf_dir)
+    assert books.shape == (_PQ_M, _PQ_K, 64 // _PQ_M)
+    enc = _pq_encode(e, books).select("vec_id", "embedding", "codes").collect()
+    X = np.array([r["embedding"] for r in enc], dtype=np.float64)
+    C = np.array([r["codes"] for r in enc])
+    assert C.min() >= 0 and C.max() < _PQ_K
+    # reconstruction: the 16-centroid codebooks must beat the best
+    # 1-centroid quantizer (the per-subspace mean) by a clear margin —
+    # the rigorous "codebooks learned something" claim on a corpus this
+    # close to uniform random (where MSE/energy can't drop far)
+    recon = np.concatenate(
+        [books[m][C[:, m]] for m in range(_PQ_M)], axis=1
+    )
+    mse = ((X - recon) ** 2).mean()
+    mean_mse = ((X - X.mean(axis=0)) ** 2).mean()
+    assert mse < 0.75 * mean_mse, (mse, mean_mse)
+
+    rows = QS["vec_pq_adc_search"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    ids = [r["vec_id"] for r in enc]
+    q = X[ids.index(0)]
+    d2 = ((X - q) ** 2).sum(axis=1)
+    exact = set(np.array(ids)[np.argsort(d2, kind="stable")[:10]].tolist())
+    got = {r["vec_id"] for r in rows}
+    # measured 0.8 at sf0.01 and sf0.001; 0.5 guards the property
+    # (ADC-only was 0.4 — the floor also proves the rerank stage works)
+    assert len(exact & got) / 10 >= 0.5, sorted(got)
+    # the probe itself must come back first with exact distance 0
+    assert rows[0]["vec_id"] == 0 and rows[0]["exact_dist2"] == 0.0
