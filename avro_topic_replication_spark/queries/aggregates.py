@@ -1096,3 +1096,92 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("raw_mean"),
         )
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp_exact,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp_bitmap
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "bitmap", "defer-sample"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-based exact distinct counting (Spark 3.5 bitmap_* family):
+    each key maps to (bucket, bit position), per-group bitmaps OR-merge
+    in the aggregate, and popcount over the merged bitmaps is the exact
+    distinct count — the roaring-bitmap trick OLAP engines use to make
+    COUNT(DISTINCT int-key) mergeable and cheap. Emitted next to the
+    classic expand-based COUNT DISTINCT; the two must agree exactly
+    (and the oracle pins both to DuckDB's count).
+
+    Scale shape: the bitmap aggregate is a single-pass hash agg whose
+    state is bitmap-sized (key-range/8 bits per bucket, OR-mergeable
+    map-side) — no Expand operator, no second shuffle, unlike the
+    exact-distinct plan; the popcount fold is per-group. The trade:
+    exactness for dense integer key spaces at bitmap memory, vs HLL's
+    constant memory with error (agg_approx_count_distinct)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bitmaps = li.groupBy(
+        "l_returnflag", F.expr("bitmap_bucket_number(l_suppkey)").alias("bucket")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(l_suppkey))").alias("bm"),
+        F.countDistinct("l_suppkey").alias("nd_part"),
+    )
+    return (
+        bitmaps.groupBy("l_returnflag")
+        .agg(
+            F.sum("nd_part").cast("bigint").alias("n_supp_exact"),
+            F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_supp_bitmap"),
+        )
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+        WITH cnt AS (
+            SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                   COUNT(*) AS c
+            FROM lineitem GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                         ORDER BY c DESC, q ASC) AS rn
+            FROM cnt
+        )
+        SELECT l_returnflag,
+               q AS mode_qty,
+               CAST(c AS BIGINT) AS mode_count
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("agg", "stats", "defer-sample"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value, smallest-value
+    tie-break): count + per-group top-1 window. Spark 3.4's native
+    mode() picks an arbitrary winner on ties — unusable under a
+    bit-exact gate and irreproducible across runs, so the engine ships
+    the two-step idiom instead, which both engines execute identically.
+
+    Scale shape: one partial-aggregated count on (group, value) — the
+    only corpus-sized shuffle — then the window runs on the counts
+    table, bounded by group×distinct-value cardinality."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("q"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("q").alias("mode_qty"),
+            F.col("c").cast("bigint").alias("mode_count"),
+        )
+    )

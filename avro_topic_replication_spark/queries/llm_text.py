@@ -585,3 +585,98 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("lang") == F.col("predicted_lang")).alias("is_correct"),
     )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+        ),
+        uni AS (
+            SELECT unnest(ws) AS w FROM toks
+        ),
+        uni_cnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+        bg AS (
+            SELECT ws[i] || ' ' || ws[i + 1] AS b,
+                   ws[i] AS w1, ws[i + 1] AS w2
+            FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i) g
+        ),
+        bg_cnt AS (
+            SELECT b, w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY b, w1, w2
+        ),
+        tot AS (
+            SELECT (SELECT COUNT(*) FROM uni) AS n_uni,
+                   (SELECT COUNT(*) FROM bg) AS n_bg
+        )
+        SELECT b AS bigram,
+               CAST(c_xy AS BIGINT) AS c_xy,
+               round(ln(CAST(c_xy AS DOUBLE) * n_uni * n_uni
+                        / (CAST(n_bg AS DOUBLE) * x.c * y.c)), 6) AS pmi
+        FROM bg_cnt
+        JOIN uni_cnt x ON x.w = w1
+        JOIN uni_cnt y ON y.w = w2
+        CROSS JOIN tot
+        WHERE c_xy >= 5
+        ORDER BY pmi DESC, bigram ASC
+        LIMIT 20
+    """,
+    tags=("llm", "text", "defer-sample"),
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: which adjacent
+    word pairs co-occur far above chance — the classic corpus-statistics
+    signal for multiword expressions (and a cheap tokenizer-merge-rule
+    candidate generator). PMI = ln(p(xy) / (p(x)·p(y))) computed from
+    exact integer counts; pairs seen < 5 times are dropped (PMI is
+    unstable on rare events), top-20 with a (pmi, bigram) total order.
+
+    Scale shape: ONE corpus-sized explode each for unigrams and bigrams,
+    both landing in partial-aggregated hash counts that are vocab- and
+    bigram-vocab-bounded; the PMI join runs on those bounded tables
+    (broadcastable at 10^6-word vocabularies); totals ride as a
+    broadcast 1-row aggregate; top-20 is TakeOrderedAndProject. The log
+    is one IEEE op on identical integer inputs, rounded to 6 — the
+    text_tfidf transcendental discipline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.lower("text"), " ").alias("ws"))
+    n = F.size("ws")
+    uni = toks.select(F.explode("ws").alias("w"))
+    uni_cnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    bg = toks.filter(n >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, n - 1),
+                F.slice("ws", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.concat_ws(" ", "p.w1", "p.w2").alias("b"), "p.w1", "p.w2")
+    bg_cnt = bg.groupBy("b", "w1", "w2").agg(F.count("*").alias("c_xy"))
+    tot = uni.agg(F.count("*").alias("n_uni")).crossJoin(
+        bg.agg(F.count("*").alias("n_bg"))
+    )
+    x = uni_cnt.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    y = uni_cnt.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    pmi = F.round(
+        F.log(
+            F.col("c_xy").cast("double")
+            * F.col("n_uni")
+            * F.col("n_uni")
+            / (F.col("n_bg").cast("double") * F.col("c_x") * F.col("c_y"))
+        ),
+        6,
+    )
+    return (
+        bg_cnt.filter(F.col("c_xy") >= 5)
+        .join(x, "w1")
+        .join(y, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("b").alias("bigram"),
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -123,15 +123,52 @@ def _hyperplanes(dim: int = 64, n: int = 8) -> list[list[float]]:
     return rng.standard_normal((n, dim)).tolist()
 
 
-@query("vec_lsh_pairs", oracle=None, tags=("llm", "vector", "lsh"))
+def _lsh_bucket_sql() -> str:
+    """DuckDB twin of the sign-LSH bucket id: the SAME hyperplane
+    literals, the same ordered fold, the same sign rule — generated from
+    _hyperplanes() so the two engines cannot drift."""
+    terms = []
+    for i, p in enumerate(_hyperplanes()):
+        lits = "[" + ", ".join(repr(float(v)) for v in p) + "]"
+        dot = (
+            "list_reduce(list_transform(list_zip(embedding, " + lits + "), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_LSH_PAIRS_SQL = f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {{bucket}} AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           {_DOT_SQL.format(a='a.embedding', b='c.embedding')}
+             / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')}))
+               AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+    LIMIT 20
+"""
+
+
+@query(
+    "vec_lsh_pairs",
+    oracle=None,  # bound below once _lsh_bucket_sql() renders (import order)
+    tags=("llm", "vector", "lsh"),
+)
 def vec_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top similar pairs via sign-random-projection LSH — the scale path.
 
     8 fixed hyperplanes → 8 sign bits → bucket id; only pairs sharing a
     bucket are scored (expected bucket size n/256, so candidate work is
     ~n²/256 instead of n²; more planes or multi-probe shrink it further).
-    Rows-only: bucket membership depends on the seeded hyperplanes, not
-    SQL-expressible concisely."""
+    ORACLE-CHECKED as of r6: the hyperplanes are plan-time literals and
+    both engines fold the projection left-to-right in IEEE doubles, so
+    bucket ids — and therefore the candidate set and the top-20 — match
+    bit-for-bit (the DuckDB twin is GENERATED from the same
+    _hyperplanes() list; rows-only was an under-claim)."""
     e = load_table(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
     emb = _dbl(F.col("embedding"))
@@ -744,3 +781,10 @@ def vec_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("exact_dist2"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# vec_lsh_pairs' oracle references _lsh_bucket_sql(), defined above the
+# query; bind it post-registration (REGISTRY holds the Query object).
+from . import REGISTRY as _REG  # noqa: E402
+
+_REG["vec_lsh_pairs"].oracle = _LSH_PAIRS_SQL.format(bucket=_lsh_bucket_sql())

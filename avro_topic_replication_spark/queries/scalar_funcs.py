@@ -848,3 +848,80 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("cust")).alias("cust_param"),
         F.parse_url("url", F.lit("QUERY")).alias("query_string"),
     )
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+        SELECT c_custkey,
+               c_name AS decrypted,
+               CAST(((octet_length(encode(c_name)) // 16) + 1) * 16 AS BIGINT)
+                   AS cipher_bytes
+        FROM customer WHERE c_custkey < 300
+    """,
+    tags=("scalar", "crypto", "defer-sample"),
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption with Spark's native aes_encrypt/aes_decrypt
+    (AES-128-ECB — the deterministic mode, so ciphertext length is the
+    analytic PKCS#7 formula and the roundtrip is plan-stable; GCM would
+    salt a random IV per row). The oracle can't run AES, but it doesn't
+    need to: decrypt(encrypt(x)) must be the identity and the ciphertext
+    length is closed-form — both hash-checked. The pattern a pipeline
+    uses to keep PII columns encrypted at rest while remaining joinable
+    (deterministic ECB preserves equality — that's also its leakage
+    trade-off, which is why only pseudonymous keys should use it).
+    All codegen expressions; no Python."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    key = F.lit("0123456789abcdef")  # 16-byte demo key
+    cipher = F.aes_encrypt(F.col("c_name").cast("binary"), key, F.lit("ECB"))
+    return c.select(
+        "c_custkey",
+        F.aes_decrypt(cipher, key, F.lit("ECB")).cast("string").alias("decrypted"),
+        F.octet_length(cipher).cast("bigint").alias("cipher_bytes"),
+    )
+
+
+@query(
+    "fn_datetime_make",
+    oracle="""
+        SELECT o_orderkey,
+               make_date(CAST(year(o_orderdate) AS INTEGER),
+                         CAST(month(o_orderdate) AS INTEGER),
+                         1) AS month_floor,
+               make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+                              CAST(month(o_orderdate) AS BIGINT),
+                              CAST(dayofmonth(o_orderdate) AS BIGINT),
+                              12, 30, 0.0) AS noonish,
+               CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH
+                   + INTERVAL 10 DAY AS shifted,
+               CAST(date_part('doy', o_orderdate) AS INTEGER) AS doy,
+               CAST(date_part('week', o_orderdate) AS INTEGER) AS iso_week,
+               CAST(date_part('isodow', o_orderdate) AS INTEGER) AS iso_dow
+        FROM orders WHERE o_orderkey < 300
+    """,
+    tags=("scalar", "datetime", "defer-sample"),
+)
+def fn_datetime_make(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp/date CONSTRUCTION and calendar parts: make_date /
+    make_timestamp from numeric fields (the inverse of extraction — how
+    pipelines rebuild event times from sharded year/month/day columns),
+    interval arithmetic, and the ISO calendar parts (day-of-year, ISO
+    week, ISO weekday) whose cross-engine agreement is notoriously
+    finicky — pinned here value-for-value. All codegen; make_timestamp
+    emits TIMESTAMP_NTZ matching the corpus timestamps."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_floor"),
+        F.expr(
+            "make_timestamp_ntz(year(o_orderdate), month(o_orderdate), "
+            "day(o_orderdate), 12, 30, 0)"
+        ).alias("noonish"),
+        (d.cast("date") + F.expr("INTERVAL 2 MONTH") + F.expr("INTERVAL 10 DAY"))
+        .alias("shifted"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("iso_week"),
+        F.expr("extract(DAYOFWEEK_ISO FROM o_orderdate)").cast("int").alias("iso_dow"),
+    )

@@ -94,6 +94,9 @@ EMPTY_SAFE = [
     "dedup_line_rewrite",
     "dedup_url_canonical",
     "fn_url_parse",
+    "fn_aes_roundtrip",
+    "agg_bitmap_distinct",
+    "text_collocations_pmi",
 ]
 
 
