@@ -1206,3 +1206,218 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("duration_sec"),
         F.countDistinct("event_type").cast("bigint").alias("n_event_types"),
     )
+
+
+@query(
+    "events_pattern_regex",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   string_agg(substring(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS s
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(s) AS BIGINT) AS n_events,
+               CAST(length(regexp_replace(s, '[^v]', '', 'g')) AS BIGINT)
+                   AS n_views,
+               regexp_matches(s, 'v[^p]*c[^p]*p') AS funnel_vcp,
+               regexp_matches(s, 'ee') AS error_burst,
+               CAST((length(s) - length(regexp_replace(s, 'vp', '', 'g'))) // 2
+                    AS BIGINT) AS quick_convert_count
+        FROM seq
+    """,
+    tags=("events", "analytics", "pattern", "defer-sample"),
+)
+def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection over event streams (the MATCH_RECOGNIZE
+    workload, expressed portably): each user's history collapses to an
+    order-pinned string of event initials, and patterns become regexes —
+    view→click→purchase with no intervening purchase (`v[^p]*c[^p]*p`),
+    consecutive-error bursts (`ee`), and immediate view→purchase
+    conversions counted by replacement-length arithmetic. Far more
+    expressive than the fixed-step funnel query and still one shuffle.
+
+    Scale shape: ONE user-keyed aggregation builds the sequence string
+    (order_by inside string_agg — per-group sort, no global order); the
+    regexes run per user-row in codegen. Sequence length is bounded by
+    per-user activity, not corpus size; a pathological power-user's
+    string is capped in production by windowing the history (the
+    session/cohort queries' pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+        ).alias("s")
+    )
+    s = F.col("s")
+    return seq.select(
+        "user_id",
+        F.length(s).cast("bigint").alias("n_events"),
+        F.length(F.regexp_replace(s, "[^v]", "")).cast("bigint").alias("n_views"),
+        s.rlike("v[^p]*c[^p]*p").alias("funnel_vcp"),
+        s.rlike("ee").alias("error_burst"),
+        F.floor(
+            (F.length(s) - F.length(F.regexp_replace(s, "vp", ""))) / 2
+        ).cast("bigint").alias("quick_convert_count"),
+    )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   max(CASE WHEN event_type = 'click'
+                            THEN epoch_us(ts) END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_click_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CASE WHEN last_click_us IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_attributed,
+               CAST(CAST(SUM(CASE WHEN last_click_us IS NOT NULL
+                                  THEN CAST(value AS DECIMAL(18,4)) END)
+                         AS VARCHAR) AS DOUBLE) AS attributed_value,
+               CAST(MAX(epoch_us(ts) - last_click_us) AS BIGINT)
+                   AS max_click_to_buy_us
+        FROM marked
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+    """,
+    tags=("events", "analytics", "attribution", "defer-sample"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent PRECEDING click (the marketing-analytics counterpart of
+    the as-of join) — per user, how many purchases were attributable,
+    the attributed revenue, and the longest click-to-buy latency.
+
+    Scale shape: the same carry-forward trick as join_asof_click_view —
+    a per-user running MAX over the conditional click timestamp (ROWS
+    ... 1 PRECEDING excludes self-attribution when a click and purchase
+    share a timestamp) — one shuffle on user_id, linear in events, never
+    a click×purchase pair join. Decimal-exact value sums; timestamps
+    compare in epoch microseconds (timezone-free on NTZ)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "ts_us", us
+    ).withColumn(
+        "last_click_us",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts_us"))).over(w),
+    )
+    attributed = F.col("last_click_us").isNotNull()
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum(attributed.cast("int")).cast("bigint").alias("n_attributed"),
+            F.sum(F.when(attributed, F.col("value").cast("decimal(18,4)")))
+            .cast("string")
+            .cast("double")
+            .alias("attributed_value"),
+            F.max(F.col("ts_us") - F.col("last_click_us"))
+            .cast("bigint")
+            .alias("max_click_to_buy_us"),
+        )
+    )
+
+
+@query(
+    "events_dau_wau_mau",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM days),
+        contrib AS (
+            SELECT user_id, d AS active_day,
+                   d + CAST(g.i AS INTEGER) AS target_day
+            FROM days, LATERAL (SELECT unnest(range(0, 30)) AS i) g
+        ),
+        rolled AS (
+            SELECT target_day,
+                   COUNT(DISTINCT CASE WHEN target_day = active_day
+                                       THEN user_id END) AS dau,
+                   COUNT(DISTINCT CASE WHEN target_day - active_day <= 6
+                                       THEN user_id END) AS wau,
+                   COUNT(DISTINCT user_id) AS mau
+            FROM contrib GROUP BY target_day
+        )
+        SELECT target_day AS day,
+               CAST(dau AS BIGINT) AS dau,
+               CAST(wau AS BIGINT) AS wau,
+               CAST(mau AS BIGINT) AS mau
+        FROM rolled, bounds
+        WHERE target_day <= hi
+    """,
+    tags=("events", "analytics", "window", "defer-sample"),
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active-user counts — DAU / WAU (7-day) / MAU (30-day) per
+    calendar day, the engagement dashboard every product pipeline ships.
+    COUNT DISTINCT over a sliding frame isn't a window aggregate in
+    either engine, so the portable shape is contribution-explode: each
+    (user, active day) row contributes to the 30 target days it keeps
+    the user "monthly active" for, then one hash aggregate per target
+    day counts conditional distincts (DAU at lag 0, WAU at lag ≤ 6, MAU
+    all 30). Days beyond the observed range are trimmed.
+
+    Scale shape: events collapse FIRST to the distinct (user, day) grain
+    (one partial-aggregated shuffle over the corpus); the ×30 explode
+    multiplies only that day-grain table — bounded by users × active
+    days, independent of raw event volume — and lands in a day-keyed
+    aggregate. The max-day bound rides as a broadcast 1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    bounds = days.agg(F.max("d").alias("hi"))
+    contrib = days.select(
+        "user_id",
+        F.col("d").alias("active_day"),
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"),
+    ).select(
+        "user_id",
+        "active_day",
+        F.expr("date_add(active_day, i)").alias("target_day"),
+        F.col("i").alias("lag"),
+    )
+    rolled = contrib.groupBy("target_day").agg(
+        F.countDistinct(
+            F.when(F.col("lag") == 0, F.col("user_id"))
+        ).cast("bigint").alias("dau"),
+        F.countDistinct(
+            F.when(F.col("lag") <= 6, F.col("user_id"))
+        ).cast("bigint").alias("wau"),
+        F.countDistinct("user_id").cast("bigint").alias("mau"),
+    )
+    return (
+        rolled.crossJoin(F.broadcast(bounds))
+        .filter(F.col("target_day") <= F.col("hi"))
+        .select(
+            F.col("target_day").alias("day"), "dau", "wau", "mau"
+        )
+    )

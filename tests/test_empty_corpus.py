@@ -97,6 +97,11 @@ EMPTY_SAFE = [
     "fn_aes_roundtrip",
     "agg_bitmap_distinct",
     "text_collocations_pmi",
+    "agg_mode_deterministic",
+    "fn_datetime_make",
+    "events_pattern_regex",
+    "events_attribution_last_touch",
+    "events_dau_wau_mau",
 ]
 
 

@@ -747,3 +747,59 @@ def test_session_variables_and_sql_udf_fuzz(spark, regions, tag, band_cut):
     """
     problems2 = compare(sdf2, con, oracle2)
     assert not problems2, (band_cut, problems2)
+
+
+@given(
+    pattern=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=7200),   # seconds offset
+            st.sampled_from(["click", "view", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sessionize_fuzz_random_gaps(spark, tmp_path_factory, pattern):
+    """The REAL events_sessionize_batch query vs its REAL oracle on
+    random event patterns: gaps straddling exactly 1800 s, identical
+    timestamps for one user (event_id breaks the tie), single-event
+    sessions, and interleaved users. Catches boundary (>1800 vs >=) and
+    ordering bugs the fixed corpus can't reach."""
+    import datetime as dt
+
+    from avro_topic_replication_spark.queries import all_queries
+    from tests.oracle import compare
+
+    q = all_queries()["events_sessionize_batch"]
+    base = str(tmp_path_factory.mktemp("sessfuzz"))
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 5, 1) + dt.timedelta(seconds=sec),
+            user,
+            etype,
+            1.0,
+            "{}",
+        )
+        for i, (user, sec, etype) in enumerate(pattern)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "events.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(base, 'events.parquet')}/*.parquet')"
+    )
+    problems = compare(q.fn(spark, base), con, q.oracle)
+    assert not problems, (pattern, problems)
