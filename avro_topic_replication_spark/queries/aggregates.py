@@ -190,23 +190,28 @@ def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "percentile"),
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (both engines use rank = p·(n−1)).
-
-    The quartile array is computed with the array-form percentile (one sort,
-    three probes) then unpacked to scalar columns — naked array result
-    columns crash the driver's pandas canonicalizer (CORRECTNESS_r01).
-    """
+    """Exact interpolated percentiles per group (both engines use
+    rank = p·(n−1)), r6-rebuilt on the GROUPED two-phase bucket-rank
+    path: the r5 form called `percentile()` per group, whose per-group
+    aggregation buffer holds every value — the same single-buffer
+    scale-killer agg_winsorized_mean was flagged for, merely split by
+    group. Now each value column runs _exact_percentiles_grouped (range
+    histogram per group → rank-routed target buckets → window-rank only
+    inside them → in-plan interpolation); the two value columns' results
+    join on the group key (the group table is 3 rows)."""
     li = load_table(spark, sf_dir, "lineitem")
-    agged = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
-        F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").alias("_qs"),
+    a = _exact_percentiles_grouped(
+        spark, li, "l_returnflag", "l_quantity", {"median_qty": 0.5}
     )
-    return agged.select(
+    b = _exact_percentiles_grouped(
+        spark,
+        li,
         "l_returnflag",
-        "median_qty",
-        F.element_at("_qs", 1).alias("price_q25"),
-        F.element_at("_qs", 2).alias("price_q50"),
-        F.element_at("_qs", 3).alias("price_q75"),
+        "l_extendedprice",
+        {"price_q25": 0.25, "price_q50": 0.50, "price_q75": 0.75},
+    )
+    return a.join(b, "l_returnflag").select(
+        "l_returnflag", "median_qty", "price_q25", "price_q50", "price_q75"
     )
 
 
@@ -768,9 +773,11 @@ def agg_boolean_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean aggregates (bool_and/bool_or — ANSI EVERY/ANY), count_if,
     and exact median per group. Median is an exact order statistic —
     deterministic under any partitioning, unlike IEEE sums — so it
-    oracle-checks directly; at scale it costs a per-group sort, which is
-    why percentile_approx (agg_percentiles) is the 100-TB path and this
-    exact form serves dims and validation samples."""
+    oracle-checks directly. F.median's per-group buffer holds every
+    value, so at 100 TB this exact form serves dims and validation
+    samples only; fact-sized exact medians go through the two-phase
+    bucket-rank helpers (`_exact_percentiles_grouped` — agg_percentiles'
+    r6 path) and unordered-error medians through approx_percentile."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
@@ -970,9 +977,12 @@ def _exact_percentiles_scalable(
     containing buckets; ONLY those buckets' rows are window-ranked. The
     largest single task is one bucket's sort (~n/64 rows — at 100 TB
     raise the bucket count; cost is a 1-row-per-bucket aggregate).
-    Interpolation: position h = 1 + (n-1)·q (1-indexed),
-    value = v[floor(h)] + (v[ceil(h)] - v[floor(h)])·(h - floor(h)) —
-    the formula Spark's percentile() and DuckDB's quantile_cont share.
+    Interpolation: position pos = q·(n-1) (0-indexed), value =
+    v[pos₀]·(1-f) + v[pos₀+1]·f with f = pos - floor(pos) — the
+    SYMMETRIC form, which is what both Spark's percentile() and DuckDB's
+    quantile_cont compute (empirically pinned: the asymmetric
+    v1 + (v2-v1)·f differs in the last ulp, e.g. 26965.019999999997 vs
+    26965.02 at sf0.01 N/q25).
     """
     from pyspark.sql import Window
 
@@ -986,14 +996,19 @@ def _exact_percentiles_scalable(
             ", ".join(f"{name} double" for name in quantiles),
         )
     # driver-side rank arithmetic on the scalar n (pure Python doubles —
-    # bit-identical to the engines' own position computation)
+    # bit-identical to the engines' own position computation, which is
+    # 0-INDEXED: pos = q·(n-1); frac = pos - floor(pos). Computing
+    # 1+(n-1)·q and subtracting its floor instead loses low bits to
+    # cancellation (e.g. q=1e-5, n=2 → frac 1.0000000000065512e-05) and
+    # breaks bit-exactness against both engines.
     needed: dict[int, str] = {}
     parts = {}
     for name, q in quantiles.items():
-        h = 1.0 + (n - 1) * q
-        k1 = int(h)
+        pos = (n - 1) * q
+        k0 = int(pos)
+        frac = pos - k0
+        k1 = k0 + 1  # 1-indexed order statistic
         k2 = min(k1 + 1, n)
-        frac = h - k1
         parts[name] = (k1, k2, frac)
         needed[k1] = needed.get(k1, "") or f"r{k1}"
         needed[k2] = needed.get(k2, "") or f"r{k2}"
@@ -1026,8 +1041,129 @@ def _exact_percentiles_scalable(
     exprs = []
     for name, (k1, k2, frac) in parts.items():
         v1, v2 = F.col(needed[k1]), F.col(needed[k2])
-        exprs.append((v1 + (v2 - v1) * F.lit(frac)).alias(name))
+        exprs.append((v1 * F.lit(1.0 - frac) + v2 * F.lit(frac)).alias(name))
     return vals.select(*exprs)
+
+
+def _exact_percentiles_grouped(
+    spark: SparkSession,
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    quantiles: "dict[str, float]",
+) -> DataFrame:
+    """Exact linear-interpolated percentiles PER GROUP, one row per group
+    with a named double column per quantile — the grouped form of
+    `_exact_percentiles_scalable`, same two-phase bucket-rank shape with
+    every step keyed by (group, bucket).
+
+    Assumes a LOW-CARDINALITY group key (the pivot/report-dimension
+    case): per-group min/max/count come back from ONE partial-aggregated
+    pass as a |groups|-row fetch (a plan-parameter fetch, like a pivot's
+    value discovery), the per-group rank spec ships back as a broadcast
+    relation, and only the rank-routed target buckets are window-ranked
+    (largest task = one (group, bucket) sort ≈ n_g/64). For
+    high-cardinality grouping use approx_percentile — exact order
+    statistics per unbounded group have no bounded-memory exact plan.
+    Interpolation is the shared Spark/DuckDB formula (see the ungrouped
+    helper)."""
+    from pyspark.sql import Window
+
+    stats = (
+        df.groupBy(group_col)
+        .agg(F.min(col).alias("mn"), F.max(col).alias("mx"), F.count("*").alias("n"))
+        .collect()
+    )  # |groups|-row plan-parameter fetch (bounded group key by contract)
+    if not stats:
+        return df.select(
+            F.col(group_col),
+            *[F.lit(None).cast("double").alias(name) for name in quantiles],
+        ).limit(0)
+    nb = 64
+    params, spec = [], []
+    for r in stats:
+        g, mn, mx, n = r[group_col], r["mn"], r["mx"], r["n"]
+        span = (mx - mn) or 1.0
+        params.append((g, float(mn), float(span)))
+        for name, q in quantiles.items():
+            pos = (n - 1) * q  # 0-indexed engine position (see ungrouped)
+            k0 = int(pos)
+            k1 = k0 + 1
+            k2 = min(k1 + 1, n)
+            spec.append((g, name, k1, k2, pos - k0))
+    p_df = spark.createDataFrame(params, [group_col, "_mn", "_span"])
+    spec_df = spark.createDataFrame(
+        spec, [group_col, "_qname", "_k1", "_k2", "_frac"]
+    )
+    ranks = spec_df.select(
+        group_col, F.col("_k1").alias("_k")
+    ).union(spec_df.select(group_col, F.col("_k2").alias("_k"))).distinct()
+    b = (
+        df.select(group_col, F.col(col).alias("_v"))
+        .join(F.broadcast(p_df), group_col)
+        .withColumn(
+            "_bkt",
+            F.least(
+                F.lit(nb - 1),
+                F.floor((F.col("_v") - F.col("_mn")) / F.col("_span") * nb),
+            ).cast("int"),
+        )
+    )
+    counts = b.groupBy(group_col, "_bkt").agg(F.count("*").alias("_cnt"))
+    off_w = (
+        Window.partitionBy(group_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        group_col,
+        "_bkt",
+        "_cnt",
+        F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"),
+    )  # ≤64-row window per group
+    target = (
+        offsets.join(F.broadcast(ranks), group_col)
+        .filter(
+            (F.col("_k") > F.col("_off"))
+            & (F.col("_k") <= F.col("_off") + F.col("_cnt"))
+        )
+        .select(group_col, "_bkt", "_off")
+        .distinct()
+    )
+    local = Window.partitionBy(group_col, "_bkt").orderBy("_v")
+    sel = (
+        b.join(F.broadcast(target), [group_col, "_bkt"])
+        .withColumn("_rn", F.col("_off") + F.row_number().over(local))
+        .join(
+            F.broadcast(ranks.withColumnRenamed("_k", "_rn")),
+            [group_col, "_rn"],
+        )
+        .select(group_col, "_rn", "_v")
+    )
+    s1 = sel.select(
+        group_col, F.col("_rn").alias("_k1"), F.col("_v").alias("_v1")
+    )
+    s2 = sel.select(
+        group_col, F.col("_rn").alias("_k2"), F.col("_v").alias("_v2")
+    )
+    long = (
+        spec_df.join(F.broadcast(s1), [group_col, "_k1"])
+        .join(F.broadcast(s2), [group_col, "_k2"])
+        .select(
+            group_col,
+            "_qname",
+            (
+                F.col("_v1") * (F.lit(1.0) - F.col("_frac"))
+                + F.col("_v2") * F.col("_frac")
+            ).alias("_val"),
+        )
+    )
+    return long.groupBy(group_col).agg(
+        *[
+            F.min(F.when(F.col("_qname") == name, F.col("_val"))).alias(name)
+            for name in quantiles
+        ]
+    )
 
 
 @query(

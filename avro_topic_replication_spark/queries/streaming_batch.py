@@ -954,10 +954,12 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE user-keyed aggregate builds both first-event
     timestamps via conditional MIN (no self-join of the events table),
-    then a scalar summary; exact median over converted users is the only
-    rank operation and it runs on the users-sized table, not events.
-    Integer second arithmetic everywhere — the mean is one IEEE divide
-    of an exact integer sum."""
+    then a scalar summary. The exact median runs through the two-phase
+    bucket-rank helper (r6: the latency table is users-sized, and at
+    1e9 users a single-buffer `percentile()` is the same scale-killer
+    the fact-table queries were purged of) and rides back as a
+    broadcast 1-row relation. Integer second arithmetic everywhere —
+    the mean is one IEEE divide of an exact integer sum."""
     ev = load_table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
@@ -975,6 +977,11 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
         ).alias("secs_to_convert")
+    ).localCheckpoint(eager=True)  # users-sized; consumed by 2 passes below
+    from .aggregates import _exact_percentiles_scalable
+
+    med = _exact_percentiles_scalable(
+        spark, conv, "secs_to_convert", {"median_secs": 0.5}
     )
     return conv.agg(
         F.count("*").cast("bigint").alias("n_converted"),
@@ -983,8 +990,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("secs_to_convert").cast("double") / F.count("*")).alias(
             "avg_secs"
         ),
-        F.expr("percentile(secs_to_convert, 0.5)").alias("median_secs"),
-    )
+    ).crossJoin(F.broadcast(med))
 
 
 @query(

@@ -803,3 +803,49 @@ def test_sessionize_fuzz_random_gaps(spark, tmp_path_factory, pattern):
     )
     problems = compare(q.fn(spark, base), con, q.oracle)
     assert not problems, (pattern, problems)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # group
+            st.floats(min_value=-1e5, max_value=1e5, allow_nan=False, width=64),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    q=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_percentile_grouped_fuzz(spark, vals, q):
+    """The GROUPED two-phase bucket-rank percentile (r6, feeds
+    agg_percentiles) against DuckDB's quantile_cont GROUP BY on random
+    groups and distributions: single-value groups, constant groups,
+    arbitrary quantiles. Both engines use the symmetric interpolation
+    v1·(1-f) + v2·f, so the comparison is exact."""
+    from avro_topic_replication_spark.queries.aggregates import (
+        _exact_percentiles_grouped,
+    )
+
+    df = spark.createDataFrame([(f"g{g}", v) for g, v in vals], "grp string, v double")
+    got = {
+        r["grp"]: r["p"]
+        for r in _exact_percentiles_grouped(
+            spark, df, "grp", "v", {"p": q}
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (grp VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(f"g{g}", v) for g, v in vals])
+    want = dict(
+        con.execute(
+            f"SELECT grp, quantile_cont(v, {q!r}) FROM t GROUP BY grp"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g] == want[g], (g, got[g], want[g], vals, q)
