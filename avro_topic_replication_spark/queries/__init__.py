@@ -41,6 +41,7 @@ _MODULES = (
     "streaming_batch",
     "replication_pipeline",
     "sources_sinks",
+    "analytics_ext",
 )
 
 # Presentation order for the registry. The external correctness harness samples

@@ -1,0 +1,558 @@
+"""Round-6 analytics extensions: graph metrics, exact time-series ops,
+Gopher-style quality gating, RAG chunking, and the DataFrame stat surface.
+
+All [EXT] surface beyond the reference's replication dataflow
+(ReplicationApplication.java:71 is its only transform) — these are the
+operations a training-data / analytics user reaches for next once the
+relational + dedup legs exist. Every query here is oracle-checked against
+DuckDB; scale notes per query docstring.
+
+All queries are tagged ``defer-sample`` so the driver's 50-row correctness
+window keeps draining the pre-r6 backlog first (queries/__init__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..catalog import load_table
+from ..functions.numeric import dec_sum, dec_sum_sql
+from . import query
+
+# ---------------------------------------------------------------------------
+# Graph metrics over the co-supply graph: suppliers are linked when they
+# co-supply the same order (bounded per-order fan-out — an order has ~4
+# lineitems, so pair generation is per-order C(k,2), never a global product).
+# The l_quantity filter keeps the graph sparse at every SF (measured:
+# 375 edges/102 triangles at sf0.01, 4.3k/445 at sf0.1).
+# ---------------------------------------------------------------------------
+
+_COSUPPLY_SQL = """
+    SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    WHERE a.l_quantity <= 3 AND b.l_quantity <= 3
+    GROUP BY 1, 2
+"""
+
+
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-supply edges, oriented s1 < s2.
+
+    Scale shape: the self-join is keyed on l_orderkey (sort-merge on the
+    fact key, per-key fan-out bounded by lineitems-per-order), then one
+    distinct. No global pair enumeration anywhere.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 3)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "graph_degree_stats",
+    oracle=f"""
+        WITH edges AS ({_COSUPPLY_SQL}),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT s1 AS node FROM edges
+                  UNION ALL SELECT s2 AS node FROM edges)
+            GROUP BY node
+        )
+        SELECT degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MIN(node) AS BIGINT) AS min_node
+        FROM deg GROUP BY degree
+    """,
+    tags=("graph", "agg", "defer-sample"),
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-supply graph: union both edge
+    endpoints, count per node, histogram per degree.
+
+    Scale shape: edge build is order-keyed (see _cosupply_edges); the
+    degree count is one node-keyed aggregate with map-side partials and
+    the histogram a second, smaller one. Both shuffles carry 2 scalars.
+    """
+    e = _cosupply_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("s1").alias("node"))
+        .unionAll(e.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("node").cast("bigint").alias("min_node"),
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+        WITH edges AS ({_COSUPPLY_SQL}),
+        tri AS (
+            SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+            FROM edges e1
+            JOIN edges e2 ON e1.s2 = e2.s1
+            JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+               CAST(COUNT(DISTINCT a) AS BIGINT) AS n_apex_nodes,
+               CAST(MIN(a * 1000000 + b * 1000 + c) AS BIGINT) AS min_triangle_id
+        FROM tri
+    """,
+    tags=("graph", "join", "defer-sample"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting over the co-supply graph — the classic
+    distributed-graph benchmark (clustering-coefficient numerator).
+
+    Scale shape: edges are ORIENTED low-id -> high-id, so each triangle
+    {a<b<c} is generated exactly once as the wedge (a-b, b-c) closed by
+    (a-c) — the standard orientation trick that bounds wedge fan-out by
+    the (out-)degree instead of enumerating each triangle 6×. Both joins
+    are keyed equi-joins on node ids; at 100 TB the production upgrade is
+    degree-based orientation (orient toward the HIGHER-degree endpoint)
+    which caps wedge count at O(m^1.5) regardless of skew — id-based
+    orientation is the same dataflow with a different comparator. No
+    driver-side state; the result is a 1-row aggregate.
+    """
+    e = _cosupply_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
+        .join(
+            e3,
+            (F.col("e3.s1") == F.col("e1.s1"))
+            & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .select(
+            F.col("e1.s1").alias("a"),
+            F.col("e1.s2").alias("b"),
+            F.col("e2.s2").alias("c"),
+        )
+    )
+    return tri.agg(
+        F.count("*").cast("bigint").alias("n_triangles"),
+        F.countDistinct("a").cast("bigint").alias("n_apex_nodes"),
+        F.min(
+            F.col("a") * F.lit(1000000) + F.col("b") * F.lit(1000) + F.col("c")
+        )
+        .cast("bigint")
+        .alias("min_triangle_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact time-series operators over the events stream.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_ewma_per_user",
+    oracle="""
+        WITH s AS (
+            SELECT user_id,
+                   list(value ORDER BY ts, event_id) AS vals
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(len(vals) AS BIGINT) AS n_points,
+               CAST(list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc)
+                    AS DOUBLE) AS ewma,
+               CAST(vals[len(vals)] AS DOUBLE) AS last_value
+        FROM s
+    """,
+    tags=("timeseries", "agg", "defer-sample"),
+)
+def ts_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 0.2) of purchase
+    values per user — the smoothing op behind monitoring dashboards and
+    feature pipelines. EWMA is a sequential recurrence, so it is computed
+    as a LEFT FOLD over the time-ordered value list: Spark's
+    ``F.aggregate`` and DuckDB's ``list_reduce`` both seed with the first
+    element and fold in list order with identical IEEE double ops, making
+    the comparison bit-exact with no rounding escape hatch.
+
+    Scale shape: one user-keyed aggregate; the per-key series is bounded
+    (events-per-user is capped by product reality — here ≤99; an
+    unbounded-series deployment switches to the truncated-window form
+    where weights below 1e-12 are dropped, same fold). The sort is
+    per-group ``sort_array`` on (ts, event_id, value) structs —
+    deterministic tie-break via the unique event_id, no global sort.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    g = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    n = F.size("vals")
+    return g.select(
+        "user_id",
+        n.cast("bigint").alias("n_points"),
+        F.aggregate(
+            F.slice("vals", 2, F.greatest(n - 1, F.lit(0))),
+            F.element_at("vals", 1),
+            lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+        ).alias("ewma"),
+        F.element_at("vals", -1).alias("last_value"),
+    )
+
+
+@query(
+    "ts_zscore_anomaly",
+    oracle=f"""
+        WITH stats AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*) AS mu,
+                   sqrt(
+                     CAST(SUM(CAST(value * value AS DECIMAL(24,6))) AS DOUBLE)
+                       / COUNT(*)
+                     - (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                          / COUNT(*))
+                       * (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                          / COUNT(*))
+                   ) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(count_if(abs((value - mu) / sigma) > 2.0) AS BIGINT)
+                 AS n_anomalies,
+               CAST(MIN(CASE WHEN abs((value - mu) / sigma) > 2.0
+                             THEN event_id END) AS BIGINT) AS first_anomaly_id
+        FROM events e JOIN stats USING (event_type)
+        GROUP BY e.event_type
+    """,
+    tags=("timeseries", "stats", "defer-sample"),
+)
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: per event_type mean/std from
+    decimal-exact sums (order-independent, so mu/sigma are bit-identical
+    across engines), then flag rows with |z| > 2 and count per type.
+
+    Scale shape: two passes over events — a per-type 3-scalar aggregate
+    that rides back as a BROADCAST relation, then one map-side flag +
+    aggregate. No window, no sort; the stats table is |event_types| rows.
+    At 100 TB both passes are map-side-combined shuffles carrying a few
+    scalars per type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cnt = F.count("*")
+    mu = F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / cnt
+    ex2 = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(24,6)")).cast(
+            "double"
+        )
+        / cnt
+    )
+    stats = ev.groupBy("event_type").agg(
+        mu.alias("mu"), F.sqrt(ex2 - mu * mu).alias("sigma")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count_if(z > 2.0).cast("bigint").alias("n_anomalies"),
+            F.min(F.when(z > 2.0, F.col("event_id")))
+            .cast("bigint")
+            .alias("first_anomaly_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality gate + RAG chunking over documents.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_gopher_quality_gate",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, source,
+                   string_split_regex(lower(text), '\\s+') AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, source,
+                   len(toks) AS n_words,
+                   CAST(list_aggregate(list_transform(toks, t -> length(t)),
+                                       'sum') AS DOUBLE) / len(toks)
+                     AS mean_word_len,
+                   CAST(len(list_filter(toks,
+                                        t -> t = 'the' OR t = 'a'))
+                        AS DOUBLE) / len(toks) AS stop_ratio,
+                   (SELECT MAX(c) FROM (
+                        SELECT COUNT(*) AS c FROM unnest(toks) AS u(t)
+                        GROUP BY t)) AS top_word_count
+            FROM w
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(count_if(
+                    n_words BETWEEN 20 AND 1000
+                    AND mean_word_len BETWEEN 2.0 AND 10.0
+                    AND stop_ratio >= 0.02
+                    AND CAST(top_word_count AS DOUBLE) / n_words <= 0.20
+               ) AS BIGINT) AS n_kept,
+               CAST(count_if(n_words NOT BETWEEN 20 AND 1000) AS BIGINT)
+                 AS n_len_fail,
+               CAST(count_if(CAST(top_word_count AS DOUBLE) / n_words > 0.20)
+                    AS BIGINT) AS n_repetition_fail
+        FROM m GROUP BY source
+    """,
+    tags=("llm", "text", "defer-sample"),
+)
+def text_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (Rae et al. 2021 §A1.1 shape): word-count
+    bounds, mean-word-length band, stopword floor, and a
+    most-frequent-word repetition cap, rolled up to kept/dropped counts
+    per source with per-rule failure attribution.
+
+    Scale shape: pure per-row column expressions — tokenization and all
+    four rules run inside whole-stage codegen via array HOFs
+    (aggregate/filter over the token array; the top-word count folds a
+    sorted copy of the tokens in one pass, no explode, no join), then one
+    source-keyed aggregate. The only shuffle carries 4 counters per
+    source.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    d = d.select("doc_id", "source", toks.alias("toks"))
+    n_words = F.size("toks")
+    mean_word_len = (
+        F.aggregate(
+            "toks", F.lit(0), lambda a, t: a + F.length(t)
+        ).cast("double")
+        / n_words
+    )
+    stop_ratio = (
+        F.size(F.filter("toks", lambda t: (t == "the") | (t == "a"))).cast(
+            "double"
+        )
+        / n_words
+    )
+    # Most-frequent-word count without explode: fold the SORTED token
+    # array tracking (previous token, current run, best run).
+    sorted_toks = F.sort_array("toks")
+    top_word_count = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    m = d.select(
+        "source",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        top_word_count.alias("top_word_count"),
+    )
+    len_ok = F.col("n_words").between(20, 1000)
+    rep_fail = F.col("top_word_count").cast("double") / F.col("n_words") > 0.20
+    keep = (
+        len_ok
+        & F.col("mean_word_len").between(2.0, 10.0)
+        & (F.col("stop_ratio") >= 0.02)
+        & ~rep_fail
+    )
+    return m.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_if(keep).cast("bigint").alias("n_kept"),
+        F.count_if(~len_ok).cast("bigint").alias("n_len_fail"),
+        F.count_if(rep_fail).cast("bigint").alias("n_repetition_fail"),
+    )
+
+
+@query(
+    "rag_chunk_overlap",
+    oracle="""
+        WITH g AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       0, GREATEST(length(text) - 51, 0), 150)) AS s
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id,
+                   CAST(s AS INTEGER) AS chunk_start,
+                   substr(text, CAST(s AS INTEGER) + 1, 200) AS chunk
+            FROM g
+        )
+        SELECT doc_id,
+               chunk_start,
+               CAST(length(chunk) AS INTEGER) AS chunk_len,
+               md5(chunk) AS chunk_md5
+        FROM c
+    """,
+    tags=("llm", "rag", "defer-sample"),
+)
+def rag_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking (size 200, stride 150 — 50
+    chars of overlap), the retrieval / context-window prep step of a RAG
+    or training pipeline: start offsets via ``sequence``, one chunk row
+    per offset via ``explode``, chunk text by ``substring``, identity by
+    md5. Trailing windows shorter than the overlap (<51 chars) are not
+    started — every character still lands in ≥1 chunk because stride <
+    size.
+
+    Scale shape: per-row generate + explode, zero shuffles (the plan is
+    scan → project → generate); output size is a fixed ~1.33× of input
+    chars. The md5 gives chunk-level identity for downstream exact dedup
+    without carrying chunk text through a shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("text") - 51, F.lit(0)),
+        F.lit(150),
+    )
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.substring(
+                F.col("text"), F.col("chunk_start") + 1, 200
+            ).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.length("chunk").cast("int").alias("chunk_len"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DataFrame stat surface + interval-overlap self-join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_crosstab",
+    oracle="""
+        SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
+               CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS F,
+               CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS O,
+               CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS P
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("stat", "agg", "defer-sample"),
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.crosstab`` — the contingency-table entry point of the
+    DataFrameStatFunctions surface. Column names come from the distinct
+    values of the second column (here order status F/O/P — a fixed,
+    bounded domain), mirroring the oracle's count_if pivot.
+
+    Scale shape: crosstab is a pivot — one aggregate keyed by the pair,
+    then a bounded-width reshape; safe while the pivoted domain is
+    bounded (3 statuses). Unbounded domains belong in the long-form
+    groupBy, not crosstab.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderpriority", "o_orderstatus")
+    return ct.select(
+        "o_orderpriority_o_orderstatus",
+        *[F.col(c).cast("bigint").alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+        SELECT a.o_custkey AS custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+               CAST(MIN(a.o_orderkey * 10000000 + b.o_orderkey) AS BIGINT)
+                 AS min_pair_id
+        FROM orders a JOIN orders b
+          ON a.o_custkey = b.o_custkey
+         AND a.o_orderkey < b.o_orderkey
+         AND a.o_orderdate < b.o_orderdate + INTERVAL 7 DAY
+         AND b.o_orderdate < a.o_orderdate + INTERVAL 7 DAY
+        GROUP BY a.o_custkey
+    """,
+    tags=("join", "interval", "defer-sample"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: each order opens a 7-day activity
+    window; per customer, count pairs of their own orders whose windows
+    overlap (the burst-detection primitive). Two intervals [s,s+7) and
+    [t,t+7) overlap iff s < t+7 AND t < s+7.
+
+    Scale shape: the join is EQUI-keyed on o_custkey — the interval
+    predicate is a post-join filter inside each key group, so fan-out is
+    bounded by orders-per-customer (~10), never a global interval
+    product. A keyless interval join at 100 TB gets the banding
+    treatment instead (join_range_bands' pattern: bucket by
+    floor(date/7d), join on same-or-adjacent band, re-filter exactly).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    seven = F.expr("INTERVAL 7 DAYS")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.o_orderdate") < F.col("b.o_orderdate") + seven)
+            & (F.col("b.o_orderdate") < F.col("a.o_orderdate") + seven),
+        )
+        .groupBy(F.col("a.o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_overlaps"),
+            F.min(
+                F.col("a.o_orderkey") * F.lit(10000000)
+                + F.col("b.o_orderkey")
+            )
+            .cast("bigint")
+            .alias("min_pair_id"),
+        )
+    )
