@@ -162,6 +162,94 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+        WITH edges AS ({_COSUPPLY_SQL}),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT s1 AS node FROM edges
+                  UNION ALL SELECT s2 AS node FROM edges)
+            GROUP BY node
+        ),
+        tri AS (
+            SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+            FROM edges e1
+            JOIN edges e2 ON e1.s2 = e2.s1
+            JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+        ),
+        tn AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM (SELECT a AS node FROM tri
+                  UNION ALL SELECT b AS node FROM tri
+                  UNION ALL SELECT c AS node FROM tri)
+            GROUP BY node
+        )
+        SELECT deg.node, deg.degree,
+               COALESCE(tn.n_triangles, 0) AS n_triangles,
+               CASE WHEN deg.degree > 1
+                    THEN CAST(2 * COALESCE(tn.n_triangles, 0) AS DOUBLE)
+                         / (deg.degree * (deg.degree - 1))
+                    ELSE 0.0 END AS clustering_coeff
+        FROM deg LEFT JOIN tn USING (node)
+    """,
+    tags=("graph", "join", "defer-sample"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-supply graph:
+    2·triangles(v) / (deg(v)·(deg(v)−1)), the closed-wedge fraction — how
+    clique-like each supplier's neighborhood is.
+
+    Scale shape: shares graph_triangle_count's oriented wedge-close
+    enumeration (each triangle emitted once, then attributed to its three
+    corners by a 3-way unionAll — columns only, no re-join against
+    edges), plus the degree aggregate; the final join is node-keyed with
+    the triangle side far smaller than the node side. The coefficient is
+    a ratio of exact integers computed identically in both engines.
+    """
+    e = _cosupply_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("s1").alias("node"))
+        .unionAll(e.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
+        .join(
+            e3,
+            (F.col("e3.s1") == F.col("e1.s1"))
+            & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .select(
+            F.col("e1.s1").alias("a"),
+            F.col("e1.s2").alias("b"),
+            F.col("e2.s2").alias("c"),
+        )
+    )
+    tn = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    j = deg.join(tn, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+    )
+    return j.withColumn(
+        "clustering_coeff",
+        F.when(
+            F.col("degree") > 1,
+            (2 * F.col("n_triangles")).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact time-series operators over the events stream.
 # ---------------------------------------------------------------------------
@@ -555,4 +643,224 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("min_pair_id"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Second-order smoothing, robust anomalies, and weighted sampling.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_holt_linear",
+    oracle="""
+        WITH s AS (
+            SELECT user_id,
+                   list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+            FROM events
+            WHERE event_type = 'view'
+            GROUP BY user_id
+            HAVING COUNT(*) >= 2
+        ),
+        f AS (
+            SELECT user_id, len(vals) AS n_points,
+                   -- DuckDB list_reduce has no init arg: the seed rides
+                   -- as element 1 (acc starts there) and the fold
+                   -- consumes elements 2..n. State is a DOUBLE[3] of
+                   -- [x, level, trend] — NOT a struct: DuckDB 1.0
+                   -- evaluates struct-literal lambda fields sequentially
+                   -- over an in-place accumulator (a.l in the trend
+                   -- field would see the CURRENT step's level); list
+                   -- literals evaluate functionally.
+                   list_reduce(
+                     list_prepend(
+                       [vals[2], vals[2], vals[2] - vals[1]],
+                       list_transform(vals[3:], x ->
+                         [CAST(x AS DOUBLE), 0.0::DOUBLE, 0.0::DOUBLE])),
+                     (a, e) -> [e[1],
+                                0.5::DOUBLE * e[1]
+                                  + 0.5::DOUBLE * (a[2] + a[3]),
+                                0.3::DOUBLE
+                                    * ((0.5::DOUBLE * e[1]
+                                        + 0.5::DOUBLE * (a[2] + a[3]))
+                                       - a[2])
+                                  + 0.7::DOUBLE * a[3]]) AS st
+            FROM s
+        )
+        SELECT user_id, CAST(n_points AS BIGINT) AS n_points,
+               CAST(st[2] AS DOUBLE) AS level,
+               CAST(st[3] AS DOUBLE) AS trend,
+               CAST(st[2] + st[3] AS DOUBLE) AS forecast_1
+        FROM f
+    """,
+    tags=("timeseries", "agg", "defer-sample"),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level+trend, alpha=0.5,
+    beta=0.3) per user over view values — the trend-aware cousin of
+    ts_ewma_per_user, seeded with l₂=x₂, b₂=x₂−x₁ and folded over x₃…xₙ.
+    A struct-typed LEFT FOLD: Spark ``F.aggregate`` with a (l, b) struct
+    accumulator vs DuckDB ``list_reduce`` over a struct-wrapped list
+    (its accumulator must share the element type, so each xᵢ is wrapped
+    as {x, l, b} and the lambda threads l/b through) — same seed, same
+    fold order, same IEEE double ops, bit-exact with no rounding.
+
+    Scale shape: identical to ts_ewma_per_user — one user-keyed
+    aggregate over a bounded per-key series, sort_array for the
+    deterministic in-group order, no global sort.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    g = (
+        ev.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "value"))
+                ),
+                lambda s: s["value"],
+            ).alias("vals")
+        )
+        .filter(F.size("vals") >= 2)
+    )
+    x1 = F.element_at("vals", 1)
+    x2 = F.element_at("vals", 2)
+    n = F.size("vals")
+    st = F.aggregate(
+        F.slice("vals", 3, F.greatest(n - 2, F.lit(0))),
+        F.struct(x2.alias("l"), (x2 - x1).alias("b")),
+        lambda a, x: F.struct(
+            (F.lit(0.5) * x + F.lit(0.5) * (a["l"] + a["b"])).alias("l"),
+            (
+                F.lit(0.3)
+                * ((F.lit(0.5) * x + F.lit(0.5) * (a["l"] + a["b"])) - a["l"])
+                + F.lit(0.7) * a["b"]
+            ).alias("b"),
+        ),
+    )
+    return g.select(
+        "user_id",
+        n.cast("bigint").alias("n_points"),
+        st["l"].alias("level"),
+        st["b"].alias("trend"),
+        (st["l"] + st["b"]).alias("forecast_1"),
+    )
+
+
+@query(
+    "ts_mad_anomaly",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS m
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, e.event_id, e.value, med.m,
+                   abs(e.value - med.m) AS d
+            FROM events e JOIN med USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(d, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT dev.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ANY_VALUE(dev.m) AS DOUBLE) AS median_value,
+               CAST(ANY_VALUE(mad.mad) AS DOUBLE) AS mad,
+               CAST(count_if(dev.d > 3.0 * 1.4826 * mad.mad) AS BIGINT)
+                 AS n_anomalies
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY dev.event_type
+    """,
+    tags=("timeseries", "stats", "defer-sample"),
+)
+def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection — the robust
+    alternative to ts_zscore_anomaly (a single wild value cannot move the
+    threshold): per event_type, m = median(value), MAD = median(|v−m|),
+    flag |v−m| > 3·1.4826·MAD.
+
+    Scale shape: BOTH medians run through the grouped two-phase
+    bucket-rank exact percentile (`_exact_percentiles_grouped` — no
+    per-group all-values buffer anywhere), each riding back as a
+    broadcast |event_types|-row relation; the flag pass is one map-side
+    aggregate. The interpolated medians are bit-identical to DuckDB's
+    quantile_cont (fuzz-pinned), and every downstream comparison uses
+    those exact doubles.
+    """
+    from .aggregates import _exact_percentiles_grouped
+
+    ev = load_table(spark, sf_dir, "events")
+    med = _exact_percentiles_grouped(spark, ev, "event_type", "value", {"m": 0.5})
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("m"))
+    )
+    mad = _exact_percentiles_grouped(spark, dev, "event_type", "d", {"mad": 0.5})
+    thr = F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.first("m").alias("median_value"),
+            F.first("mad").alias("mad"),
+            F.count_if(F.col("d") > thr).cast("bigint").alias("n_anomalies"),
+        )
+    )
+
+
+@query(
+    "sample_weighted_priority",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id, lang, n_chars,
+                   (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                         AS BIGINT) + 1)
+                     / 281474976710657.0 AS unif
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, lang, n_chars,
+                   ln(unif) / n_chars AS priority,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY ln(unif) / n_chars DESC, doc_id) AS rk
+            FROM u
+        )
+        SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        FROM p WHERE rk <= 10
+    """,
+    tags=("llm", "sampling", "defer-sample"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=10 per language, weight =
+    n_chars (Efraimidis–Spirakis priority sampling: keep the top-k rows
+    by u^(1/w), ranked here via the monotone-equivalent ln(u)/w).
+    Longer documents are proportionally more likely to be picked, and —
+    unlike rand()-based sampling — membership is a pure function of the
+    data: u comes from a 12-hex-digit md5 prefix mapped to (0,1]
+    identically in both engines (Spark ``conv(hex,16,10)``, DuckDB
+    ``CAST('0x…' AS BIGINT)``), so the sample is reproducible across
+    runs, engines, and repartitioning.
+
+    Scale shape: priority is a per-row expression; selection is a
+    per-stratum top-k window (rank only, no global sort). At 100 TB the
+    window input prunes first via a per-stratum approximate priority
+    threshold (the sample_reservoir_per_group note) so each stratum
+    window sees ~k candidates rather than the full corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    unif = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        + 1
+    ) / F.lit(281474976710657.0)
+    pri = F.log(unif) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(F.desc_nulls_last(pri), "doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars", pri.alias("_pri"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
     )
