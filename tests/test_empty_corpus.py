@@ -102,6 +102,22 @@ EMPTY_SAFE = [
     "events_pattern_regex",
     "events_attribution_last_touch",
     "events_dau_wau_mau",
+    # r6 analytics_ext family: graph metrics on an edgeless graph, folds
+    # over zero series, gates/chunkers over zero docs, overlap join over
+    # zero orders. (stat_crosstab excluded: its result schema is derived
+    # from the data's value domain, so a zero-row input legitimately
+    # yields a schema-less 1-column frame.)
+    "graph_degree_stats",
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
+    "ts_ewma_per_user",
+    "ts_holt_linear",
+    "ts_zscore_anomaly",
+    "ts_mad_anomaly",
+    "text_gopher_quality_gate",
+    "rag_chunk_overlap",
+    "join_interval_overlap",
+    "sample_weighted_priority",
 ]
 
 
