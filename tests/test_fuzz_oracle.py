@@ -849,3 +849,158 @@ def test_exact_percentile_grouped_fuzz(spark, vals, q):
     assert set(got) == set(want)
     for g in want:
         assert got[g] == want[g], (g, got[g], want[g], vals, q)
+
+
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group
+            st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=64),
+        ),
+        min_size=2,
+        max_size=50,
+    ),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sequential_fold_fuzz_ewma_holt(spark, series):
+    """The EWMA and Holt left folds (r6, ts_ewma_per_user/ts_holt_linear
+    shape) against DuckDB list_reduce on random grouped series — exact,
+    no tolerance. Exercises the DuckDB-1.0 struct-lambda in-place-
+    accumulator quirk workaround (DOUBLE[] state in the oracle) across
+    arbitrary series lengths including the 1- and 2-point edges."""
+    from pyspark.sql import functions as F
+
+    rows = [(g, i, float(v)) for i, (g, v) in enumerate(series)]
+    df = spark.createDataFrame(rows, "grp int, seq int, v double")
+    g = df.groupBy("grp").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("seq", "v"))),
+            lambda s: s["v"],
+        ).alias("vals")
+    )
+    n = F.size("vals")
+    ewma = F.aggregate(
+        F.slice("vals", 2, F.greatest(n - 1, F.lit(0))),
+        F.element_at("vals", 1),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    x1, x2 = F.element_at("vals", 1), F.element_at("vals", 2)
+    holt = F.aggregate(
+        F.slice("vals", 3, F.greatest(n - 2, F.lit(0))),
+        F.struct(x2.alias("l"), (x2 - x1).alias("b")),
+        lambda a, x: F.struct(
+            (F.lit(0.5) * x + F.lit(0.5) * (a["l"] + a["b"])).alias("l"),
+            (
+                F.lit(0.3)
+                * ((F.lit(0.5) * x + F.lit(0.5) * (a["l"] + a["b"])) - a["l"])
+                + F.lit(0.7) * a["b"]
+            ).alias("b"),
+        ),
+    )
+    got = {
+        r["grp"]: (r["ewma"], r["l"], r["b"])
+        for r in g.select(
+            "grp",
+            ewma.alias("ewma"),
+            F.when(n >= 2, holt["l"]).alias("l"),
+            F.when(n >= 2, holt["b"]).alias("b"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (grp INT, seq INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute("""
+            WITH s AS (
+                SELECT grp, list(v ORDER BY seq) AS vals FROM t GROUP BY grp
+            )
+            SELECT grp,
+                   list_reduce(vals, (a, x) -> 0.2::DOUBLE * x + 0.8::DOUBLE * a),
+                   CASE WHEN len(vals) >= 2 THEN
+                     list_reduce(
+                       list_prepend([vals[2], vals[2], vals[2] - vals[1]],
+                                    list_transform(vals[3:], x ->
+                                      [CAST(x AS DOUBLE), 0.0::DOUBLE, 0.0::DOUBLE])),
+                       (a, e) -> [e[1],
+                                  0.5::DOUBLE * e[1] + 0.5::DOUBLE * (a[2] + a[3]),
+                                  0.3::DOUBLE * ((0.5::DOUBLE * e[1]
+                                                  + 0.5::DOUBLE * (a[2] + a[3]))
+                                                 - a[2])
+                                    + 0.7::DOUBLE * a[3]])[2]
+                   END,
+                   CASE WHEN len(vals) >= 2 THEN
+                     list_reduce(
+                       list_prepend([vals[2], vals[2], vals[2] - vals[1]],
+                                    list_transform(vals[3:], x ->
+                                      [CAST(x AS DOUBLE), 0.0::DOUBLE, 0.0::DOUBLE])),
+                       (a, e) -> [e[1],
+                                  0.5::DOUBLE * e[1] + 0.5::DOUBLE * (a[2] + a[3]),
+                                  0.3::DOUBLE * ((0.5::DOUBLE * e[1]
+                                                  + 0.5::DOUBLE * (a[2] + a[3]))
+                                                 - a[2])
+                                    + 0.7::DOUBLE * a[3]])[3]
+                   END
+            FROM s
+        """).fetchall()
+    }
+    assert got == want, (got, want, series)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_triangle_count_fuzz_vs_bruteforce(spark, edges):
+    """The oriented wedge-close triangle enumeration (r6,
+    graph_triangle_count shape) on random graphs vs an independent
+    Python brute force over all id triples — checks each triangle is
+    counted exactly once, self-loops and duplicate/reversed input edges
+    are collapsed, and the empty graph yields zero."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    canon = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    nodes = sorted({n for e in canon for n in e})
+    want = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in canon and (b, c) in canon and (a, c) in canon
+    )
+    df = spark.createDataFrame(
+        [(u, v) for u, v in edges] or [(0, 0)], "u int, v int"
+    )
+    e = (
+        df.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("s1"), F.greatest("u", "v").alias("s2")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    got = (
+        e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
+        .join(
+            e3,
+            (F.col("e3.s1") == F.col("e1.s1"))
+            & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .count()
+    )
+    assert got == want, (sorted(canon), got, want)
