@@ -1057,43 +1057,51 @@ def _exact_percentiles_grouped(
     `_exact_percentiles_scalable`, same two-phase bucket-rank shape with
     every step keyed by (group, bucket).
 
-    Assumes a LOW-CARDINALITY group key (the pivot/report-dimension
-    case): per-group min/max/count come back from ONE partial-aggregated
-    pass as a |groups|-row fetch (a plan-parameter fetch, like a pivot's
-    value discovery), the per-group rank spec ships back as a broadcast
-    relation, and only the rank-routed target buckets are window-ranked
-    (largest task = one (group, bucket) sort ≈ n_g/64). For
-    high-cardinality grouping use approx_percentile — exact order
-    statistics per unbounded group have no bounded-memory exact plan.
-    Interpolation is the shared Spark/DuckDB formula (see the ungrouped
-    helper)."""
+    Fully IN-PLAN (r6 rework — no driver collect anywhere): per-group
+    min/max/count, the rank spec derived from them, and the bucket
+    routing are all DataFrame branches; the tiny per-group relations
+    ride as broadcast joins. That removes the low-cardinality *fetch*
+    (the helper now also serves larger group domains — the broadcast
+    spec is |groups|×|quantiles| rows and demotes to a shuffle join
+    naturally past the broadcast threshold), collapses the per-call
+    extra Spark job, and makes the rank arithmetic run JVM-side with
+    the same IEEE double ops the engines use: pos = q·(n−1), frac =
+    pos − floor(pos), interpolate v1·(1−f) + v2·f (fuzz-pinned vs
+    DuckDB quantile_cont in tests/test_fuzz_oracle.py). Only the
+    rank-routed target buckets are window-ranked (largest task = one
+    (group, bucket) sort ≈ n_g/64)."""
     from pyspark.sql import Window
 
-    stats = (
-        df.groupBy(group_col)
-        .agg(F.min(col).alias("mn"), F.max(col).alias("mx"), F.count("*").alias("n"))
-        .collect()
-    )  # |groups|-row plan-parameter fetch (bounded group key by contract)
-    if not stats:
-        return df.select(
-            F.col(group_col),
-            *[F.lit(None).cast("double").alias(name) for name in quantiles],
-        ).limit(0)
     nb = 64
-    params, spec = [], []
-    for r in stats:
-        g, mn, mx, n = r[group_col], r["mn"], r["mx"], r["n"]
-        span = (mx - mn) or 1.0
-        params.append((g, float(mn), float(span)))
-        for name, q in quantiles.items():
-            pos = (n - 1) * q  # 0-indexed engine position (see ungrouped)
-            k0 = int(pos)
-            k1 = k0 + 1
-            k2 = min(k1 + 1, n)
-            spec.append((g, name, k1, k2, pos - k0))
-    p_df = spark.createDataFrame(params, [group_col, "_mn", "_span"])
-    spec_df = spark.createDataFrame(
-        spec, [group_col, "_qname", "_k1", "_k2", "_frac"]
+    g = group_col
+    stats = df.groupBy(g).agg(
+        F.min(col).cast("double").alias("_mn"),
+        F.max(col).cast("double").alias("_mx"),
+        F.count("*").alias("_n"),
+    )
+    p_df = stats.select(
+        g,
+        "_mn",
+        F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0))
+        .otherwise(F.col("_mx") - F.col("_mn"))
+        .alias("_span"),
+    )
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("_qname"), F.lit(float(q)).alias("_q")
+            )
+            for name, q in quantiles.items()
+        ]
+    )
+    pos = F.col("_s._q") * (F.col("_n") - 1).cast("double")
+    k0 = F.floor(pos)  # pos >= 0, so floor == the driver's int() truncation
+    spec_df = stats.select(g, "_n", F.explode(qarr).alias("_s")).select(
+        g,
+        F.col("_s._qname").alias("_qname"),
+        (k0 + 1).alias("_k1"),
+        F.least(k0 + 2, F.col("_n")).alias("_k2"),
+        (pos - k0.cast("double")).alias("_frac"),
     )
     ranks = spec_df.select(
         group_col, F.col("_k1").alias("_k")
