@@ -872,3 +872,310 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("lang", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
     )
+
+
+@query(
+    "graph_label_propagation",
+    tags=("graph", "iterative", "rows-only", "defer-sample"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-supply graph: 5 rounds of
+    deterministic synchronous label propagation (operators/labelprop.py
+    — most-frequent neighbor label, ties to the smaller id), then
+    community accounting: one row per community with size and id span.
+
+    Rows-only (iterative; no SQL twin): tests/test_graph_ts.py pins the
+    invariants — every node labeled, labels are node ids, a clique
+    collapses to one community, two runs agree bit-for-bit, and
+    label(v) is reachable from v.
+
+    Scale shape: per-round node-keyed join + two partial-aggregated
+    groupBys over the pre-partitioned symmetrized edge list; the
+    accounting is one more label-keyed aggregate. No driver data.
+    """
+    from ..operators.labelprop import label_propagation
+
+    labels = label_propagation(spark, _cosupply_edges(spark, sf_dir), iters=5)
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("community_size"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .orderBy(F.desc("community_size"), F.asc("label"))
+        .limit(50)
+    )
+
+
+@query(
+    "ts_cusum_drift",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*) AS avg_v
+            FROM events GROUP BY 1, 2
+        ),
+        mu AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(avg_v AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*) AS mu
+            FROM daily GROUP BY event_type
+        ),
+        s AS (
+            SELECT d.event_type,
+                   list(d.avg_v - mu.mu - 0.5::DOUBLE ORDER BY d.day) AS devs,
+                   COUNT(*) AS n_days
+            FROM daily d JOIN mu USING (event_type)
+            GROUP BY d.event_type
+        ),
+        f AS (
+            SELECT event_type, n_days,
+                   list_reduce(
+                     list_prepend(
+                       [GREATEST(0.0::DOUBLE, devs[1]),
+                        GREATEST(0.0::DOUBLE, devs[1])],
+                       list_transform(devs[2:], x ->
+                         [CAST(x AS DOUBLE), 0.0::DOUBLE])),
+                     (a, e) -> [GREATEST(0.0::DOUBLE, a[1] + e[1]),
+                                GREATEST(a[2],
+                                         GREATEST(0.0::DOUBLE,
+                                                  a[1] + e[1]))]) AS st
+            FROM s
+        )
+        SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+               CAST(st[1] AS DOUBLE) AS cusum_final,
+               CAST(st[2] AS DOUBLE) AS cusum_max
+        FROM f
+    """,
+    tags=("timeseries", "agg", "defer-sample"),
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per event type (Page 1954 shape):
+    daily mean values (decimal-exact, so the series is bit-identical
+    across engines), centered on the type's mean-of-dailies minus a 0.5
+    slack, then the recurrence S_t = max(0, S_{t-1} + dev_t) folded over
+    the day-ordered series, tracking the running max (the drift alarm
+    statistic). State is a [S, maxS] pair — the ts_holt_linear
+    DOUBLE[2]-fold pattern on both engines, bit-exact.
+
+    Scale shape: events collapse to a (type, day) aggregate first — the
+    fold runs on the DAILY series (365 points/year/type regardless of
+    event volume), so the per-key array is calendar-bounded, not
+    data-bounded. Two partial-aggregated shuffles + one tiny fold.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("avg_v")
+    )
+    mu = daily.groupBy("event_type").agg(
+        (
+            F.sum(F.col("avg_v").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("mu")
+    )
+    s = (
+        daily.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "day",
+                            (F.col("avg_v") - F.col("mu") - F.lit(0.5)).alias(
+                                "dev"
+                            ),
+                        )
+                    )
+                ),
+                lambda r: r["dev"],
+            ).alias("devs")
+        )
+    )
+    first = F.greatest(F.lit(0.0), F.element_at("devs", 1))
+    st = F.aggregate(
+        F.slice("devs", 2, F.greatest(F.size("devs") - 1, F.lit(0))),
+        F.struct(first.alias("s"), first.alias("mx")),
+        lambda a, x: F.struct(
+            F.greatest(F.lit(0.0), a["s"] + x).alias("s"),
+            F.greatest(a["mx"], F.greatest(F.lit(0.0), a["s"] + x)).alias(
+                "mx"
+            ),
+        ),
+    )
+    return s.select(
+        "event_type",
+        F.size("devs").cast("bigint").alias("n_days"),
+        st["s"].alias("cusum_final"),
+        st["mx"].alias("cusum_max"),
+    )
+
+
+@query(
+    "ts_seasonal_baseline",
+    oracle="""
+        WITH base AS (
+            SELECT event_type, dayofweek(ts) + 1 AS dow, value
+            FROM events
+        ),
+        season AS (
+            SELECT event_type, dow,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*) AS dow_mean,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM base GROUP BY 1, 2
+        )
+        SELECT b.event_type, b.dow,
+               ANY_VALUE(s.dow_mean) AS dow_mean,
+               ANY_VALUE(s.n) AS n,
+               CAST(CAST(SUM(CAST((b.value - s.dow_mean)
+                                  * (b.value - s.dow_mean)
+                                  AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE)
+                 AS sq_residual_sum
+        FROM base b JOIN season s USING (event_type, dow)
+        GROUP BY b.event_type, b.dow
+    """,
+    tags=("timeseries", "stats", "defer-sample"),
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal baseline + residual energy: per (type, dow)
+    the seasonal mean (decimal-exact, so both engines agree bitwise) and
+    the decimal-summed squared residuals against it — the
+    deseasonalization step before any anomaly rule. Spark's dayofweek is
+    1=Sunday; DuckDB's is 0=Sunday, so the oracle shifts by one.
+
+    Scale shape: the baseline is a 7·|types|-row aggregate broadcast
+    back over events; both passes partial-aggregate map-side. No window,
+    no sort.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow"), "value"
+    )
+    season = ev.groupBy("event_type", "dow").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("dow_mean"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    resid = F.col("value") - F.col("dow_mean")
+    return (
+        ev.join(F.broadcast(season), ["event_type", "dow"])
+        .groupBy("event_type", "dow")
+        .agg(
+            F.first("dow_mean").alias("dow_mean"),
+            F.first("n").alias("n"),
+            F.sum((resid * resid).cast("decimal(24,6)"))
+            .cast("string")
+            .cast("double")
+            .alias("sq_residual_sum"),
+        )
+    )
+
+
+@query(
+    "events_ab_test_lift",
+    oracle="""
+        WITH assign AS (
+            SELECT user_id, user_id % 2 AS variant,
+                   CASE WHEN count_if(event_type = 'purchase') >= 15
+                        THEN 1 ELSE 0 END AS converted
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT variant,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted
+            FROM assign GROUP BY variant
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+                MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+                MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+                MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+            FROM arms
+        )
+        SELECT n0, c0, n1, c1,
+               CAST(c0 AS DOUBLE) / n0 AS rate_control,
+               CAST(c1 AS DOUBLE) / n1 AS rate_treatment,
+               CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0
+                 AS absolute_lift,
+               CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+                 (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                   / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                          * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                          * (1.0 / n0 + 1.0 / n1))
+               END AS z_score
+        FROM wide
+    """,
+    tags=("events", "stats", "defer-sample"),
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout: users split into control/treatment by
+    user_id parity (the deterministic assignment a real experiment
+    framework would persist), conversion = at
+    least 15 purchase events; emits
+    per-arm counts, rates, absolute lift, and the pooled two-proportion
+    z-score. Every float derives from exact integer counts through one
+    fixed expression, so both engines agree bitwise.
+
+    Scale shape: one user-keyed aggregate (conditional MAX — no
+    self-join), one 2-row arm aggregate, then scalar arithmetic on a
+    1-row frame via conditional aggregation. Shuffles carry counters
+    only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.when(
+            F.count_if(F.col("event_type") == "purchase") >= 15, 1
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).withColumn("variant", F.col("user_id") % 2)
+    arms = assign.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    r0 = F.col("c0").cast("double") / F.col("n0")
+    r1 = F.col("c1").cast("double") / F.col("n1")
+    p = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        r0.alias("rate_control"),
+        r1.alias("rate_treatment"),
+        (r1 - r0).alias("absolute_lift"),
+        # degenerate arms (all or none converted -> pooled variance 0)
+        # yield NULL in both engines instead of an ANSI divide-by-zero
+        F.when(
+            (F.col("c0") + F.col("c1") > 0)
+            & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1")),
+            (r1 - r0)
+            / F.sqrt(
+                p
+                * (F.lit(1.0) - p)
+                * (
+                    F.lit(1.0) / F.col("n0")
+                    + F.lit(1.0) / F.col("n1")
+                )
+            ),
+        ).alias("z_score"),
+    )

