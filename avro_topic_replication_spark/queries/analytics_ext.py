@@ -1179,3 +1179,336 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ACF, SQL-surface extras, keyword extraction, MMR diversification.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_autocorrelation",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, v,
+                   LAG(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+                   LAG(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS x7
+            FROM daily
+        ),
+        s1 AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(x1 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(x1 * x1 AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(v * v AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS syy,
+                   CAST(CAST(SUM(CAST(x1 * v AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS sxy
+            FROM lagged WHERE x1 IS NOT NULL GROUP BY event_type
+        ),
+        s7 AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(x7 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(x7 * x7 AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(v * v AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS syy,
+                   CAST(CAST(SUM(CAST(x7 * v AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS sxy
+            FROM lagged WHERE x7 IS NOT NULL GROUP BY event_type
+        )
+        SELECT s1.event_type,
+               CAST(s1.n AS BIGINT) AS n_pairs_lag1,
+               (s1.sxy - s1.sx * s1.sy / s1.n)
+                 / (sqrt(s1.sxx - s1.sx * s1.sx / s1.n)
+                    * sqrt(s1.syy - s1.sy * s1.sy / s1.n)) AS acf_lag1,
+               CAST(s7.n AS BIGINT) AS n_pairs_lag7,
+               (s7.sxy - s7.sx * s7.sy / s7.n)
+                 / (sqrt(s7.sxx - s7.sx * s7.sx / s7.n)
+                    * sqrt(s7.syy - s7.sy * s7.sy / s7.n)) AS acf_lag7
+        FROM s1 JOIN s7 USING (event_type)
+    """,
+    tags=("timeseries", "stats", "defer-sample"),
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily value series at lags 1 and 7
+    (the day-over-day and week-over-week dependence a forecaster checks
+    first): Pearson correlation of (x_{t-k}, x_t) pairs formed by a
+    per-type LAG window, with every sum in the decimal domain and the
+    correlation one fixed IEEE expression (the agg_corr discipline) —
+    bit-exact across engines.
+
+    Scale shape: events collapse to calendar-bounded dailies first; the
+    LAG window partitions by type over those dailies (≤366 rows/year
+    per type), then two partial-aggregated power-sum passes. Nothing
+    scales with event volume except the first aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("x1"),
+        F.lag("v", 7).over(w).alias("x7"),
+    )
+
+    def power_sums(xcol: str):
+        x, y = F.col(xcol), F.col("v")
+        d = lambda c, p, s: F.sum(c.cast(f"decimal({p},{s})")).cast("string").cast("double")  # noqa: E731
+        return (
+            lagged.filter(x.isNotNull())
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                d(x, 18, 6).alias("sx"),
+                d(x * x, 24, 8).alias("sxx"),
+                d(y, 18, 6).alias("sy"),
+                d(y * y, 24, 8).alias("syy"),
+                d(x * y, 24, 8).alias("sxy"),
+            )
+        )
+
+    def corr_expr(p):
+        n = F.col(f"{p}.n")
+        sx, sy = F.col(f"{p}.sx"), F.col(f"{p}.sy")
+        sxx, syy, sxy = F.col(f"{p}.sxx"), F.col(f"{p}.syy"), F.col(f"{p}.sxy")
+        return (sxy - sx * sy / n) / (
+            F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+        )
+
+    s1 = power_sums("x1").alias("s1")
+    s7 = power_sums("x7").alias("s7")
+    return s1.join(s7, F.col("s1.event_type") == F.col("s7.event_type")).select(
+        F.col("s1.event_type").alias("event_type"),
+        F.col("s1.n").cast("bigint").alias("n_pairs_lag1"),
+        corr_expr("s1").alias("acf_lag1"),
+        F.col("s7.n").cast("bigint").alias("n_pairs_lag7"),
+        corr_expr("s7").alias("acf_lag7"),
+    )
+
+
+@query(
+    "sql_pivot_clause",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS F_cnt,
+               CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS O_cnt,
+               CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS P_cnt
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("sql", "pivot", "defer-sample"),
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text PIVOT clause (the textual twin of agg_pivot's
+    DataFrame API): counts per order status pivoted to columns from a
+    bounded, explicitly listed IN domain.
+
+    Scale shape: PIVOT compiles to one aggregate keyed by the row
+    dimension with a conditional-count expression per listed value —
+    same plan as the count_if oracle; bounded output width by
+    construction (the IN list, never data discovery).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(F_cnt AS BIGINT) AS F_cnt,
+               CAST(O_cnt AS BIGINT) AS O_cnt,
+               CAST(P_cnt AS BIGINT) AS P_cnt
+        FROM (SELECT o_orderpriority, o_orderstatus FROM orders_v)
+        PIVOT (COUNT(*) FOR o_orderstatus IN ('F' AS F_cnt, 'O' AS O_cnt, 'P' AS P_cnt))
+    """)
+
+
+@query(
+    "sql_distribute_sort_by",
+    oracle="""
+        SELECT l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(MIN(l_orderkey) AS BIGINT) AS first_order
+        FROM lineitem
+        WHERE l_quantity >= 48
+        GROUP BY l_suppkey
+    """,
+    tags=("sql", "layout", "defer-sample"),
+)
+def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY + SORT BY — the SQL layout clauses (Hive dialect,
+    fully supported by Spark): rows are hash-distributed on l_suppkey
+    and sorted within each partition, then aggregated per supplier. The
+    aggregate after the layout step reuses the distribution (no second
+    Exchange on the same key), which is exactly why a pipeline author
+    uses these clauses; the row CONTENT is layout-independent, so the
+    oracle is the plain aggregate.
+
+    Scale shape: one hash Exchange (the DISTRIBUTE BY) + in-partition
+    sort; the downstream groupBy(l_suppkey) is Exchange-free on the
+    already-distributed data.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        WITH laid_out AS (
+            SELECT l_suppkey, l_orderkey
+            FROM lineitem_v
+            WHERE l_quantity >= 48
+            DISTRIBUTE BY l_suppkey SORT BY l_suppkey, l_orderkey
+        )
+        SELECT l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(MIN(l_orderkey) AS BIGINT) AS first_order
+        FROM laid_out GROUP BY l_suppkey
+    """)
+
+
+@query(
+    "text_keyword_topk",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS score
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, term, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term) AS rk
+            FROM scored
+        )
+        SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, score
+        FROM ranked WHERE rk <= 5
+    """,
+    tags=("llm", "text", "defer-sample"),
+)
+def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 keywords by TF-IDF (the keyword-extraction /
+    doc-tagging primitive): text_tfidf's exact scoring (score rounded to
+    6 decimals — that rounding is what makes the ln()-based score, and
+    therefore the RANKING, identical across engines), then a per-doc
+    row_number window with the term as tie-break.
+
+    Scale shape: tf is one (doc, term) aggregate, df one term-keyed
+    aggregate joined back (term table is vocab-bounded), the window
+    partitions per doc over its distinct terms. No global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = d.count()  # scalar plan parameter (1-value fetch)
+    scored = tf.join(df_t, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "term", "score")
+    )
+
+
+@query(
+    "vec_mmr_diversify",
+    tags=("vector", "rag", "rows-only", "defer-sample"),
+)
+def vec_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversification pass a RAG retriever runs on its top-k:
+    stage 1 pulls the top-50 candidates by cosine against the query
+    vector (TakeOrderedAndProject, the vec_knn_query path); stage 2
+    greedily selects 10 of them maximizing
+    0.7·sim(q,d) − 0.3·max_{s∈selected} sim(d,s).
+
+    The greedy stage runs driver-side over the BOUNDED 50×dim candidate
+    block (a k-sized fetch like the k-means centroid pull, annotated;
+    the data-sized work — scoring every vector — stays distributed).
+    Rows-only (greedy iteration has no SQL twin); tests/test_graph_ts.py
+    pins it against an independent pure-Python MMR and checks the
+    diversity property (selected-set min pairwise distance ≥ plain
+    top-10's).
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None:
+        return spark.createDataFrame(
+            [], "rank int, vec_id bigint, relevance double"
+        )
+    qv = np.array(qrow[0], dtype=np.float64)
+    qv /= np.linalg.norm(qv) or 1.0
+    sim = F.aggregate(
+        F.zip_with(
+            "embedding",
+            F.lit(qv.tolist()),
+            lambda a, b: a.cast("double") * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda a: a.cast("double") * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cands = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", sim.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(50)
+        .collect()
+    )  # bounded candidate fetch: 50 rows × dim
+    if not cands:
+        return spark.createDataFrame(
+            [], "rank int, vec_id bigint, relevance double"
+        )
+    ids = [r["vec_id"] for r in cands]
+    rel = np.array([r["rel"] for r in cands])
+    M = np.array([r["embedding"] for r in cands], dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    sims = M @ M.T
+    selected: "list[int]" = []
+    remaining = list(range(len(ids)))
+    while remaining and len(selected) < 10:
+        if selected:
+            penalty = sims[np.ix_(remaining, selected)].max(axis=1)
+        else:
+            penalty = np.zeros(len(remaining))
+        mmr = 0.7 * rel[remaining] - 0.3 * penalty
+        # deterministic argmax: score desc, vec_id asc on exact doubles
+        best = max(
+            range(len(remaining)), key=lambda i: (mmr[i], -ids[remaining[i]])
+        )
+        selected.append(remaining.pop(best))
+    rows = [
+        (rk + 1, int(ids[i]), float(rel[i])) for rk, i in enumerate(selected)
+    ]
+    return spark.createDataFrame(rows, "rank int, vec_id bigint, relevance double")

@@ -122,6 +122,11 @@ EMPTY_SAFE = [
     "ts_cusum_drift",
     "ts_seasonal_baseline",
     "events_ab_test_lift",
+    "ts_autocorrelation",
+    "sql_pivot_clause",
+    "sql_distribute_sort_by",
+    "text_keyword_topk",
+    "vec_mmr_diversify",
 ]
 
 

@@ -91,3 +91,69 @@ def test_cusum_ordering_invariants(spark, sf_env):
         assert r["cusum_final"] >= 0.0
         assert r["cusum_max"] >= r["cusum_final"] - 1e-12
         assert r["n_days"] >= 1
+
+
+def test_mmr_matches_independent_reference_and_diversifies(spark):
+    """vec_mmr_diversify vs an independently coded MMR (plain loops, no
+    numpy vectorization) on the same candidate set, plus the diversity
+    property: the MMR selection's mean pairwise similarity must not
+    exceed the plain top-10's."""
+    import math
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from avro_topic_replication_spark.catalog import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    got = [
+        (r["rank"], r["vec_id"])
+        for r in QS["vec_mmr_diversify"].fn(spark, sf_dir).collect()
+    ]
+    assert [rk for rk, _ in got] == list(range(1, len(got) + 1))
+
+    # independent reference: fetch the same top-50 by cosine, greedy MMR
+    # with plain Python loops
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def norm(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    q = norm(emb[0])
+    rel = {
+        i: sum(a * b for a, b in zip(norm(v), q))
+        for i, v in emb.items()
+        if i != 0
+    }
+    cands = sorted(rel, key=lambda i: (-rel[i], i))[:50]
+    nv = {i: norm(emb[i]) for i in cands}
+    sel = []
+    rest = list(cands)
+    while rest and len(sel) < 10:
+        def mmr(i):
+            pen = max(
+                (sum(a * b for a, b in zip(nv[i], nv[s])) for s in sel),
+                default=0.0,
+            )
+            return 0.7 * rel[i] - 0.3 * pen
+        best = min(rest, key=lambda i: (-mmr(i), i))
+        sel.append(best)
+        rest.remove(best)
+    assert [v for _, v in got] == sel
+
+    # diversity: mean pairwise similarity of the MMR set <= plain top-10's
+    def mean_pairsim(ids):
+        vs = [nv[i] for i in ids]
+        ps = [
+            sum(a * b for a, b in zip(vs[i], vs[j]))
+            for i in range(len(vs))
+            for j in range(i + 1, len(vs))
+        ]
+        return sum(ps) / len(ps)
+
+    assert mean_pairsim(sel) <= mean_pairsim(cands[:10]) + 1e-12
