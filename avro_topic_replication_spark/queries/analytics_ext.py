@@ -1512,3 +1512,92 @@ def vec_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rk + 1, int(ids[i]), float(rel[i])) for rk, i in enumerate(selected)
     ]
     return spark.createDataFrame(rows, "rank int, vec_id bigint, relevance double")
+
+
+@query(
+    "ts_max_drawdown",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        dd AS (
+            SELECT event_type, day, v,
+                   MAX(v) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) - v AS drawdown
+            FROM daily
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               MAX(drawdown) AS max_drawdown,
+               CAST(MIN(CASE WHEN drawdown = 0 THEN day END) AS DATE)
+                 AS first_peak_day
+        FROM dd GROUP BY event_type
+    """,
+    tags=("timeseries", "window", "defer-sample"),
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily value series per event type — the
+    largest peak-to-trough drop, the risk statistic every monitoring /
+    portfolio pipeline computes. Running peak via a ROWS UNBOUNDED
+    PRECEDING window max (streamable frame, no float accumulation:
+    MAX selects an existing decimal-exact double, and the subtraction is
+    a single exact-input IEEE op — bit-identical across engines).
+
+    Scale shape: events collapse to calendar-bounded dailies first; the
+    window partitions per type over ≤366 rows/year. Nothing downstream
+    scales with event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.withColumn("drawdown", F.max("v").over(w) - F.col("v"))
+    return dd.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.max("drawdown").alias("max_drawdown"),
+        F.min(F.when(F.col("drawdown") == 0, F.col("day"))).alias(
+            "first_peak_day"
+        ),
+    )
+
+
+@query(
+    "graph_kcore",
+    tags=("graph", "iterative", "rows-only", "defer-sample"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-core of the co-supply graph (operators/kcore.py iterative
+    peel): the maximal subgraph where every supplier co-supplies with ≥3
+    others inside it — the dense backbone a fraud/cluster analyst looks
+    at first. Emits per-degree accounting of the surviving nodes.
+
+    Rows-only (iterative peel; no SQL twin) — the k-core is UNIQUE, so
+    tests/test_graph_ts.py pins: in-core degrees all ≥ k, K5 is exactly
+    its own 4-core, a star's 2-core is empty, and peeling is idempotent
+    (kcore(kcore(G)) == kcore(G)).
+
+    Scale shape: per-round degree aggregate + two semi-joins over a
+    monotonically SHRINKING edge list, checkpointed; the fixpoint probe
+    is a 1-value count.
+    """
+    from ..operators.kcore import kcore
+
+    core = kcore(spark, _cosupply_edges(spark, sf_dir), k=3)
+    return core.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.min("node").cast("bigint").alias("min_node"),
+    )

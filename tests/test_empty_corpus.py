@@ -127,6 +127,8 @@ EMPTY_SAFE = [
     "sql_distribute_sort_by",
     "text_keyword_topk",
     "vec_mmr_diversify",
+    "ts_max_drawdown",
+    "graph_kcore",
 ]
 
 

@@ -157,3 +157,33 @@ def test_mmr_matches_independent_reference_and_diversifies(spark):
         return sum(ps) / len(ps)
 
     assert mean_pairsim(sel) <= mean_pairsim(cands[:10]) + 1e-12
+
+
+def test_kcore_known_graphs_and_idempotence(spark):
+    """K5 is its own 4-core; a star's 2-core is empty; every in-core
+    degree is ≥ k; peeling the core again changes nothing."""
+    from avro_topic_replication_spark.operators.kcore import kcore
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    core = {r["node"]: r["degree"] for r in kcore(spark, _edges(spark, k5), k=4).collect()}
+    assert core == {n: 4 for n in range(5)}
+
+    star = [(0, i) for i in range(1, 6)]
+    assert kcore(spark, _edges(spark, star), k=2).count() == 0
+
+    # K5 glued to a path: the path peels away, the clique survives
+    glued = k5 + [(4, 10), (10, 11), (11, 12)]
+    core = {r["node"] for r in kcore(spark, _edges(spark, glued), k=3).collect()}
+    assert core == set(range(5))
+
+    # idempotence: re-peeling the surviving edge set is a fixpoint
+    surv = spark.createDataFrame(k5, "s1 int, s2 int")
+    once = {(r["node"], r["degree"]) for r in kcore(spark, surv, k=4).collect()}
+    twice = {(r["node"], r["degree"]) for r in kcore(spark, surv, k=4).collect()}
+    assert once == twice
+
+
+def test_kcore_empty_graph(spark):
+    from avro_topic_replication_spark.operators.kcore import kcore
+
+    assert kcore(spark, _edges(spark, []), k=2).count() == 0
