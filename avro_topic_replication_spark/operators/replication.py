@@ -177,6 +177,87 @@ def replicate_transform(
     return env.mapInPandas(transform, schema=KAFKA_ENVELOPE)
 
 
+def replicate_transform_tolerant(
+    env: DataFrame,
+    schemas_by_id: dict,
+    target_topic: str,
+    key_schema_id: int,
+    id_mapping: dict,
+) -> DataFrame:
+    """Dead-letter variant of ``replicate_transform``: instead of the
+    reference's abort-batch-on-bad-record semantics (the NPE →
+    transaction-abort of ReplicationApplication.java:71, which
+    ``replicate_transform`` mirrors), records that cannot be decoded or
+    re-keyed are ROUTED — the envelope passes through with NULL
+    key/value plus an ``error`` classification, and good records
+    replicate normally. This is the tolerant production mode every DLQ
+    deployment runs (bad records land on a dead-letter topic with
+    diagnostics; the pipeline keeps its throughput).
+
+    Error classes: ``unknown_schema`` (frame carries a schema id absent
+    from the plan-time registry snapshot — KeyError), ``decode_error``
+    (malformed frame/payload), ``missing_id`` (decoded record lacks the
+    re-key field). Same one-Arrow-pass dataflow as the strict transform;
+    the split into main/DLQ sinks is a downstream ``filter`` each
+    (both partition-local, no extra shuffle).
+    """
+    snapshot = dict(schemas_by_id)
+    mapping = dict(id_mapping)
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, values, errors = [], [], []
+            for raw in pdf["value"]:
+                try:
+                    src_id, record = avro_codec.deserialize_confluent(
+                        bytes(raw), snapshot
+                    )
+                    if (
+                        not isinstance(record, dict)
+                        or record.get("id") is None
+                    ):
+                        raise LookupError("missing_id")
+                    rid = str(record["id"])
+                    keys.append(
+                        avro_codec.serialize_confluent(
+                            rid, STRING_SCHEMA, key_schema_id
+                        )
+                    )
+                    values.append(
+                        avro_codec.serialize_confluent(
+                            record, snapshot[src_id], mapping[src_id]
+                        )
+                    )
+                    errors.append(None)
+                except KeyError:
+                    keys.append(None); values.append(None)
+                    errors.append("unknown_schema")
+                except LookupError:
+                    keys.append(None); values.append(None)
+                    errors.append("missing_id")
+                except Exception:
+                    keys.append(None); values.append(None)
+                    errors.append("decode_error")
+            yield pd.DataFrame(
+                {
+                    "key": keys,
+                    "value": values,
+                    "topic": target_topic,
+                    "partition": pdf["partition"],
+                    "offset": pdf["offset"],
+                    "timestamp": pdf["timestamp"],
+                    "error": errors,
+                }
+            )
+
+    # StructType.add mutates in place — build a fresh schema instead of
+    # appending to the shared module-level envelope.
+    schema = StructType(
+        KAFKA_ENVELOPE.fields + [StructField("error", StringType())]
+    )
+    return env.mapInPandas(transform, schema=schema)
+
+
 def plan_replication(
     env: DataFrame,
     source_registry: MockSchemaRegistry,

@@ -225,3 +225,107 @@ def replication_evolved_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
         return env.mapInPandas(dec, schema="id string, name string, tag string")
     finally:
         MockSchemaRegistry.drop_scope(f"evo-{scope}")
+
+
+@query(
+    "replication_dlq_routing",
+    oracle="""
+        WITH d AS (
+            SELECT n_nationkey AS off,
+                   CASE WHEN n_nationkey % 7 = 0 THEN 'decode_error'
+                        WHEN n_nationkey % 7 = 3 THEN 'unknown_schema'
+                        ELSE 'ok' END AS disposition
+            FROM nation
+        )
+        SELECT disposition,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(off) AS BIGINT) AS min_offset,
+               CAST(MAX(off) AS BIGINT) AS max_offset,
+               CASE WHEN disposition = 'ok'
+                    THEN CAST(COUNT(DISTINCT off) AS BIGINT) END
+                 AS n_distinct_ids
+        FROM d GROUP BY disposition
+    """,
+    tags=("replication", "avro", "dlq", "defer-sample"),
+)
+def replication_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing, oracle-verified: the clean nation-derived
+    source topic is corrupted IN-PLAN deterministically (offset % 7 == 0
+    → frame truncated to 3 bytes, an unparseable frame; offset % 7 == 3
+    → schema-id field rewritten to 999, a registry miss), then the
+    TOLERANT replicate transform (operators/replication.py
+    ``replicate_transform_tolerant``) routes each record: good ones
+    re-key/re-encode as usual, bad ones pass through with an error
+    class. The query emits per-disposition accounting, with the good
+    rows' decoded ids counted through the full consumer decode — so the
+    oracle verifies BOTH that exactly the corrupted offsets land in the
+    DLQ with the right classification AND that the surviving records
+    still replicate byte-correctly.
+
+    The reference's semantics on a bad record is abort-the-batch
+    (ReplicationApplication.java:71 NPE → transaction abort; mirrored by
+    ``replicate_transform`` + pytest test_missing_id_aborts_batch); this
+    query is the DLQ production mode layered on the same Arrow pass.
+    Scale shape: corruption + routing are per-row map work; the
+    accounting is one 3-group aggregate.
+    """
+    scope = uuid.uuid4().hex[:8]
+    src_reg = MockSchemaRegistry.get_scope(f"src-{scope}")
+    tgt_reg = MockSchemaRegistry.get_scope(f"tgt-{scope}")
+    try:
+        src_dir = _staged_source(spark, sf_dir, src_reg)
+        env = spark.read.schema(R.KAFKA_ENVELOPE).parquet(src_dir)
+        corrupted_value = (
+            F.when(
+                F.col("offset") % 7 == 0,
+                F.expr("substring(value, 1, 3)"),
+            )
+            .when(
+                F.col("offset") % 7 == 3,
+                F.concat(
+                    F.expr("substring(value, 1, 1)"),
+                    F.lit(bytes([0, 0, 3, 231])),  # schema id 999
+                    F.expr("substring(value, 6, 2147483647)"),
+                ),
+            )
+            .otherwise(F.col("value"))
+        )
+        env = env.withColumn("value", corrupted_value)
+        # propagate the source schema to the target registry (the good
+        # records' path), then run the tolerant transform
+        sid, _ = src_reg.latest("source-topic-a-value")
+        tgt_value_id = tgt_reg.register("target-topic-b-value", R.FOO_SCHEMA)
+        key_id = tgt_reg.register("target-topic-b-key", R.STRING_SCHEMA)
+        out = R.replicate_transform_tolerant(
+            env,
+            src_reg.snapshot(),
+            "target-topic-b",
+            key_id,
+            {sid: tgt_value_id},
+        )
+        good = R.decode_envelope(
+            out.filter(F.col("error").isNull()).drop("error"),
+            tgt_reg.snapshot(),
+            R.FOO_SCHEMA,
+        ).select(F.col("offset"), F.col("id"))
+        acc_bad = (
+            out.filter(F.col("error").isNotNull())
+            .groupBy(F.col("error").alias("disposition"))
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.min("offset").cast("bigint").alias("min_offset"),
+                F.max("offset").cast("bigint").alias("max_offset"),
+                F.lit(None).cast("bigint").alias("n_distinct_ids"),
+            )
+        )
+        acc_good = good.agg(
+            F.lit("ok").alias("disposition"),
+            F.count("*").cast("bigint").alias("n"),
+            F.min("offset").cast("bigint").alias("min_offset"),
+            F.max("offset").cast("bigint").alias("max_offset"),
+            F.countDistinct("id").cast("bigint").alias("n_distinct_ids"),
+        )
+        return acc_bad.unionAll(acc_good)
+    finally:
+        MockSchemaRegistry.drop_scope(f"src-{scope}")
+        MockSchemaRegistry.drop_scope(f"tgt-{scope}")

@@ -129,6 +129,7 @@ EMPTY_SAFE = [
     "vec_mmr_diversify",
     "ts_max_drawdown",
     "graph_kcore",
+    "replication_dlq_routing",
 ]
 
 
@@ -149,7 +150,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
 # Report-shaped queries emit a fixed spine (e.g. the funnel's stage rows)
 # whose identifier columns are non-zero by design; only their COUNT
 # columns must be zero/NULL on an empty corpus.
-_IDENTIFIER_COLS = {"stage", "stage_name"}
+_IDENTIFIER_COLS = {"stage", "stage_name", "disposition"}
 
 
 @pytest.mark.parametrize("name", EMPTY_SAFE)
