@@ -196,3 +196,18 @@ def test_lm_perplexity_caches_bigrams_and_broadcasts_counts(spark, sf_dir):
     plan = text_lm_perplexity.last_plan
     assert "InMemoryTableScan" in plan  # cached bigrams reused
     assert "BroadcastHashJoin" in plan  # count tables broadcast
+
+
+def test_distribute_sort_by_single_exchange(spark, sf_dir):
+    """DISTRIBUTE BY l_suppkey + downstream groupBy(l_suppkey): the
+    aggregate must reuse the clause's hash distribution — exactly ONE
+    Exchange in the whole plan (r6)."""
+    plan = _plan(spark, sf_dir, "sql_distribute_sort_by")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_rag_chunking_zero_shuffle(spark, sf_dir):
+    """Chunk generation is scan -> generate -> project: no Exchange at
+    all (r6)."""
+    plan = _plan(spark, sf_dir, "rag_chunk_overlap")
+    assert "Exchange" not in plan, plan
