@@ -326,6 +326,83 @@ def batch_writer(target_dir: str):
     return write
 
 
+def dlq_batch_writer(main_dir: str, dlq_dir: str):
+    """foreachBatch body for the DLQ split: good rows (error IS NULL,
+    error column dropped) land under the main topic dir, routed rows
+    (with their error class) under the dead-letter dir, and ONE commit
+    marker — created only after BOTH writes — covers the pair, so the
+    main/DLQ split is batch-atomic: a crash between the writes replays
+    the whole batch into both sinks idempotently (the R7/R8 semantics of
+    ``batch_writer`` extended to two destinations)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        marker = committed_marker(main_dir, batch_id)
+        if os.path.exists(marker):
+            return  # replay of a committed batch: idempotent skip
+        batch_df = batch_df.localCheckpoint(eager=True)  # split reads it twice
+        good = batch_df.filter(F.col("error").isNull()).drop("error")
+        bad = batch_df.filter(F.col("error").isNotNull())
+        good.write.mode("overwrite").parquet(
+            os.path.join(main_dir, "data", str(batch_id))
+        )
+        bad.write.mode("overwrite").parquet(
+            os.path.join(dlq_dir, "data", str(batch_id))
+        )
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("committed")
+        os.rename(tmp, marker)  # atomic commit point for BOTH sinks
+
+    return write
+
+
+def replicate_stream_dlq(
+    spark: SparkSession,
+    source_dir: str,
+    main_dir: str,
+    dlq_dir: str,
+    source_registry: MockSchemaRegistry,
+    target_registry: MockSchemaRegistry,
+    target_topic: str,
+    value_schema,
+    checkpoint_dir: str,
+    corrupt=None,
+    timeout_sec: int = 120,
+) -> None:
+    """The R1–R9 streaming pipeline in tolerant mode: same source and
+    checkpoint mechanics as ``replicate_stream``, but records flow
+    through ``replicate_transform_tolerant`` and the two-sink
+    ``dlq_batch_writer``. ``corrupt`` optionally maps the envelope
+    DataFrame before the transform (test harnesses inject deterministic
+    corruption there)."""
+    env = spark.readStream.schema(KAFKA_ENVELOPE).parquet(source_dir)
+    if corrupt is not None:
+        env = corrupt(env)
+    key_id = target_registry.register(f"{target_topic}-key", STRING_SCHEMA)
+    snapshot = source_registry.snapshot()
+    if value_schema is not None and not snapshot:
+        source_registry.register(f"{target_topic}-value", value_schema)
+        snapshot = source_registry.snapshot()
+    id_mapping = {
+        src_id: target_registry.register(f"{target_topic}-value", schema)
+        for src_id, schema in snapshot.items()
+    }
+    out = replicate_transform_tolerant(
+        env, snapshot, target_topic, key_id, id_mapping
+    )
+    q = (
+        out.writeStream.foreachBatch(dlq_batch_writer(main_dir, dlq_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+
+
 def read_committed(spark: SparkSession, target_dir: str) -> DataFrame:
     """R2 on the output side: expose only batches whose commit marker
     exists (the read_committed isolation the reference's downstream

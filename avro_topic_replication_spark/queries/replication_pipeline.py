@@ -329,3 +329,82 @@ def replication_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         MockSchemaRegistry.drop_scope(f"src-{scope}")
         MockSchemaRegistry.drop_scope(f"tgt-{scope}")
+
+
+@query(
+    "replication_stream_dlq",
+    oracle=None,
+    tags=("replication", "avro", "dlq", "live", "defer-sample"),
+)
+def replication_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tolerant R1–R9 pipeline END TO END in streaming mode: the
+    envelope stream is corrupted deterministically in-plan (the
+    replication_dlq_routing classes), replicated through
+    ``replicate_transform_tolerant``, and committed through the
+    two-sink batch-atomic ``dlq_batch_writer`` (one marker covers the
+    main write AND the dead-letter write). The query then reads BOTH
+    committed sinks back and emits per-disposition accounting with the
+    good rows' ids verified through the consumer decode.
+
+    Rows-only (sink layout is engine-defined); the batch twin
+    ``replication_dlq_routing`` hash-verifies the identical routing
+    against the nation oracle, and pytest covers the class taxonomy.
+    """
+    scope = uuid.uuid4().hex[:8]
+    src_reg = MockSchemaRegistry.get_scope(f"src-{scope}")
+    tgt_reg = MockSchemaRegistry.get_scope(f"tgt-{scope}")
+    try:
+        sf_tag = os.path.basename(os.path.normpath(sf_dir))
+        base = os.path.join(SCRATCH, "replq-dlq", sf_tag, scope)
+        src_dir = _staged_source(spark, sf_dir, src_reg)
+        main_dir = os.path.join(base, "target-topic-b")
+        dlq_dir = os.path.join(base, "target-topic-b-dlq")
+        ckpt = os.path.join(base, "ckpt")
+
+        def corrupt(env: DataFrame) -> DataFrame:
+            return env.withColumn(
+                "value",
+                F.when(
+                    F.col("offset") % 7 == 0, F.expr("substring(value, 1, 3)")
+                )
+                .when(
+                    F.col("offset") % 7 == 3,
+                    F.concat(
+                        F.expr("substring(value, 1, 1)"),
+                        F.lit(bytes([0, 0, 3, 231])),
+                        F.expr("substring(value, 6, 2147483647)"),
+                    ),
+                )
+                .otherwise(F.col("value")),
+            )
+
+        R.replicate_stream_dlq(
+            spark, src_dir, main_dir, dlq_dir, src_reg, tgt_reg,
+            "target-topic-b", R.FOO_SCHEMA, ckpt, corrupt=corrupt,
+        )
+        good = R.decode_envelope(
+            R.read_committed(spark, main_dir), tgt_reg.snapshot(), R.FOO_SCHEMA
+        )
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        dlq_schema = StructType(
+            R.KAFKA_ENVELOPE.fields + [StructField("error", StringType())]
+        )  # fresh schema — StructType.add mutates the shared envelope
+        bad = spark.read.schema(dlq_schema).parquet(
+            os.path.join(dlq_dir, "data", "*")
+        )
+        acc_bad = bad.groupBy(F.col("error").alias("disposition")).agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("offset").cast("bigint").alias("min_offset"),
+            F.countDistinct("offset").cast("bigint").alias("n_distinct"),
+        )
+        acc_good = good.agg(
+            F.lit("ok").alias("disposition"),
+            F.count("*").cast("bigint").alias("n"),
+            F.min("offset").cast("bigint").alias("min_offset"),
+            F.countDistinct("id").cast("bigint").alias("n_distinct"),
+        )
+        return acc_bad.unionAll(acc_good)
+    finally:
+        MockSchemaRegistry.drop_scope(f"src-{scope}")
+        MockSchemaRegistry.drop_scope(f"tgt-{scope}")
