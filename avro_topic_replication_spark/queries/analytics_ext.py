@@ -1601,3 +1601,99 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_nodes"),
         F.min("node").cast("bigint").alias("min_node"),
     )
+
+
+@query(
+    "agg_approx_top_k",
+    oracle="""
+        SELECT l_returnflag AS item,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "sketch", "defer-sample"),
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``approx_top_k`` sketch aggregate over the bounded
+    l_returnflag domain (3 values ≪ the sketch's 10k tracked items, so the
+    sketch degenerates to EXACT counts and the DuckDB twin is the plain
+    GROUP BY — the same exact-on-small / approximate-at-scale
+    contract agg_approx_count_distinct documents).
+
+    Scale shape: a mergeable fixed-size sketch per partition, one
+    reduce — heavy-hitter counts at 100 TB without a value-keyed
+    shuffle; tracked-item capacity trades exactness, never memory.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.agg(F.expr("approx_top_k(l_returnflag, 3)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+    )
+
+
+@query(
+    "ml_als_recommend",
+    tags=("ml", "iterative", "rows-only", "defer-sample"),
+)
+def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative filtering with ALS (pyspark.ml.recommendation) over
+    the implicit customer→supplier purchase matrix (rating = lineitem
+    count from the one fact join) — THE classic distributed Spark ML
+    workload: alternating least squares factorizes the interaction
+    matrix into rank-8 user/item factors, then recommends 5 unseen
+    suppliers per sampled customer.
+
+    Rows-only (iterative least squares has no SQL twin);
+    tests/test_graph_ts.py pins: recommended ids are real suppliers,
+    scores are finite and non-increasing per customer, and exactly 5
+    recs per requested customer.
+
+    Scale shape: ALS is Spark's own block-partitioned implementation —
+    factor blocks co-partition with rating blocks, each sweep is a
+    join+solve per block; driver holds nothing data-sized. The
+    interaction matrix itself is ONE fact aggregate. seed pinned for
+    run-to-run determinism on fixed data. Block count is 4 here (at toy
+    scale per-sweep task overhead dominates — measured 7.2 -> 3.9 s
+    warm at sf0.1); a cluster sizes blocks to ratings/partition-target
+    exactly like the pagerank loop width.
+    """
+    from pyspark.ml.recommendation import ALS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_suppkey").cast("int").alias("item"),
+        )
+        .agg(F.count("*").cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=3,
+        regParam=0.1,
+        numUserBlocks=4,
+        numItemBlocks=4,
+        implicitPrefs=True,
+        seed=42,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    users = ratings.select("user").distinct().filter(F.col("user") % 50 == 0)
+    recs = model.recommendForUserSubset(users, 5)
+    return recs.select(
+        F.col("user").cast("bigint").alias("custkey"),
+        F.posexplode("recommendations").alias("rk", "rec"),
+    ).select(
+        "custkey",
+        (F.col("rk") + 1).cast("int").alias("rk"),
+        F.col("rec.item").cast("bigint").alias("suppkey"),
+        F.col("rec.rating").cast("double").alias("score"),
+    )

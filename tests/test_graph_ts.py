@@ -249,3 +249,30 @@ def test_dlq_transform_routes_all_three_error_classes(spark):
     finally:
         MockSchemaRegistry.drop_scope(f"dlq-{scope}")
         MockSchemaRegistry.drop_scope(f"dlqt-{scope}")
+
+
+def test_als_recommendations_are_valid_and_ranked(spark):
+    """ml_als_recommend: exactly 5 recs per sampled customer, suppliers
+    are real, scores finite and non-increasing within a customer."""
+    import math
+    import os
+
+    from avro_topic_replication_spark.catalog import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = QS["ml_als_recommend"].fn(spark, sf_dir).collect()
+    assert rows
+    supps = {
+        r["l_suppkey"]
+        for r in load_table(spark, sf_dir, "lineitem").select("l_suppkey").distinct().collect()
+    }
+    per_user = {}
+    for r in rows:
+        assert r["suppkey"] in supps
+        assert math.isfinite(r["score"])
+        per_user.setdefault(r["custkey"], []).append((r["rk"], r["score"]))
+    for u, recs in per_user.items():
+        recs.sort()
+        assert [rk for rk, _ in recs] == [1, 2, 3, 4, 5], (u, recs)
+        scores = [s for _, s in recs]
+        assert scores == sorted(scores, reverse=True), (u, scores)
