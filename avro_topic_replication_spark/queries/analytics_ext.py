@@ -1697,3 +1697,160 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.item").cast("bigint").alias("suppkey"),
         F.col("rec.rating").cast("double").alias("score"),
     )
+
+
+@query(
+    "agg_multiple_regression",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s2,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS s11,
+                   CAST(CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS s12,
+                   CAST(CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS s22,
+                   CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS s1y,
+                   CAST(CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS s2y
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        c AS (
+            SELECT l_returnflag, n,
+                   s11 - s1 * s1 / n AS c11,
+                   s12 - s1 * s2 / n AS c12,
+                   s22 - s2 * s2 / n AS c22,
+                   s1y - s1 * sy / n AS c1y,
+                   s2y - s2 * sy / n AS c2y,
+                   s1 / n AS m1, s2 / n AS m2, sy / n AS my
+            FROM s
+        )
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b_quantity,
+               (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b_discount,
+               my - (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) * m1
+                  - (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * m2
+                 AS intercept
+        FROM c
+    """,
+    tags=("agg", "stats", "defer-sample"),
+)
+def agg_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-predictor OLS per group, closed form: price ~ quantity +
+    discount via the normal equations — centered covariance sums from
+    decimal-exact raw power sums, a 2×2 Cramer solve and the intercept
+    from the means, all ONE fixed IEEE expression per coefficient
+    (the agg_corr/agg_regression discipline extended to multiple
+    regression) — bit-exact across engines, reproducible under any
+    partitioning.
+
+    Scale shape: one partial-aggregated pass collecting 8 power sums per
+    group; the solve is per-group scalar arithmetic. The closed form is
+    exact for any number of rows; more predictors → the iterative
+    pyspark.ml path (text_quality_classifier's LR), this query is the
+    exact low-dimension fast path.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c, p, s: F.sum(c.cast(f"decimal({p},{s})")).cast("string").cast("double")  # noqa: E731
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        d(x1, 18, 4).alias("s1"),
+        d(x2, 18, 4).alias("s2"),
+        d(y, 18, 4).alias("sy"),
+        d(x1 * x1, 24, 6).alias("s11"),
+        d(x1 * x2, 24, 6).alias("s12"),
+        d(x2 * x2, 24, 6).alias("s22"),
+        d(x1 * y, 24, 6).alias("s1y"),
+        d(x2 * y, 24, 6).alias("s2y"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    m1, m2, my = F.col("s1") / n, F.col("s2") / n, F.col("sy") / n
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        b1.alias("b_quantity"),
+        b2.alias("b_discount"),
+        (my - b1 * m1 - b2 * m2).alias("intercept"),
+    )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), views AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        ), ranked AS (
+            SELECT c.event_id AS click_id, c.user_id AS user_id,
+                   v.event_id AS view_id,
+                   row_number() OVER (
+                       PARTITION BY c.event_id
+                       ORDER BY v.ts DESC, v.event_id DESC
+                   ) AS rn
+            FROM clicks c LEFT JOIN views v
+              ON c.user_id = v.user_id AND v.ts <= c.ts
+             AND v.ts >= c.ts - INTERVAL 30 MINUTE
+        )
+        SELECT click_id, user_id, view_id FROM ranked WHERE rn = 1
+    """,
+    tags=("join", "asof", "defer-sample"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE: the latest same-user view at or before
+    each click, but only if it happened within the last 30 minutes —
+    stale matches become NULL instead of silently attributing to an
+    ancient view (the asof-tolerance every feature-store lookup wants).
+
+    Same linear carry-forward shape as join_asof_click_view (union
+    tagged kinds, ONE per-user window — no click×view pair join): the
+    window carries the last view's id AND timestamp, and the tolerance
+    is a post-window null-out comparing the carried view ts against the
+    click ts. One shuffle, bounded state, the tolerance costs zero extra
+    passes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("eid"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("vid"),
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("vts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("eid"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_click"),
+        F.col("event_id").alias("vid"),
+        F.col("ts").alias("vts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(views)
+        .withColumn("last_vid", F.last("vid", ignorenulls=True).over(w))
+        .withColumn("last_vts", F.last("vts", ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 1)
+        .select(
+            F.col("eid").alias("click_id"),
+            "user_id",
+            F.when(
+                F.col("last_vts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"),
+                F.col("last_vid"),
+            ).alias("view_id"),
+        )
+    )

@@ -130,6 +130,9 @@ EMPTY_SAFE = [
     "ts_max_drawdown",
     "graph_kcore",
     "replication_dlq_routing",
+    "agg_approx_top_k",
+    "agg_multiple_regression",
+    "join_asof_tolerance",
 ]
 
 
