@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from ..catalog import load_table
-from ..functions.numeric import dec_sum, dec_sum_sql
 from . import query
 
 # ---------------------------------------------------------------------------
