@@ -42,6 +42,7 @@ _MODULES = (
     "replication_pipeline",
     "sources_sinks",
     "analytics_ext",
+    "analytics_ext2",
 )
 
 # Presentation order for the registry. The external correctness harness samples

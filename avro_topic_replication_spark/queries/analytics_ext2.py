@@ -1,0 +1,452 @@
+"""Round-6 analytics extensions, batch 2: binary-quantized ANN, Spark 4
+``listagg``, null-safe joins, schema-aligned unions, linear time-series
+interpolation, and event path mining.
+
+All [EXT] surface beyond the reference's replication dataflow
+(ReplicationApplication.java:71 is its only transform). Every query is
+oracle-checked against DuckDB; scale notes per query docstring.
+
+All queries are tagged ``defer-sample`` so the driver's 50-row correctness
+window keeps draining the pre-r6 backlog first (queries/__init__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+# ---------------------------------------------------------------------------
+# Binary-quantized similarity search: sign-quantize each 64-dim embedding
+# into two 32-bit halves packed in BIGINTs (bit i of half h = 1 iff
+# embedding[32h + i] > 0), then rank by Hamming distance — the classic
+# 1-bit product-quantization baseline (32× smaller than float32 vectors,
+# distance = two XOR+popcount ops). All-integer math → bit-exact oracle.
+# ---------------------------------------------------------------------------
+
+_PACK_SPARK = (
+    "aggregate(zip_with(slice(embedding, {off}, 32), sequence(0, 31),"
+    " (x, i) -> IF(x > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i),"
+    " CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a + b)"
+)
+
+_PACK_DUCK = """
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN i <= 32 AND embedding[i] > 0
+                    THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS BIGINT) AS lo,
+           CAST(SUM(CASE WHEN i > 32 AND embedding[i] > 0
+                    THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END) AS BIGINT) AS hi
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY vec_id
+"""
+
+
+@query(
+    "vec_hamming_topk",
+    oracle=f"""
+        WITH codes AS ({_PACK_DUCK}),
+        q AS (SELECT lo AS qlo, hi AS qhi FROM codes WHERE vec_id = 0)
+        SELECT c.vec_id,
+               CAST(bit_count(xor(c.lo, q.qlo))
+                    + bit_count(xor(c.hi, q.qhi)) AS INT) AS hamming
+        FROM codes c, q
+        WHERE c.vec_id <> 0
+        ORDER BY hamming, c.vec_id
+        LIMIT 10
+    """,
+    tags=("vectors", "ann", "defer-sample"),
+)
+def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest neighbours under 1-bit (sign) quantization: pack the
+    sign pattern of each 64-dim embedding into two BIGINT halves, rank by
+    Hamming distance to the query's code (XOR + popcount), take the 10
+    closest with vec_id tie-break.
+
+    Scale shape: packing is one JVM fold per row (zip_with + aggregate,
+    whole-stage codegen — no Python); codes are 16 bytes/vector, so a
+    100 TB float corpus quantizes to ~0.4 TB of codes that scan at memory
+    bandwidth. The query code is a 1-row broadcast; ranking is
+    TakeOrderedAndProject (per-partition top-10 → driver merges 10×P
+    rows, never a global sort). The production upgrade is the same code
+    column bucketed by a few leading bits (LSH on the sign bits) so the
+    scan touches only matching buckets — identical packing, narrower
+    scan. Reference parity: none ([EXT] north-star, SURVEY §2.2).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id",
+        F.expr(_PACK_SPARK.format(off=1)).alias("lo"),
+        F.expr(_PACK_SPARK.format(off=33)).alias("hi"),
+    )
+    q = codes.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 listagg / string aggregation with an explicit WITHIN GROUP order.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_listagg_top_names",
+    oracle="""
+        WITH ranked AS (
+            SELECT c_nationkey, c_name,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer
+        )
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               string_agg(c_name, '|' ORDER BY c_name) AS top_names,
+               CAST(COUNT(*) AS BIGINT) AS n_listed
+        FROM ranked WHERE rn <= 3
+        GROUP BY c_nationkey
+    """,
+    tags=("agg", "string", "engine4", "defer-sample"),
+)
+def agg_listagg_top_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation via Spark 4's ``listagg(...) WITHIN
+    GROUP (ORDER BY ...)``: the 3 highest-balance customer names per
+    nation, concatenated in deterministic name order (DuckDB twin:
+    ``string_agg(... ORDER BY ...)``).
+
+    Scale shape: the per-nation top-3 is a ranking window partitioned by
+    the group key (post-shuffle partitions are group-sized), the listagg
+    itself aggregates ≤3 short strings per group — output rows = #groups.
+    At 100 TB the window input would first be thinned with a per-partition
+    top-3 pre-pass (the sort_topk_global pattern); the agg is unchanged.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    ranked = cust.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+    ranked.createOrReplaceTempView("_listagg_ranked")
+    return spark.sql(
+        """
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name) AS top_names,
+               CAST(COUNT(*) AS BIGINT) AS n_listed
+        FROM _listagg_ranked
+        GROUP BY c_nationkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+# each other — the semantics MERGE and SCD pipelines rely on.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+        WITH cust_k AS (
+            SELECT NULLIF(CAST(c_nationkey AS BIGINT) % 6, 0) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n_cust
+            FROM customer GROUP BY 1
+        ),
+        supp_k AS (
+            SELECT NULLIF(CAST(s_nationkey AS BIGINT) % 7, 0) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n_supp
+            FROM supplier GROUP BY 1
+        )
+        SELECT c.k, c.n_cust, s.n_supp
+        FROM cust_k c JOIN supp_k s ON c.k IS NOT DISTINCT FROM s.k
+    """,
+    tags=("join", "null-semantics", "defer-sample"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``eqNullSafe`` / SQL ``<=>``): both sides
+    derive a nullable bucket key (NULLIF of a modulus), and the join must
+    match the NULL buckets to each other — plain ``=`` would silently
+    drop them (the classic MERGE-key bug).
+
+    Scale shape: both inputs are pre-aggregated to #buckets rows before
+    the join, so the null-safe comparison runs on dimension-sized tables
+    (broadcast). On fact-sized inputs ``<=>`` still plans as a hash join
+    (null-safe equality is a valid hash key — NULL hashes to a bucket),
+    so the same plan holds at 100 TB; only ``!=``-style theta predicates
+    degrade to BNLJ.
+    """
+    cust_k = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.nullif(
+                F.col("c_nationkey").cast("bigint") % 6, F.lit(0)
+            ).alias("k")
+        )
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp_k = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(
+            F.nullif(
+                F.col("s_nationkey").cast("bigint") % 7, F.lit(0)
+            ).alias("k")
+        )
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cust_k.join(
+        F.broadcast(supp_k), cust_k["k"].eqNullSafe(supp_k["k"]), "inner"
+    ).select(cust_k["k"], "n_cust", "n_supp")
+
+
+# ---------------------------------------------------------------------------
+# Schema-aligned union: unionByName with missing columns null-filled —
+# the multi-source ingestion primitive (DuckDB twin: UNION ALL BY NAME).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "setop_union_by_name",
+    oracle="""
+        SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+               c_acctbal AS balance, 'customer' AS src
+        FROM customer WHERE c_custkey <= 50
+        UNION ALL BY NAME
+        SELECT s_name AS name, CAST(s_suppkey AS BIGINT) AS id,
+               'supplier' AS src
+        FROM supplier WHERE s_suppkey <= 20
+    """,
+    tags=("setop", "schema", "defer-sample"),
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union two sources with different column ORDER and a column missing
+    on one side: ``unionByName(allowMissingColumns=True)`` aligns by name
+    and null-fills the gap — positional ``UNION ALL`` would mis-zip or
+    reject. The everyday primitive for merging heterogeneous feeds into
+    one table.
+
+    Scale shape: union is a zero-shuffle plan concatenation (both legs
+    stay partition-parallel); the null-fill is a literal projection. Cost
+    is exactly the two scans at any size.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 50)
+        .select(
+            F.col("c_custkey").cast("bigint").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("balance"),
+            F.lit("customer").alias("src"),
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 20)
+        .select(
+            F.col("s_name").alias("name"),
+            F.col("s_suppkey").cast("bigint").alias("id"),
+            F.lit("supplier").alias("src"),
+        )
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation over a dense daily grid — the numeric upgrade of
+# ts_resample_gapfill's carry-forward fill. Anchor values are per-day MAX
+# (order-independent) and the interpolation expression has the identical
+# IEEE shape on both engines, so the oracle stays bit-exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_linear_interpolate",
+    oracle="""
+        WITH anchors AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   MAX(value) AS v
+            FROM events WHERE user_id < 30 AND event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+            FROM anchors GROUP BY 1
+        ),
+        grid AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM span
+        ),
+        ctx AS (
+            SELECT g.user_id, g.day, a.v,
+                   last_value(a.v IGNORE NULLS) OVER w_prev AS pv,
+                   last_value(CASE WHEN a.v IS NOT NULL THEN g.day END IGNORE NULLS)
+                       OVER w_prev AS pd,
+                   first_value(a.v IGNORE NULLS) OVER w_next AS nv,
+                   first_value(CASE WHEN a.v IS NOT NULL THEN g.day END IGNORE NULLS)
+                       OVER w_next AS nd
+            FROM grid g
+            LEFT JOIN anchors a ON g.user_id = a.user_id AND g.day = a.day
+            WINDOW
+                w_prev AS (PARTITION BY g.user_id ORDER BY g.day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                w_next AS (PARTITION BY g.user_id ORDER BY g.day
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, day,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                        pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+                                          / CAST(nd - pd AS DOUBLE))
+                    WHEN pv IS NOT NULL THEN pv
+                    ELSE nv END AS v_interp,
+               CAST(v IS NULL AS INT) AS is_interpolated
+        FROM ctx
+    """,
+    tags=("timeseries", "window", "defer-sample"),
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of a sparse per-user daily series onto a dense
+    grid: anchor days carry MAX(value); missing days get
+    ``prev + (next-prev) * elapsed/span`` between their nearest anchors
+    (carry-forward/backward at the edges, though the per-user span is
+    anchored at both ends by construction).
+
+    Scale shape: one user-keyed aggregate builds the anchors, the grid is
+    a per-user sequence+explode (embarrassingly parallel, no driver
+    loop), and prev/next context comes from two frames of the SAME
+    user-keyed sort — one shuffle + one sort serve all four window
+    columns. The interpolation itself is a pure projection. This is the
+    standard sensor/metric backfill shape; at 100 TB the only knob is
+    range-partitioning users so each task's grid fits in memory.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 30) & (F.col("event_type") == "purchase")
+    )
+    anchors = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.max("value").alias("v"))
+    span = anchors.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    j = grid.join(anchors, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    anchor_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(anchor_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(anchor_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff(
+        "nd", "pd"
+    ).cast("double")
+    return ctx.select(
+        "user_id",
+        "day",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+        .alias("v_interp"),
+        F.col("v").isNull().cast("int").alias("is_interpolated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event path mining: each user's first-3 event-type path, counted across
+# the population — the product-analytics "top user journeys" query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM ordered WHERE rn <= 3
+            GROUP BY user_id
+        )
+        SELECT path,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(MIN(user_id) AS BIGINT) AS sample_user
+        FROM paths GROUP BY path
+    """,
+    tags=("events", "window", "string", "defer-sample"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: each user's first three events (deterministic
+    (ts, event_id) order) concatenated into a path string, then counted
+    across the population — the onboarding-funnel discovery query.
+
+    Scale shape: the rank window and the path aggregate share the SAME
+    user_id hash partitioning, so the pipeline is one shuffle end-to-end
+    (rank → filter rn<=3 thins each user to 3 rows before the string
+    build). Path assembly is sort_array over ≤3-element structs — pure
+    JVM, bounded per user. The final count groups by path (≤ |types|³
+    distinct keys). At 100 TB: identical plan; the window's per-user sort
+    is bounded by events-per-user, the known skew knob (cap with a
+    pre-filter on event date if a user is pathological).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+    paths = first3.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count("*").alias("n_users"),
+        F.min("user_id").cast("bigint").alias("sample_user"),
+    )

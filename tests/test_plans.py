@@ -211,3 +211,28 @@ def test_rag_chunking_zero_shuffle(spark, sf_dir):
     all (r6)."""
     plan = _plan(spark, sf_dir, "rag_chunk_overlap")
     assert "Exchange" not in plan, plan
+
+
+def test_hamming_topk_broadcast_heap(spark, sf_dir):
+    """vec_hamming_topk: the 1-row query code broadcasts (never a shuffle
+    of the corpus against the query) and the top-10 compiles to
+    per-partition heaps, not a global sort."""
+    plan = _plan(spark, sf_dir, "vec_hamming_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_union_by_name_zero_shuffle(spark, sf_dir):
+    """setop_union_by_name: union is plan concatenation — no Exchange."""
+    plan = _plan(spark, sf_dir, "setop_union_by_name")
+    assert plan.count("Exchange") == 0
+
+
+def test_linear_interpolate_single_user_sort(spark, sf_dir):
+    """ts_linear_interpolate: all four prev/next context columns come off
+    user-keyed window partitioning — no single-partition window, and the
+    grid join keys match the window keys."""
+    plan = _plan(spark, sf_dir, "ts_linear_interpolate")
+    assert "Window [" in plan or "RunningWindowFunction" in plan or "Window" in plan
+    assert plan.count("Exchange SinglePartition") == 0
