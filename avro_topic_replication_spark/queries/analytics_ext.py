@@ -916,18 +916,23 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / COUNT(*) AS avg_v
             FROM events GROUP BY 1, 2
         ),
-        mu AS (
+        vals AS (
             SELECT event_type,
-                   CAST(SUM(CAST(avg_v AS DECIMAL(18,4))) AS DOUBLE)
-                     / COUNT(*) AS mu
+                   list(avg_v ORDER BY day) AS vs,
+                   COUNT(*) AS n_days
             FROM daily GROUP BY event_type
         ),
         s AS (
-            SELECT d.event_type,
-                   list(d.avg_v - mu.mu - 0.5::DOUBLE ORDER BY d.day) AS devs,
-                   COUNT(*) AS n_days
-            FROM daily d JOIN mu USING (event_type)
-            GROUP BY d.event_type
+            -- mu as a day-ordered left-fold sum over doubles: the SAME
+            -- IEEE addition order as the Spark side (decimal casts here
+            -- would ROUND and the engines round half-up vs half-even).
+            SELECT event_type, n_days,
+                   list_transform(
+                     vs,
+                     x -> x - list_reduce(vs, (a, b) -> a + b)
+                              / CAST(n_days AS DOUBLE)
+                          - 0.5::DOUBLE) AS devs
+            FROM vals
         ),
         f AS (
             SELECT event_type, n_days,
@@ -973,30 +978,21 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("avg_v")
     )
-    mu = daily.groupBy("event_type").agg(
-        (
-            F.sum(F.col("avg_v").cast("decimal(18,4)")).cast("double")
-            / F.count("*")
-        ).alias("mu")
+    # mu per type as a day-ordered left-fold sum (0.0 + v1 + v2 + ... is
+    # bit-identical to DuckDB's list_reduce fold: 0.0 + v1 == v1 in IEEE),
+    # so no decimal rounding of the daily doubles is needed anywhere.
+    vals = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "avg_v"))),
+            lambda r: r["avg_v"],
+        ).alias("vs")
     )
-    s = (
-        daily.join(F.broadcast(mu), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            "day",
-                            (F.col("avg_v") - F.col("mu") - F.lit(0.5)).alias(
-                                "dev"
-                            ),
-                        )
-                    )
-                ),
-                lambda r: r["dev"],
-            ).alias("devs")
-        )
+    mu = F.aggregate("vs", F.lit(0.0), lambda a, x: a + x) / F.size(
+        "vs"
+    ).cast("double")
+    s = vals.select(
+        "event_type",
+        F.transform("vs", lambda x: x - mu - F.lit(0.5)).alias("devs"),
     )
     first = F.greatest(F.lit(0.0), F.element_at("devs", 1))
     st = F.aggregate(
@@ -1026,56 +1022,66 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         season AS (
             SELECT event_type, dow,
-                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
-                     / COUNT(*) AS dow_mean,
-                   CAST(COUNT(*) AS BIGINT) AS n
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+                   CAST(SUM(CAST(value * value AS DECIMAL(24,6)))
+                        AS DOUBLE) AS sv2
             FROM base GROUP BY 1, 2
         )
-        SELECT b.event_type, b.dow,
-               ANY_VALUE(s.dow_mean) AS dow_mean,
-               ANY_VALUE(s.n) AS n,
-               CAST(CAST(SUM(CAST((b.value - s.dow_mean)
-                                  * (b.value - s.dow_mean)
-                                  AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE)
-                 AS sq_residual_sum
-        FROM base b JOIN season s USING (event_type, dow)
-        GROUP BY b.event_type, b.dow
+        SELECT event_type, dow,
+               sv / CAST(n AS DOUBLE) AS dow_mean, n,
+               -- power-sum identity S(v-m)^2 = Sv2 - 2m*Sv + n*m^2: only
+               -- RAW 2-decimal values enter decimal casts (exact at these
+               -- scales); the mean quotient stays a double and is never
+               -- re-rounded (a quotient like 989.895/20 lands EXACTLY on
+               -- a decimal rounding boundary and the engines round
+               -- opposite ways). Same IEEE expression shape both engines.
+               (sv2 - ((2.0 * (sv / CAST(n AS DOUBLE))) * sv))
+                 + ((CAST(n AS DOUBLE) * (sv / CAST(n AS DOUBLE)))
+                    * (sv / CAST(n AS DOUBLE))) AS sq_residual_sum
+        FROM season
     """,
     tags=("timeseries", "stats", "defer-sample"),
 )
 def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonal baseline + residual energy: per (type, dow)
-    the seasonal mean (decimal-exact, so both engines agree bitwise) and
-    the decimal-summed squared residuals against it — the
-    deseasonalization step before any anomaly rule. Spark's dayofweek is
-    1=Sunday; DuckDB's is 0=Sunday, so the oracle shifts by one.
+    the seasonal mean and the squared-residual sum against it — the
+    deseasonalization step before any anomaly rule. The residual energy
+    uses the power-sum identity Σ(v-m)² = Σv² - 2mΣv + nm², so only RAW
+    2-decimal values enter decimal casts (exact at scale 4/6, bit-equal
+    cross-engine) and the quotient mean is never re-rounded through a
+    decimal — re-casting a quotient double is the cross-engine rounding
+    trap ts_cusum_drift hit (989.895/20 = 49.49475 sits exactly on the
+    DECIMAL(18,4) boundary and Spark/DuckDB round opposite ways). Spark's
+    dayofweek is 1=Sunday; DuckDB's is 0=Sunday, so the oracle shifts by
+    one.
 
-    Scale shape: the baseline is a 7·|types|-row aggregate broadcast
-    back over events; both passes partial-aggregate map-side. No window,
+    Scale shape: ONE pass over events — a 7·|types|-row aggregate of
+    three partial-aggregated power sums; the mean and residual energy are
+    pure projections of it. No join back over the fact table, no window,
     no sort.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.dayofweek("ts").alias("dow"), "value"
     )
     season = ev.groupBy("event_type", "dow").agg(
-        (
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
-            / F.count("*")
-        ).alias("dow_mean"),
         F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sv"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(24,6)"))
+        .cast("double")
+        .alias("sv2"),
     )
-    resid = F.col("value") - F.col("dow_mean")
-    return (
-        ev.join(F.broadcast(season), ["event_type", "dow"])
-        .groupBy("event_type", "dow")
-        .agg(
-            F.first("dow_mean").alias("dow_mean"),
-            F.first("n").alias("n"),
-            F.sum((resid * resid).cast("decimal(24,6)"))
-            .cast("string")
-            .cast("double")
-            .alias("sq_residual_sum"),
-        )
+    n_d = F.col("n").cast("double")
+    m = F.col("sv") / n_d
+    return season.select(
+        "event_type",
+        "dow",
+        m.alias("dow_mean"),
+        "n",
+        (
+            (F.col("sv2") - ((F.lit(2.0) * m) * F.col("sv")))
+            + ((n_d * m) * m)
+        ).alias("sq_residual_sum"),
     )
 
 
@@ -1194,55 +1200,69 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / COUNT(*) AS v
             FROM events GROUP BY 1, 2
         ),
-        lagged AS (
-            SELECT event_type, v,
-                   LAG(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
-                   LAG(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS x7
-            FROM daily
+        vals AS (
+            -- day-ordered series per type; pair sums below are LEFT FOLDS
+            -- over these arrays, the same IEEE addition order as the
+            -- Spark side. No decimal cast of the quotient dailies — that
+            -- re-rounding is the cross-engine trap ts_cusum_drift hit.
+            SELECT event_type, list(v ORDER BY day) AS vs
+            FROM daily GROUP BY event_type
         ),
-        s1 AS (
-            SELECT event_type, COUNT(*) AS n,
-                   CAST(CAST(SUM(CAST(x1 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
-                   CAST(CAST(SUM(CAST(x1 * x1 AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS sxx,
-                   CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
-                   CAST(CAST(SUM(CAST(v * v AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS syy,
-                   CAST(CAST(SUM(CAST(x1 * v AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS sxy
-            FROM lagged WHERE x1 IS NOT NULL GROUP BY event_type
+        s AS (
+            SELECT event_type, vs, len(vs) AS n_all FROM vals
+            WHERE len(vs) > 7
         ),
-        s7 AS (
-            SELECT event_type, COUNT(*) AS n,
-                   CAST(CAST(SUM(CAST(x7 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
-                   CAST(CAST(SUM(CAST(x7 * x7 AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS sxx,
-                   CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
-                   CAST(CAST(SUM(CAST(v * v AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS syy,
-                   CAST(CAST(SUM(CAST(x7 * v AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS sxy
-            FROM lagged WHERE x7 IS NOT NULL GROUP BY event_type
+        p AS (
+            SELECT event_type,
+                   CAST(n_all - 1 AS DOUBLE) AS n1,
+                   CAST(n_all - 7 AS DOUBLE) AS n7,
+                   list_reduce(vs[1 : n_all - 1], (a, b) -> a + b) AS sx1,
+                   list_reduce(list_transform(vs[1 : n_all - 1], x -> x * x),
+                               (a, b) -> a + b) AS sxx1,
+                   list_reduce(vs[2 : n_all], (a, b) -> a + b) AS sy1,
+                   list_reduce(list_transform(vs[2 : n_all], x -> x * x),
+                               (a, b) -> a + b) AS syy1,
+                   list_reduce(list_transform(generate_series(1, n_all - 1),
+                                              i -> (vs[i]) * (vs[i + 1])),
+                               (a, b) -> a + b) AS sxy1,
+                   list_reduce(vs[1 : n_all - 7], (a, b) -> a + b) AS sx7,
+                   list_reduce(list_transform(vs[1 : n_all - 7], x -> x * x),
+                               (a, b) -> a + b) AS sxx7,
+                   list_reduce(vs[8 : n_all], (a, b) -> a + b) AS sy7,
+                   list_reduce(list_transform(vs[8 : n_all], x -> x * x),
+                               (a, b) -> a + b) AS syy7,
+                   list_reduce(list_transform(generate_series(1, n_all - 7),
+                                              i -> (vs[i]) * (vs[i + 7])),
+                               (a, b) -> a + b) AS sxy7
+            FROM s
         )
-        SELECT s1.event_type,
-               CAST(s1.n AS BIGINT) AS n_pairs_lag1,
-               (s1.sxy - s1.sx * s1.sy / s1.n)
-                 / (sqrt(s1.sxx - s1.sx * s1.sx / s1.n)
-                    * sqrt(s1.syy - s1.sy * s1.sy / s1.n)) AS acf_lag1,
-               CAST(s7.n AS BIGINT) AS n_pairs_lag7,
-               (s7.sxy - s7.sx * s7.sy / s7.n)
-                 / (sqrt(s7.sxx - s7.sx * s7.sx / s7.n)
-                    * sqrt(s7.syy - s7.sy * s7.sy / s7.n)) AS acf_lag7
-        FROM s1 JOIN s7 USING (event_type)
+        SELECT event_type,
+               CAST(n1 AS BIGINT) AS n_pairs_lag1,
+               (sxy1 - sx1 * sy1 / n1)
+                 / (sqrt(sxx1 - sx1 * sx1 / n1)
+                    * sqrt(syy1 - sy1 * sy1 / n1)) AS acf_lag1,
+               CAST(n7 AS BIGINT) AS n_pairs_lag7,
+               (sxy7 - sx7 * sy7 / n7)
+                 / (sqrt(sxx7 - sx7 * sx7 / n7)
+                    * sqrt(syy7 - sy7 * sy7 / n7)) AS acf_lag7
+        FROM p
     """,
     tags=("timeseries", "stats", "defer-sample"),
 )
 def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample autocorrelation of the daily value series at lags 1 and 7
     (the day-over-day and week-over-week dependence a forecaster checks
-    first): Pearson correlation of (x_{t-k}, x_t) pairs formed by a
-    per-type LAG window, with every sum in the decimal domain and the
-    correlation one fixed IEEE expression (the agg_corr discipline) —
-    bit-exact across engines.
+    first): Pearson correlation of (x_{t-k}, x_t) pairs over the
+    day-ordered per-type series, with every pair sum a LEFT FOLD over the
+    ordered array (identical IEEE addition order cross-engine — the
+    ts_cusum_drift discipline; a decimal re-cast of the quotient dailies
+    would hit the boundary-rounding trap) and the correlation one fixed
+    IEEE expression.
 
     Scale shape: events collapse to calendar-bounded dailies first; the
-    LAG window partitions by type over those dailies (≤366 rows/year
-    per type), then two partial-aggregated power-sum passes. Nothing
-    scales with event volume except the first aggregate.
+    per-type array is ≤366 values/year, so the folds are tiny pure-JVM
+    projections. Nothing scales with event volume except the first
+    partial-aggregated daily rollup.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -1253,46 +1273,51 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("v")
     )
-    w = Window.partitionBy("event_type").orderBy("day")
-    lagged = daily.select(
-        "event_type",
-        "v",
-        F.lag("v", 1).over(w).alias("x1"),
-        F.lag("v", 7).over(w).alias("x7"),
+    vals = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("day", "v"))),
+                lambda r: r["v"],
+            ).alias("vs")
+        )
+        .filter(F.size("vs") > 7)
     )
 
-    def power_sums(xcol: str):
-        x, y = F.col(xcol), F.col("v")
-        d = lambda c, p, s: F.sum(c.cast(f"decimal({p},{s})")).cast("string").cast("double")  # noqa: E731
-        return (
-            lagged.filter(x.isNotNull())
-            .groupBy("event_type")
-            .agg(
-                F.count("*").alias("n"),
-                d(x, 18, 6).alias("sx"),
-                d(x * x, 24, 8).alias("sxx"),
-                d(y, 18, 6).alias("sy"),
-                d(y * y, 24, 8).alias("syy"),
-                d(x * y, 24, 8).alias("sxy"),
-            )
-        )
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
 
-    def corr_expr(p):
-        n = F.col(f"{p}.n")
-        sx, sy = F.col(f"{p}.sx"), F.col(f"{p}.sy")
-        sxx, syy, sxy = F.col(f"{p}.sxx"), F.col(f"{p}.syy"), F.col(f"{p}.sxy")
+    def pair_sums(k: int):
+        n_k = F.size("vs") - F.lit(k)
+        xs = F.slice("vs", 1, n_k)
+        ys = F.slice("vs", k + 1, n_k)
+        return {
+            f"n{k}": n_k.cast("double"),
+            f"sx{k}": fold(xs),
+            f"sxx{k}": fold(F.transform(xs, lambda x: x * x)),
+            f"sy{k}": fold(ys),
+            f"syy{k}": fold(F.transform(ys, lambda x: x * x)),
+            f"sxy{k}": fold(F.zip_with(xs, ys, lambda x, y: x * y)),
+        }
+
+    cols = {**pair_sums(1), **pair_sums(7)}
+    p = vals.select(
+        "event_type", *(c.alias(name) for name, c in cols.items())
+    )
+
+    def corr_expr(k: int):
+        n = F.col(f"n{k}")
+        sx, sy = F.col(f"sx{k}"), F.col(f"sy{k}")
+        sxx, syy, sxy = F.col(f"sxx{k}"), F.col(f"syy{k}"), F.col(f"sxy{k}")
         return (sxy - sx * sy / n) / (
             F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
         )
 
-    s1 = power_sums("x1").alias("s1")
-    s7 = power_sums("x7").alias("s7")
-    return s1.join(s7, F.col("s1.event_type") == F.col("s7.event_type")).select(
-        F.col("s1.event_type").alias("event_type"),
-        F.col("s1.n").cast("bigint").alias("n_pairs_lag1"),
-        corr_expr("s1").alias("acf_lag1"),
-        F.col("s7.n").cast("bigint").alias("n_pairs_lag7"),
-        corr_expr("s7").alias("acf_lag7"),
+    return p.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n_pairs_lag1"),
+        corr_expr(1).alias("acf_lag1"),
+        F.col("n7").cast("bigint").alias("n_pairs_lag7"),
+        corr_expr(7).alias("acf_lag7"),
     )
 
 
@@ -1635,7 +1660,7 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ml_als_recommend",
-    tags=("ml", "iterative", "rows-only", "defer-sample"),
+    tags=("ml", "iterative", "rows-only", "blocked-product", "defer-sample"),
 )
 def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collaborative filtering with ALS (pyspark.ml.recommendation) over
