@@ -1004,3 +1004,52 @@ def test_triangle_count_fuzz_vs_bruteforce(spark, edges):
         .count()
     )
     assert got == want, (sorted(canon), got, want)
+
+
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),          # event_type
+              st.integers(min_value=0, max_value=20),   # day offset
+              st.integers(min_value=0, max_value=2000)),  # value in 0.05 steps
+    min_size=1, max_size=120,
+))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_timeseries_fold_queries_fuzz(spark, tmp_path_factory, rows):
+    """The REAL ts_cusum_drift / ts_autocorrelation / ts_seasonal_baseline
+    against their REAL oracles on adversarial random events: daily counts
+    of 2^a·5^b so the per-day mean quotients land EXACTLY on decimal
+    rounding boundaries (the cross-engine trap the r6 rewrite removed —
+    Spark rounds the exact binary value, DuckDB the shortest repr, and
+    49.49475-style quotients split them), types with <8 days (dropped by
+    the lag-7 guard on both sides), single-day types, and constant
+    stretches."""
+    import datetime as _dt
+
+    from avro_topic_replication_spark.queries import all_queries
+    from tests.oracle import compare
+
+    qs = all_queries()
+    base = str(tmp_path_factory.mktemp("tsfuzz"))
+    epoch = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    data = [
+        (i, epoch + _dt.timedelta(days=day), i % 7, et, k * 0.05, "")
+        for i, (et, day, k) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "events.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(base, 'events.parquet')}/*.parquet')"
+    )
+    for name in ("ts_cusum_drift", "ts_autocorrelation", "ts_seasonal_baseline"):
+        problems = compare(qs[name].fn(spark, base), con, qs[name].oracle)
+        assert not problems, (name, rows[:10], problems)
