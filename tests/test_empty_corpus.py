@@ -133,6 +133,15 @@ EMPTY_SAFE = [
     "agg_approx_top_k",
     "agg_multiple_regression",
     "join_asof_tolerance",
+    # r6 analytics_ext2 family: hamming ANN with no query row, listagg /
+    # null-safe join / union over zero dims, interpolation and path
+    # mining over zero events.
+    "vec_hamming_topk",
+    "agg_listagg_top_names",
+    "join_null_safe_eq",
+    "setop_union_by_name",
+    "ts_linear_interpolate",
+    "events_top_paths",
 ]
 
 
