@@ -450,3 +450,161 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.min("user_id").cast("bigint").alias("sample_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time statistics: the queueing/traffic profile of an event
+# stream — all-integer µs gaps, so the oracle is exact by construction.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_inter_arrival_stats",
+    oracle="""
+        WITH ordered AS (
+            SELECT event_type, ts,
+                   LAG(ts) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ),
+        gaps AS (
+            SELECT event_type,
+                   date_diff('microsecond', prev_ts, ts) AS gap_us
+            FROM ordered WHERE prev_ts IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+               CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
+        FROM gaps GROUP BY event_type
+    """,
+    tags=("events", "window", "defer-sample"),
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per event type (the first thing a
+    capacity planner computes): µs-exact gaps from a deterministic
+    (ts, event_id)-ordered LAG, then count/min/max/mean. All-BIGINT gap
+    math; only the final mean is a double quotient (identical division
+    both engines — never re-rounded through a decimal).
+
+    Scale shape: one type-keyed window (sort bounded by events-per-type
+    partition) + one partial-aggregated rollup on the same key — the
+    window's Exchange is reused by the aggregate. At 100 TB the window
+    key would be (type, day-bucket) to bound per-task sort size, with
+    bucket-boundary gaps patched by a second tiny pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("event_type", "ts", F.lag("ts").over(w).alias("prev_ts"))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias("gap_us"),
+        )
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count("*")).alias("avg_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence over a bounded contingency table — the
+# cell-term sum is an ordered fold (the ts_cusum_drift discipline), so the
+# statistic is bit-exact cross-engine.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_chi2_independence",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type, CAST(user_id % 4 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type, bucket, o,
+                   CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS row_tot,
+                   CAST(SUM(o) OVER (PARTITION BY bucket) AS BIGINT) AS col_tot,
+                   CAST(SUM(o) OVER () AS BIGINT) AS n
+            FROM cells
+        ),
+        t AS (
+            SELECT event_type, bucket, n,
+                   ((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e
+                     AS term
+            FROM (SELECT *,
+                         (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
+                           / CAST(n AS DOUBLE) AS e
+                  FROM m)
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST((COUNT(DISTINCT event_type) - 1)
+                    * (COUNT(DISTINCT bucket) - 1) AS BIGINT) AS dof,
+               list_reduce(list(term ORDER BY event_type, bucket),
+                           (a, b) -> a + b) AS chi2
+        FROM t
+    """,
+    tags=("stats", "agg", "defer-sample"),
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and a
+    user-hash bucket: observed counts per cell, expected counts from the
+    margins (row·col/n), χ² = Σ (o-e)²/e summed as an ORDERED fold over
+    the (type, bucket)-sorted cells — the only order-dependent double sum
+    in the query, made cross-engine-exact the ts_cusum_drift way.
+
+    Scale shape: ONE partial-aggregated pass over events builds the
+    |types|·|buckets| contingency table; margins, expected counts, and
+    the fold are projections over that bounded table (20 cells here —
+    windows over it are trivially small at any data size).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("o"))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("bucket")
+    w_all = Window.partitionBy()
+    m = cells.select(
+        "event_type",
+        "bucket",
+        "o",
+        F.sum("o").over(w_row).alias("row_tot"),
+        F.sum("o").over(w_col).alias("col_tot"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    e = (F.col("row_tot").cast("double") * F.col("col_tot").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    o_d = F.col("o").cast("double")
+    t = m.select(
+        "event_type",
+        "bucket",
+        "n",
+        (((o_d - e) * (o_d - e)) / e).alias("term"),
+    )
+    return t.agg(
+        F.max("n").cast("bigint").alias("n"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("bucket") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("event_type", "bucket", "term"))
+                ),
+                lambda r: r["term"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("chi2"),
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -780,6 +780,95 @@ def vec_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("exact_dist2"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+@query(
+    "vec_matryoshka_recall",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qv
+            FROM embeddings WHERE vec_id < 3
+        ),
+        scored AS (
+            SELECT q.qid, e.vec_id,
+                   {_DOT_SQL.format(a='e.embedding', b='q.qv')}
+                     / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                        * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})) AS full_cos,
+                   {_DOT_SQL.format(a='e.embedding[1:16]', b='q.qv[1:16]')}
+                     / (sqrt({_DOT_SQL.format(a='e.embedding[1:16]', b='e.embedding[1:16]')})
+                        * sqrt({_DOT_SQL.format(a='q.qv[1:16]', b='q.qv[1:16]')})) AS pref_cos
+            FROM embeddings e, q
+            WHERE e.vec_id >= 3
+        ),
+        ranked AS (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY full_cos DESC, vec_id) AS rn_full,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY pref_cos DESC, vec_id) AS rn_pref
+            FROM scored
+        )
+        SELECT CAST(qid AS BIGINT) AS qid,
+               CAST(count_if(rn_full <= 10 AND rn_pref <= 10) AS BIGINT)
+                 AS n_overlap,
+               CAST(count_if(rn_full <= 10 AND rn_pref <= 10) AS DOUBLE)
+                 / 10.0 AS recall_at_10
+        FROM ranked GROUP BY qid
+    """,
+    tags=("llm", "vector", "defer-sample"),
+)
+def vec_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation quality: for each of 3 query vectors,
+    how much of the FULL-dimension cosine top-10 survives when ranking by
+    only the first 16 of 64 dimensions (MRL prefix truncation — the 4x
+    cheaper index every embedding-serving stack wants). Both rankings are
+    brute-force with ordered-fold dot products, so the overlap counts are
+    exact cross-engine.
+
+    Scale shape: queries broadcast (3 rows); both cosines come off the
+    SAME scan of the corpus in one projection; the two rankings are
+    windows over qid (3 bounded partitions — at real query fan-in this is
+    the per-query top-k heap pattern instead). The measured recall is the
+    go/no-go for serving the 16-dim prefix index with full-dim rerank
+    (vec_two_stage_rerank is that follow-up operator).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+
+    def cos(a, b):
+        return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+    pref = lambda c: F.slice(c, 1, 16)  # noqa: E731
+    scored = (
+        e.filter(F.col("vec_id") >= 3)
+        .join(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            cos(F.col("embedding"), F.col("qv")).alias("full_cos"),
+            cos(pref(F.col("embedding")), pref(F.col("qv"))).alias("pref_cos"),
+        )
+    )
+    w_full = Window.partitionBy("qid").orderBy(
+        F.desc("full_cos"), F.asc("vec_id")
+    )
+    w_pref = Window.partitionBy("qid").orderBy(
+        F.desc("pref_cos"), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "qid",
+        F.row_number().over(w_full).alias("rn_full"),
+        F.row_number().over(w_pref).alias("rn_pref"),
+    )
+    hit = (F.col("rn_full") <= 10) & (F.col("rn_pref") <= 10)
+    return ranked.groupBy(F.col("qid").cast("bigint").alias("qid")).agg(
+        F.sum(hit.cast("long")).alias("n_overlap"),
+        (F.sum(hit.cast("long")).cast("double") / F.lit(10.0)).alias(
+            "recall_at_10"
+        ),
     )
 
 

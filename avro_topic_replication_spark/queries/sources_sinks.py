@@ -626,3 +626,53 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("schemas", json.dumps({1: FOO_SCHEMA}))
         .load()
     )
+
+
+@query(
+    "source_parquet_merge_schema",
+    oracle="""
+        SELECT CAST(o_orderkey AS BIGINT) AS okey,
+               o_orderpriority AS priority,
+               CAST(NULL AS DOUBLE) AS total
+        FROM orders WHERE o_orderkey % 100 < 10
+        UNION ALL BY NAME
+        SELECT CAST(o_orderkey AS BIGINT) AS okey,
+               o_orderpriority AS priority,
+               o_totalprice AS total
+        FROM orders WHERE o_orderkey % 100 BETWEEN 10 AND 19
+    """,
+    tags=("source", "parquet", "schema-evolution", "defer-sample"),
+)
+def source_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution ON READ: two parquet generations — v1 without the
+    ``total`` column, v2 with it — read back together with
+    ``mergeSchema=true``, which unions the footers and null-fills the
+    missing column for v1 files. The everyday lake situation after a
+    column is added mid-stream; the oracle recomputes both generations
+    from the source table (UNION ALL BY NAME null-fills identically).
+
+    Scale shape: schema merge happens on file FOOTERS at planning time
+    (one footer read per file, not per row); the scan itself stays
+    column-pruned and filter-pushed per file. The documented production
+    caveat: with thousands of files, set the merged schema explicitly
+    (``.schema(...)``) instead of footer-merging every plan — same
+    result, no planning-time fan-out.
+    """
+    path = _scratch(sf_dir, "merge_schema")
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 100 < 10).select(
+        F.col("o_orderkey").cast("bigint").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    v2 = o.filter(
+        (F.col("o_orderkey") % 100 >= 10) & (F.col("o_orderkey") % 100 <= 19)
+    ).select(
+        F.col("o_orderkey").cast("bigint").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("total"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    return spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
+    )
