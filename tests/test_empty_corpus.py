@@ -142,6 +142,12 @@ EMPTY_SAFE = [
     "setop_union_by_name",
     "ts_linear_interpolate",
     "events_top_paths",
+    # (stat_chi2_independence excluded like stat_crosstab: dof is derived
+    # from the data's value domain, so an empty input yields dof=(0-1)² —
+    # a caller-error input, not a zero row.)
+    "events_inter_arrival_stats",
+    "vec_matryoshka_recall",
+    "source_parquet_merge_schema",
 ]
 
 
