@@ -129,7 +129,10 @@ def _lsh_bucket_sql() -> str:
     _hyperplanes() so the two engines cannot drift."""
     terms = []
     for i, p in enumerate(_hyperplanes()):
-        lits = "[" + ", ".join(repr(float(v)) for v in p) + "]"
+        # trailing e0 forces DOUBLE parsing: a bare 17-digit literal types
+        # as DECIMAL(18,17) in DuckDB and the DECIMAL->DOUBLE conversion
+        # can be 1 ulp off the repr round-trip (mantissa > 2^53)
+        lits = "[" + ", ".join(f"{float(v)!r}e0" for v in p) + "]"
         dot = (
             "list_reduce(list_transform(list_zip(embedding, " + lits + "), "
             "p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"

@@ -605,7 +605,8 @@ def test_exact_percentile_two_phase_fuzz(spark, vals, qlo, qhi):
     con.execute("CREATE TABLE t (v DOUBLE)")
     con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
     want = con.execute(
-        f"SELECT quantile_cont(v, {qlo!r}) AS lo, quantile_cont(v, {qhi!r}) AS hi FROM t"
+        "SELECT quantile_cont(v, ?) AS lo, quantile_cont(v, ?) AS hi FROM t",
+        [qlo, qhi],
     ).fetchone()
     for g, w in zip((got["lo"], got["hi"]), want):
         assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (vals, qlo, qhi, got, want)
@@ -843,7 +844,11 @@ def test_exact_percentile_grouped_fuzz(spark, vals, q):
     con.executemany("INSERT INTO t VALUES (?, ?)", [(f"g{g}", v) for g, v in vals])
     want = dict(
         con.execute(
-            f"SELECT grp, quantile_cont(v, {q!r}) FROM t GROUP BY grp"
+            # parameter-bound q: a bare 17-digit literal types as
+            # DECIMAL(18,17) in DuckDB and the DECIMAL->DOUBLE conversion
+            # can land 1 ulp off the exact double (mantissa > 2^53)
+            "SELECT grp, quantile_cont(v, ?) FROM t GROUP BY grp",
+            [q],
         ).fetchall()
     )
     assert set(got) == set(want)
