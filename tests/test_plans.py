@@ -236,3 +236,20 @@ def test_linear_interpolate_single_user_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_linear_interpolate")
     assert "Window [" in plan or "RunningWindowFunction" in plan or "Window" in plan
     assert plan.count("Exchange SinglePartition") == 0
+
+
+def test_inter_arrival_single_type_exchange(spark, sf_dir):
+    """events_inter_arrival_stats: the LAG window and the rollup share
+    the event_type hash partitioning — no second fact shuffle and no
+    single-partition funnel."""
+    plan = _plan(spark, sf_dir, "events_inter_arrival_stats")
+    assert plan.count("Exchange SinglePartition") == 0
+    assert plan.count("Exchange") <= 2  # window partitioning (+ AQE read)
+
+
+def test_chi2_one_fact_pass(spark, sf_dir):
+    """stat_chi2_independence: events are scanned exactly once — margins,
+    expected counts and the fold are projections of the contingency
+    aggregate, never a rescan."""
+    plan = _plan(spark, sf_dir, "stat_chi2_independence")
+    assert plan.count("FileScan parquet") == 1
