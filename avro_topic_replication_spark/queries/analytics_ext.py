@@ -1036,9 +1036,13 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- re-rounded (a quotient like 989.895/20 lands EXACTLY on
                -- a decimal rounding boundary and the engines round
                -- opposite ways). Same IEEE expression shape both engines.
-               (sv2 - ((2.0 * (sv / CAST(n AS DOUBLE))) * sv))
-                 + ((CAST(n AS DOUBLE) * (sv / CAST(n AS DOUBLE)))
-                    * (sv / CAST(n AS DOUBLE))) AS sq_residual_sum
+               -- clamped at 0: cancellation on a constant cell can land
+               -- the identity a hair negative, and a sum of squares must
+               -- stay non-negative for downstream sqrt consumers
+               GREATEST(0.0::DOUBLE,
+                        (sv2 - ((2.0 * (sv / CAST(n AS DOUBLE))) * sv))
+                          + ((CAST(n AS DOUBLE) * (sv / CAST(n AS DOUBLE)))
+                             * (sv / CAST(n AS DOUBLE)))) AS sq_residual_sum
         FROM season
     """,
     tags=("timeseries", "stats", "defer-sample"),
@@ -1078,9 +1082,10 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow",
         m.alias("dow_mean"),
         "n",
-        (
+        F.greatest(
+            F.lit(0.0),
             (F.col("sv2") - ((F.lit(2.0) * m) * F.col("sv")))
-            + ((n_d * m) * m)
+            + ((n_d * m) * m),
         ).alias("sq_residual_sum"),
     )
 
@@ -1235,17 +1240,30 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               i -> (vs[i]) * (vs[i + 7])),
                                (a, b) -> a + b) AS sxy7
             FROM s
+        ),
+        d AS (
+            -- variance terms clamped at 0 (cancellation on a constant
+            -- series can land at -1e-19 and DuckDB sqrt() THROWS on
+            -- negatives); a zero denominator (constant series) yields
+            -- NULL on BOTH engines (Spark's 0/0 would be NaN, DuckDB's
+            -- NULL — the guard unifies them)
+            SELECT event_type, n1, n7,
+                   sxy1 - sx1 * sy1 / n1 AS cov1,
+                   sqrt(GREATEST(0.0::DOUBLE, sxx1 - sx1 * sx1 / n1))
+                     * sqrt(GREATEST(0.0::DOUBLE, syy1 - sy1 * sy1 / n1))
+                     AS den1,
+                   sxy7 - sx7 * sy7 / n7 AS cov7,
+                   sqrt(GREATEST(0.0::DOUBLE, sxx7 - sx7 * sx7 / n7))
+                     * sqrt(GREATEST(0.0::DOUBLE, syy7 - sy7 * sy7 / n7))
+                     AS den7
+            FROM p
         )
         SELECT event_type,
                CAST(n1 AS BIGINT) AS n_pairs_lag1,
-               (sxy1 - sx1 * sy1 / n1)
-                 / (sqrt(sxx1 - sx1 * sx1 / n1)
-                    * sqrt(syy1 - sy1 * sy1 / n1)) AS acf_lag1,
+               CASE WHEN den1 = 0.0 THEN NULL ELSE cov1 / den1 END AS acf_lag1,
                CAST(n7 AS BIGINT) AS n_pairs_lag7,
-               (sxy7 - sx7 * sy7 / n7)
-                 / (sqrt(sxx7 - sx7 * sx7 / n7)
-                    * sqrt(syy7 - sy7 * sy7 / n7)) AS acf_lag7
-        FROM p
+               CASE WHEN den7 = 0.0 THEN NULL ELSE cov7 / den7 END AS acf_lag7
+        FROM d
     """,
     tags=("timeseries", "stats", "defer-sample"),
 )
@@ -1305,11 +1323,18 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def corr_expr(k: int):
+        # variance terms clamped at 0 (cancellation on a constant series
+        # lands at -1e-19; DuckDB sqrt() throws on negatives) and a zero
+        # denominator yields NULL on both engines (not Spark's NaN)
         n = F.col(f"n{k}")
         sx, sy = F.col(f"sx{k}"), F.col(f"sy{k}")
         sxx, syy, sxy = F.col(f"sxx{k}"), F.col(f"syy{k}"), F.col(f"sxy{k}")
-        return (sxy - sx * sy / n) / (
-            F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+        cov = sxy - sx * sy / n
+        den = F.sqrt(F.greatest(F.lit(0.0), sxx - sx * sx / n)) * F.sqrt(
+            F.greatest(F.lit(0.0), syy - sy * sy / n)
+        )
+        return F.when(den == 0.0, F.lit(None).cast("double")).otherwise(
+            cov / den
         )
 
     return p.select(

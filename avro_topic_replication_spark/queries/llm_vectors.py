@@ -129,10 +129,16 @@ def _lsh_bucket_sql() -> str:
     _hyperplanes() so the two engines cannot drift."""
     terms = []
     for i, p in enumerate(_hyperplanes()):
-        # trailing e0 forces DOUBLE parsing: a bare 17-digit literal types
-        # as DECIMAL(18,17) in DuckDB and the DECIMAL->DOUBLE conversion
-        # can be 1 ulp off the repr round-trip (mantissa > 2^53)
-        lits = "[" + ", ".join(f"{float(v)!r}e0" for v in p) + "]"
+        # exponent suffix forces DOUBLE parsing: a bare 17-digit literal
+        # types as DECIMAL(18,17) in DuckDB and the DECIMAL->DOUBLE
+        # conversion can be 1 ulp off the repr round-trip (mantissa >
+        # 2^53). repr() already uses scientific notation for |v| < 1e-4 /
+        # >= 1e16 — only append e0 when it does not.
+        def _dlit(v: float) -> str:
+            r = repr(float(v))
+            return r if "e" in r or "E" in r else r + "e0"
+
+        lits = "[" + ", ".join(_dlit(v) for v in p) + "]"
         dot = (
             "list_reduce(list_transform(list_zip(embedding, " + lits + "), "
             "p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
@@ -794,22 +800,31 @@ def vec_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings WHERE vec_id < 3
         ),
         scored AS (
+            -- zero-norm guard: a NULL cosine on BOTH engines (Spark's
+            -- bare 0/0 would be NaN which sorts FIRST under desc, DuckDB's
+            -- NULL last — the explicit guard + NULLS LAST unify them)
             SELECT q.qid, e.vec_id,
-                   {_DOT_SQL.format(a='e.embedding', b='q.qv')}
-                     / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
-                        * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})) AS full_cos,
-                   {_DOT_SQL.format(a='e.embedding[1:16]', b='q.qv[1:16]')}
-                     / (sqrt({_DOT_SQL.format(a='e.embedding[1:16]', b='e.embedding[1:16]')})
-                        * sqrt({_DOT_SQL.format(a='q.qv[1:16]', b='q.qv[1:16]')})) AS pref_cos
+                   CASE WHEN (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                              * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})) = 0.0
+                        THEN NULL
+                        ELSE {_DOT_SQL.format(a='e.embedding', b='q.qv')}
+                             / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                                * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})) END AS full_cos,
+                   CASE WHEN (sqrt({_DOT_SQL.format(a='e.embedding[1:16]', b='e.embedding[1:16]')})
+                              * sqrt({_DOT_SQL.format(a='q.qv[1:16]', b='q.qv[1:16]')})) = 0.0
+                        THEN NULL
+                        ELSE {_DOT_SQL.format(a='e.embedding[1:16]', b='q.qv[1:16]')}
+                             / (sqrt({_DOT_SQL.format(a='e.embedding[1:16]', b='e.embedding[1:16]')})
+                                * sqrt({_DOT_SQL.format(a='q.qv[1:16]', b='q.qv[1:16]')})) END AS pref_cos
             FROM embeddings e, q
             WHERE e.vec_id >= 3
         ),
         ranked AS (
             SELECT qid, vec_id,
                    ROW_NUMBER() OVER (PARTITION BY qid
-                                      ORDER BY full_cos DESC, vec_id) AS rn_full,
+                                      ORDER BY full_cos DESC NULLS LAST, vec_id) AS rn_full,
                    ROW_NUMBER() OVER (PARTITION BY qid
-                                      ORDER BY pref_cos DESC, vec_id) AS rn_pref
+                                      ORDER BY pref_cos DESC NULLS LAST, vec_id) AS rn_pref
             FROM scored
         )
         SELECT CAST(qid AS BIGINT) AS qid,
@@ -842,7 +857,12 @@ def vec_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def cos(a, b):
-        return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+        # zero-norm guard: NULL on both engines (a bare 0/0 is NaN in
+        # Spark and NaN sorts FIRST under desc; DuckDB's NULL sorts last)
+        den = F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
+        return F.when(den == 0.0, F.lit(None).cast("double")).otherwise(
+            _dot(a, b) / den
+        )
 
     pref = lambda c: F.slice(c, 1, 16)  # noqa: E731
     scored = (
@@ -856,10 +876,10 @@ def vec_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_full = Window.partitionBy("qid").orderBy(
-        F.desc("full_cos"), F.asc("vec_id")
+        F.desc_nulls_last("full_cos"), F.asc("vec_id")
     )
     w_pref = Window.partitionBy("qid").orderBy(
-        F.desc("pref_cos"), F.asc("vec_id")
+        F.desc_nulls_last("pref_cos"), F.asc("vec_id")
     )
     ranked = scored.select(
         "qid",

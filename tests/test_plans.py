@@ -234,7 +234,7 @@ def test_linear_interpolate_single_user_sort(spark, sf_dir):
     user-keyed window partitioning — no single-partition window, and the
     grid join keys match the window keys."""
     plan = _plan(spark, sf_dir, "ts_linear_interpolate")
-    assert "Window [" in plan or "RunningWindowFunction" in plan or "Window" in plan
+    assert "Window [" in plan
     assert plan.count("Exchange SinglePartition") == 0
 
 
