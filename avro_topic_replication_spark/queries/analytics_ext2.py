@@ -608,3 +608,75 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         ).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows (Spark's session_window with a per-row gap
+# Column) — purchases hold a session open 40 min, everything else 15.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_dynamic_session_window",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id, ts,
+                   ts + CASE WHEN event_type = 'purchase'
+                             THEN INTERVAL 40 MINUTE
+                             ELSE INTERVAL 15 MINUTE END AS te
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, ts, te,
+                   MAX(te) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prev_end
+            FROM iv
+        ),
+        numbered AS (
+            SELECT user_id, ts, te,
+                   SUM(CASE WHEN prev_end IS NULL OR ts > prev_end
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM m
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(te) AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window", "session", "defer-sample"),
+)
+def stream_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap (Spark's
+    ``session_window(ts, gapColumn)``): a purchase keeps its session open
+    40 minutes, any other event 15 — the engagement-dependent session
+    definition fixed-gap sessions can't express. The oracle is the
+    interval-merge formulation: each event spans [ts, ts+gap), a new
+    session starts when ts exceeds the running MAX of previous interval
+    ends (a plain running max — later rows can't extend a session past an
+    earlier long interval unseen by last-value logic).
+
+    Scale shape: identical to the fixed-gap operator — one user-keyed
+    shuffle, per-key interval merge inside Spark's session aggregation;
+    the gap expression is a per-row projection. Works unchanged as a
+    streaming groupBy on a watermarked source (the stream_live_session
+    harness shape).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("40 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
