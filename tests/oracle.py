@@ -90,11 +90,58 @@ def _col_equal(a: pd.Series, b: pd.Series) -> bool:
     return a.equals(b) or bool(np.all(a.to_numpy() == b.to_numpy()))
 
 
+def _null_nan_counts_spark(spark_df, cols: "list[str]"):
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}\0null"))
+        aggs.append(
+            F.sum((~F.col(c).isNull() & F.isnan(c)).cast("long")).alias(
+                f"{c}\0nan"
+            )
+        )
+    row = spark_df.agg(*aggs).first()
+    return {c: (row[f"{c}\0null"] or 0, row[f"{c}\0nan"] or 0) for c in cols}
+
+
+def _check_null_vs_nan(spark_df, con, sql: str, problems: "list[str]") -> None:
+    """NULL and NaN both land as NaN in a float64 pandas column, so the
+    frame comparison cannot tell them apart — but the external driver's
+    value hash CAN. Compare per-column (n_null, n_nan) pairs directly on
+    the engines (count-level: a same-count positional swap would also
+    have to dodge the value comparison on every other column)."""
+    import math
+
+    dbl = [f for f, t in spark_df.dtypes if t in ("double", "float")]
+    if not dbl:
+        return
+    s_counts = _null_nan_counts_spark(spark_df, dbl)
+    o_rows = con.execute(sql).fetchall()
+    o_cols = [d[0] for d in con.description]
+    for c in dbl:
+        if c not in o_cols:
+            continue
+        i = o_cols.index(c)
+        onull = sum(1 for r in o_rows if r[i] is None)
+        onan = sum(
+            1
+            for r in o_rows
+            if isinstance(r[i], float) and math.isnan(r[i])
+        )
+        if s_counts[c] != (onull, onan):
+            problems.append(
+                f"NULL/NaN split differs on {c!r}: spark(null,nan)="
+                f"{s_counts[c]} oracle=({onull}, {onan})"
+            )
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     problems: list[str] = []
     s_pdf = _datify(spark_df.toPandas())
     o_pdf = _datify(con.execute(sql).df())
+    _check_null_vs_nan(spark_df, con, sql, problems)
 
     if sorted(s_pdf.columns) != sorted(o_pdf.columns):
         return [
