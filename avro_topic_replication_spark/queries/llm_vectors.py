@@ -123,21 +123,22 @@ def _hyperplanes(dim: int = 64, n: int = 8) -> list[list[float]]:
     return rng.standard_normal((n, dim)).tolist()
 
 
+def _dlit(v: float) -> str:
+    """DuckDB DOUBLE literal: exponent suffix forces DOUBLE parsing — a
+    bare 17-digit literal types as DECIMAL(18,17) and the DECIMAL->DOUBLE
+    conversion can be 1 ulp off the repr round-trip (mantissa > 2^53).
+    repr() already uses scientific notation for |v| < 1e-4 / >= 1e16, so
+    only append e0 when it does not."""
+    r = repr(float(v))
+    return r if "e" in r or "E" in r else r + "e0"
+
+
 def _lsh_bucket_sql() -> str:
     """DuckDB twin of the sign-LSH bucket id: the SAME hyperplane
     literals, the same ordered fold, the same sign rule — generated from
     _hyperplanes() so the two engines cannot drift."""
     terms = []
     for i, p in enumerate(_hyperplanes()):
-        # exponent suffix forces DOUBLE parsing: a bare 17-digit literal
-        # types as DECIMAL(18,17) in DuckDB and the DECIMAL->DOUBLE
-        # conversion can be 1 ulp off the repr round-trip (mantissa >
-        # 2^53). repr() already uses scientific notation for |v| < 1e-4 /
-        # >= 1e16 — only append e0 when it does not.
-        def _dlit(v: float) -> str:
-            r = repr(float(v))
-            return r if "e" in r or "E" in r else r + "e0"
-
         lits = "[" + ", ".join(_dlit(v) for v in p) + "]"
         dot = (
             "list_reduce(list_transform(list_zip(embedding, " + lits + "), "

@@ -105,15 +105,28 @@ def _null_nan_counts_spark(spark_df, cols: "list[str]"):
     return {c: (row[f"{c}\0null"] or 0, row[f"{c}\0nan"] or 0) for c in cols}
 
 
-def _check_null_vs_nan(spark_df, con, sql: str, problems: "list[str]") -> None:
+def _check_null_vs_nan(
+    spark_df, con, sql: str, s_pdf, o_pdf, problems: "list[str]"
+) -> None:
     """NULL and NaN both land as NaN in a float64 pandas column, so the
     frame comparison cannot tell them apart — but the external driver's
     value hash CAN. Compare per-column (n_null, n_nan) pairs directly on
     the engines (count-level: a same-count positional swap would also
-    have to dodge the value comparison on every other column)."""
+    have to dodge the value comparison on every other column).
+
+    Cost gate: the re-execution of both sides only runs when a float
+    column actually SHOWS NaN in either pandas frame — if neither frame
+    has a NaN there is nothing conflated, so the common all-values case
+    pays nothing."""
     import math
 
     dbl = [f for f, t in spark_df.dtypes if t in ("double", "float")]
+    dbl = [
+        c
+        for c in dbl
+        if (c in s_pdf.columns and s_pdf[c].isna().any())
+        or (c in o_pdf.columns and o_pdf[c].isna().any())
+    ]
     if not dbl:
         return
     s_counts = _null_nan_counts_spark(spark_df, dbl)
@@ -141,7 +154,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     problems: list[str] = []
     s_pdf = _datify(spark_df.toPandas())
     o_pdf = _datify(con.execute(sql).df())
-    _check_null_vs_nan(spark_df, con, sql, problems)
+    _check_null_vs_nan(spark_df, con, sql, s_pdf, o_pdf, problems)
 
     if sorted(s_pdf.columns) != sorted(o_pdf.columns):
         return [
