@@ -231,6 +231,39 @@ def stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(sdf, output_mode="complete")
 
 
+@query(
+    "stream_live_dynamic_session",
+    oracle=None,
+    tags=("streaming", "live", "session"),
+)
+def stream_live_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows through the streaming runtime: the
+    per-event gap Column (purchase holds 40 min, everything else 15)
+    drives watermark-bounded merging session state per user — the live
+    twin of the oracle-checked stream_dynamic_session_window. Complete
+    mode for the bounded replay (append + state eviction on an unbounded
+    source once the watermark passes a session close);
+    tests/test_sinks.py pins stream == batch equality."""
+    from ..streaming.replay import events_stream, run_to_memory
+
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("40 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    sdf = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(sdf, output_mode="complete")
+
+
 @query("stream_live_static_join", oracle=None, tags=("streaming", "live"))
 def stream_live_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against a static

@@ -212,3 +212,18 @@ def test_streaming_doc_curation_equals_batch(spark, sf_dir):
         .collect()
     }
     assert live == batch
+
+
+def test_streaming_dynamic_session_equals_batch(spark, sf_dir):
+    """The live dynamic-gap session windows (r6) must equal the
+    oracle-checked batch twin exactly — same merge rule, same per-row
+    gap, watermark wide enough that the bounded replay evicts nothing."""
+    from avro_topic_replication_spark.queries import all_queries
+
+    qs = all_queries()
+    key = lambda r: (  # noqa: E731
+        r["user_id"], r["session_start"], r["session_end"], r["n_events"]
+    )
+    live = {key(r) for r in qs["stream_live_dynamic_session"].fn(spark, sf_dir).collect()}
+    batch = {key(r) for r in qs["stream_dynamic_session_window"].fn(spark, sf_dir).collect()}
+    assert live == batch
