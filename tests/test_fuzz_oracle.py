@@ -1058,3 +1058,54 @@ def test_timeseries_fold_queries_fuzz(spark, tmp_path_factory, rows):
     for name in ("ts_cusum_drift", "ts_autocorrelation", "ts_seasonal_baseline"):
         problems = compare(qs[name].fn(spark, base), con, qs[name].oracle)
         assert not problems, (name, rows[:10], problems)
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),      # user
+              st.integers(min_value=0, max_value=400),    # minutes offset
+              st.sampled_from(["purchase", "click", "view"])),
+    min_size=1, max_size=60,
+))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_event_shape_queries_fuzz(spark, tmp_path_factory, rows):
+    """The REAL ts_linear_interpolate / events_top_paths /
+    stream_dynamic_session_window against their REAL oracles on
+    adversarial random events: duplicate timestamps (tie-broken by
+    event_id), events landing EXACTLY on a session's previous interval
+    end (minute-grain offsets vs 15/40-minute gaps force boundary
+    collisions), single-event users, and all-same-type bursts."""
+    import datetime as _dt
+
+    from avro_topic_replication_spark.queries import all_queries
+    from tests.oracle import compare
+
+    qs = all_queries()
+    base = str(tmp_path_factory.mktemp("evfuzz"))
+    epoch = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    data = [
+        (i, epoch + _dt.timedelta(minutes=mins), user, et, float(i % 7), "")
+        for i, (user, mins, et) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "events.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(base, 'events.parquet')}/*.parquet')"
+    )
+    for name in (
+        "events_top_paths",
+        "stream_dynamic_session_window",
+        "events_inter_arrival_stats",
+    ):
+        problems = compare(qs[name].fn(spark, base), con, qs[name].oracle)
+        assert not problems, (name, rows[:10], problems)
