@@ -680,3 +680,80 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM chars WHERE ch <> '' GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT doc_id,
+                   list(cnt ORDER BY ch) AS cs,
+                   CAST(SUM(cnt) AS BIGINT) AS n_chars
+            FROM counts GROUP BY doc_id
+        )
+        SELECT doc_id, n_chars,
+               CAST(len(cs) AS BIGINT) AS n_distinct_chars,
+               round(-list_reduce(
+                   list_transform(cs, c ->
+                       (CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                       * log2(CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE))),
+                   (a, b) -> a + b), 6) AS char_entropy_bits
+        FROM g
+    """,
+    tags=("llm", "text", "quality", "defer-sample"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    CCNet-family quality signal that separates natural prose (~4 bits)
+    from boilerplate, repeated padding, and binary junk. The -Σ p·log2 p
+    sum runs as an ordered fold over the char-sorted count list (the
+    ts_cusum_drift discipline: same UTF-8 code-point order, same IEEE op
+    order on both engines), then rounded to 6 decimals: log2 is NOT
+    correctly rounded in either engine's libm, so the raw folds differ by
+    1 ulp — the same reason text_tfidf/text_keyword_topk round their
+    ln-based scores (the established repo pattern for transcendentals).
+
+    Scale shape: the char explode is scan-side and collapses immediately
+    to per-(doc, char) counts (≤ alphabet-size rows per doc after the
+    map-side partial); the fold runs on that bounded list. One doc-keyed
+    shuffle end-to-end; nothing driver-side.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("cnt"))
+    )
+    g = counts.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ch", "cnt"))),
+            lambda r: r["cnt"],
+        ).alias("cs")
+    )
+    tot = F.aggregate(
+        "cs", F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    g = g.withColumn("n_chars", tot)
+    p = lambda c: c.cast("double") / F.col("n_chars").cast("double")  # noqa: E731
+    return g.select(
+        "doc_id",
+        "n_chars",
+        F.size("cs").cast("bigint").alias("n_distinct_chars"),
+        F.round(
+            -F.aggregate(
+                F.transform("cs", lambda c: p(c) * F.log2(p(c))),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("char_entropy_bits"),
+    )
