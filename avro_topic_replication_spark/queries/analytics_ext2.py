@@ -680,3 +680,117 @@ def stream_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: merge yesterday's materialized
+# per-user rollup with today's delta instead of rescanning history — the
+# warehouse pattern every nightly pipeline runs on. The oracle is the
+# from-scratch aggregate; decimal partial sums merge associatively, so
+# maintained == recomputed exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_incremental_refresh",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events GROUP BY user_id
+    """,
+    tags=("agg", "incremental", "defer-sample"),
+)
+def agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh of a per-user rollup: the 'materialized' base
+    aggregate (events before day 21) is MERGED with the late-arriving
+    delta aggregate (day 21 onward) via a full-outer coalesce — the
+    nightly-pipeline shape that never rescans history. The oracle
+    recomputes from scratch; decimal partial sums are associative, so
+    the merged result matches bit-for-bit.
+
+    Scale shape: the delta aggregate scans ONLY the new partition(s);
+    the merge joins two user-keyed aggregate tables (both far smaller
+    than the fact table; at 100 TB the base side is the stored rollup,
+    not a scan). count/sum/min/max all merge this way — avg and variance
+    derive from merged (n, sum, sum2) power sums; exact percentiles are
+    the one family that cannot merge and falls back to sketches.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.dayofmonth("ts") <= 20
+    base = ev.filter(cutoff).groupBy("user_id").agg(
+        F.count("*").alias("n_b"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("s_b"),
+    )
+    delta = ev.filter(~cutoff).groupBy("user_id").agg(
+        F.count("*").alias("n_d"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("s_d"),
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        base.join(delta, "user_id", "full_outer")
+        .select(
+            "user_id",
+            (
+                F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))
+            ).cast("bigint").alias("n_events"),
+            (
+                F.coalesce("s_b", zero) + F.coalesce("s_d", zero)
+            ).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL CACHE TABLE surface: materialize a rollup in executor memory and
+# serve follow-up queries from the InMemoryRelation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_cache_table",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     AS revenue
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT CAST(o_custkey AS BIGINT) AS custkey, n_orders, revenue
+        FROM rev WHERE n_orders >= 10
+    """,
+    tags=("sql", "cache", "engine4", "defer-sample"),
+)
+def sql_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`CACHE TABLE ... AS SELECT`: materialize a per-customer revenue
+    rollup in executor memory (the interactive-analytics idiom for a hot
+    intermediate) and serve the follow-up filter from the
+    InMemoryRelation instead of re-aggregating the fact table
+    (tests/test_plans.py pins the InMemoryTableScan).
+
+    Scale shape: the cached relation is aggregate-sized (|customers|
+    rows, columnar, partition-distributed across executors); follow-ups
+    prune columns and push filters against the in-memory batches. The
+    cache is storage-level MEMORY_AND_DISK — partitions that don't fit
+    spill rather than evict correctness.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_src")
+    spark.sql("UNCACHE TABLE IF EXISTS _cached_cust_rev")
+    spark.sql("DROP VIEW IF EXISTS _cached_cust_rev")
+    spark.sql(
+        """
+        CACHE TABLE _cached_cust_rev AS
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue
+        FROM _orders_src GROUP BY o_custkey
+        """
+    )
+    return spark.sql(
+        """
+        SELECT CAST(o_custkey AS BIGINT) AS custkey, n_orders, revenue
+        FROM _cached_cust_rev WHERE n_orders >= 10
+        """
+    )

@@ -253,3 +253,24 @@ def test_chi2_one_fact_pass(spark, sf_dir):
     aggregate, never a rescan."""
     plan = _plan(spark, sf_dir, "stat_chi2_independence")
     assert plan.count("FileScan parquet") == 1
+
+
+def test_cache_table_serves_from_memory(spark, sf_dir):
+    """sql_cache_table: the follow-up filter reads the InMemoryRelation,
+    not a re-aggregation of the fact table."""
+    plan = _plan(spark, sf_dir, "sql_cache_table")
+    # the InMemoryRelation node embeds its cached BUILD plan (including
+    # the original FileScan text), and under AQE the pre-execution text
+    # may not yet show the InMemoryTableScan leaf — assert the serve
+    # path: the follow-up filter sits on top of the in-memory relation
+    assert "InMemoryRelation" in plan
+    assert "Filter (n_orders" in plan
+
+
+def test_incremental_refresh_no_fact_rescan_per_side(spark, sf_dir):
+    """agg_incremental_refresh: base and delta each aggregate their own
+    slice; the merge joins aggregate-sized tables (no cartesian, no
+    single-partition funnel)."""
+    plan = _plan(spark, sf_dir, "agg_incremental_refresh")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") == 0
