@@ -1,6 +1,8 @@
-"""Round-6 analytics extensions, batch 2: binary-quantized ANN, Spark 4
+"""Round-6 analytics extensions, batch 2+: binary-quantized ANN, Spark 4
 ``listagg``, null-safe joins, schema-aligned unions, linear time-series
-interpolation, and event path mining.
+interpolation, event path mining, inter-arrival statistics, chi-square
+independence testing, dynamic-gap session windows, incremental aggregate
+refresh, and the SQL CACHE TABLE surface.
 
 All [EXT] surface beyond the reference's replication dataflow
 (ReplicationApplication.java:71 is its only transform). Every query is
