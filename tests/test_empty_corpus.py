@@ -148,6 +148,10 @@ EMPTY_SAFE = [
     "events_inter_arrival_stats",
     "vec_matryoshka_recall",
     "source_parquet_merge_schema",
+    "stream_dynamic_session_window",
+    "text_char_entropy",
+    "agg_incremental_refresh",
+    "sql_cache_table",
 ]
 
 
