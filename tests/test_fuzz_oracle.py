@@ -566,6 +566,11 @@ def test_lm_perplexity_fuzz_random_corpora(spark, tmp_path_factory, docs):
     )
     problems = compare(q.fn(spark, base), con, q.oracle)
     assert not problems, (docs, problems)
+    # same adversarial corpus through the char-entropy signal (r6):
+    # empty docs, single-char docs, non-ASCII, constant stretches
+    q2 = all_queries()["text_char_entropy"]
+    problems = compare(q2.fn(spark, base), con, q2.oracle)
+    assert not problems, (docs, problems)
 
 
 @given(
