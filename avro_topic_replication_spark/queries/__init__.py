@@ -54,6 +54,13 @@ _MODULES = (
 # the 50 highest-priority backlog entries (replication roundtrip, llm_curation,
 # llm_scoring, engine4, events, new tpch, mm audio/video, aggregates extras,
 # windows extras) and the remaining ~24 land in the r7 window.
+#
+# r7 ROTATION PROCEDURE (do this first next round): add the 50 keys of
+# CORRECTNESS_r06.json to _DRIVER_SAMPLED, then delete the "defer-sample"
+# tag from every query that carries it (analytics_ext, analytics_ext2, and
+# the r6 additions in llm_text/llm_vectors/sources_sinks/streaming_batch) —
+# the never-sampled remainder (~24 pre-r6 backlog + ~70 r6 additions) then
+# sorts into the r7/r8 windows automatically. ~2 rotations clear it.
 _DRIVER_SAMPLED = frozenset((
     "agg_approx_count_distinct", "agg_arg_minmax", "agg_collect_sorted",
     "agg_conditional", "agg_corr", "agg_count_distinct", "agg_cube",
