@@ -796,3 +796,142 @@ def sql_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _cached_cust_rev WHERE n_orders >= 10
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-interval RANGE frames: trailing 1-hour per-user rolling aggregates
+# ordered by timestamp — the numeric-RANGE sibling (win_range_frame) can't
+# express calendar-width windows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_time_range_frame",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                 AS sum_1h
+        FROM events
+        WHERE user_id < 40
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                              AND CURRENT ROW)
+    """,
+    tags=("window", "timeseries", "defer-sample"),
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling count and decimal-exact sum per user: a
+    RANGE frame bounded by a calendar INTERVAL over the timestamp
+    ordering — the rate-limiter / rolling-exposure window that a numeric
+    RANGE frame cannot express. Ties on ts are peers and enter the frame
+    together on both engines (RANGE semantics), and the sum is a decimal
+    set-aggregate, so the result is order-independent and bit-exact.
+
+    Scale shape: one user-keyed window (sort bounded by events-per-user);
+    the interval frame is evaluated by frame-pointer advance inside the
+    sorted partition — linear, no self-join re-scan per row. The classic
+    upgrade at extreme per-key volume is pre-bucketing to (user, hour)
+    partials plus an exact patch of the boundary hour.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    ev.createOrReplaceTempView("_tr_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                 AS sum_1h
+        FROM _tr_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                              AND CURRENT ROW)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join: facts pick the dimension VERSION whose validity
+# window contains the fact date — the correctness core of every versioned
+# warehouse join.
+# ---------------------------------------------------------------------------
+
+_SCD2_DIM_SQL = """
+    SELECT c_custkey, c_mktsegment, 'v1' AS version,
+           TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+           CASE WHEN c_custkey % 3 = 0
+                THEN TIMESTAMP '1995-06-01 00:00:00' END AS valid_to
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'MIGRATED' AS c_mktsegment, 'v2' AS version,
+           TIMESTAMP '1995-06-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM customer WHERE c_custkey % 3 = 0
+"""
+
+
+@query(
+    "join_scd2_point_in_time",
+    oracle=f"""
+        WITH dim AS ({_SCD2_DIM_SQL})
+        SELECT d.version, d.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue
+        FROM orders o
+        JOIN dim d
+          ON o.o_custkey = d.c_custkey
+         AND o.o_orderdate >= d.valid_from
+         AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+        GROUP BY d.version, d.c_mktsegment
+    """,
+    tags=("join", "scd2", "warehouse", "defer-sample"),
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2-versioned dimension: every
+    order joins the customer VERSION whose [valid_from, valid_to)
+    window contains the order date (open-ended current versions via
+    NULL valid_to) — the correctness core of versioned-warehouse joins
+    that a naive latest-version join silently gets wrong. The versioned
+    dimension is derived deterministically (keys %3==0 migrate segments
+    mid-1995), mirrored verbatim in the oracle.
+
+    Scale shape: an equi hash join on the customer key with the validity
+    window as a residual filter — versions-per-key is small (2 here), so
+    the residual scan per probe row is bounded; the dimension broadcasts
+    while it fits. The aggregate rides the join's output with map-side
+    partials.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    t_from = F.lit("1990-01-01 00:00:00").cast("timestamp")
+    t_mig = F.lit("1995-06-01 00:00:00").cast("timestamp")
+    null_ts = F.lit(None).cast("timestamp")
+    migrated = F.col("c_custkey") % 3 == 0
+    v1 = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("v1").alias("version"),
+        t_from.alias("valid_from"),
+        F.when(migrated, t_mig).otherwise(null_ts).alias("valid_to"),
+    )
+    v2 = c.filter(migrated).select(
+        "c_custkey",
+        F.lit("MIGRATED").alias("c_mktsegment"),
+        F.lit("v2").alias("version"),
+        t_mig.alias("valid_from"),
+        null_ts.alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(
+        F.broadcast(dim),
+        (o["o_custkey"] == dim["c_custkey"])
+        & (o["o_orderdate"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (o["o_orderdate"] < dim["valid_to"])),
+    )
+    return j.groupBy("version", F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )
