@@ -935,3 +935,62 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-aware NOT IN: the classic three-valued-logic trap — one NULL in the
+# subquery empties the whole NOT IN result. Compiles to Spark's null-aware
+# anti join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_not_in_null_aware",
+    oracle="""
+        SELECT 'clean_set' AS variant, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_custkey NOT IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        UNION ALL
+        SELECT 'null_in_set', CAST(COUNT(*) AS BIGINT)
+        FROM orders
+        WHERE o_custkey NOT IN (
+            SELECT NULLIF(c_custkey % 50, 0)
+            FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    tags=("sql", "null-semantics", "subquery", "defer-sample"),
+)
+def sql_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN under three-valued logic: against a NULL-free subquery it
+    behaves like an anti join (clean_set counts the non-BUILDING-customer
+    orders); one NULL in the subquery makes every ``x NOT IN set``
+    UNKNOWN, so null_in_set is 0 — the SQL trap that silently empties
+    reports when a dimension key goes nullable. Spark compiles the
+    nullable branch to a NULL-AWARE anti join; both engines implement
+    the same standard semantics.
+
+    Scale shape: the clean branch is a plain hash LeftAnti on the key;
+    the null-aware branch degrades to a broadcast nested-loop ONLY when
+    the build side might hold a NULL — which is why production models
+    prefer NOT EXISTS (null-free by construction, always hash-joinable).
+    That trade-off is the documentation this query exists to pin.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    o.createOrReplaceTempView("_nin_orders")
+    c.createOrReplaceTempView("_nin_customer")
+    return spark.sql(
+        """
+        SELECT 'clean_set' AS variant, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM _nin_orders
+        WHERE o_custkey NOT IN (
+            SELECT c_custkey FROM _nin_customer
+            WHERE c_mktsegment = 'BUILDING')
+        UNION ALL
+        SELECT 'null_in_set', CAST(COUNT(*) AS BIGINT)
+        FROM _nin_orders
+        WHERE o_custkey NOT IN (
+            SELECT NULLIF(c_custkey % 50, 0)
+            FROM _nin_customer WHERE c_mktsegment = 'BUILDING')
+        """
+    )
