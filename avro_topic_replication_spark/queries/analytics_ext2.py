@@ -994,3 +994,86 @@ def sql_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM _nin_customer WHERE c_mktsegment = 'BUILDING')
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed multi-stage funnel: each stage must occur within 7 days of the
+# PREVIOUS stage's first completion — the bounded-conversion semantics
+# the unbounded funnel (events_funnel_conversion) can't express.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_funnel_windowed",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click'
+              AND e.ts > v.t_view
+              AND e.ts <= v.t_view + INTERVAL 7 DAY
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.ts > c.t_click
+              AND e.ts <= c.t_click + INTERVAL 7 DAY
+            GROUP BY e.user_id
+        )
+        SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+               CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_7d,
+               CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_7d
+    """,
+    tags=("events", "funnel", "defer-sample"),
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded view→click→purchase funnel: each stage counts only
+    when it happens within 7 days AFTER the user's first completion of
+    the previous stage — the windowed-conversion semantics product
+    analytics actually reports (the unbounded funnel overcounts users
+    who convert months later).
+
+    Scale shape: three user-keyed conditional MIN aggregates chained by
+    joins on user_id — every join key is the same, so the whole funnel
+    re-uses ONE hash partitioning; stage tables shrink monotonically.
+    Deep funnels extend the chain; the cross-stage deadline is a per-row
+    predicate, never a pair join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAY")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + week)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + week)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_7d")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_7d")))
+    )
