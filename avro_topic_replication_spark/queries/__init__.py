@@ -43,6 +43,7 @@ _MODULES = (
     "sources_sinks",
     "analytics_ext",
     "analytics_ext2",
+    "analytics_ext3",
 )
 
 # Presentation order for the registry. The external correctness harness samples

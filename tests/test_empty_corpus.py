@@ -152,6 +152,22 @@ EMPTY_SAFE = [
     "text_char_entropy",
     "agg_incremental_refresh",
     "sql_cache_table",
+    # r6 analytics_ext3 family: statistical tests / power means over zero
+    # rows (1-row null result), medians and n-gram tops over zero
+    # docs/events (0 rows), graph projections over an edgeless bipartite
+    # graph, the OCF source over a zero-file export, and the pair-distance
+    # profile over zero vectors.
+    "stat_welch_ttest",
+    "agg_generalized_means",
+    "agg_weighted_median",
+    "ts_rolling_median",
+    "text_ngram_topk",
+    "text_zipf_fit",
+    "graph_bipartite_copurchase",
+    "graph_common_neighbors",
+    "source_avro_container",
+    "sql_order_by_all",
+    "vec_pair_distance_histogram",
 ]
 
 
