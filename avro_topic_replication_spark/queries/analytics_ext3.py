@@ -347,11 +347,18 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM logs
         )
         SELECT n AS n_vocab,
-               (sxy - sx * sy / n) / (sxx - sx * sx / n) AS zipf_slope,
-               sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sx / n)
-                 AS zipf_intercept,
-               ((sxy - sx * sy / n) * (sxy - sx * sy / n))
-                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS zipf_r2
+               (sxy - sx * sy / NULLIF(CAST(n AS DOUBLE), 0))
+                 / NULLIF(sxx - sx * sx / NULLIF(CAST(n AS DOUBLE), 0), 0)
+                 AS zipf_slope,
+               sy / NULLIF(CAST(n AS DOUBLE), 0)
+                 - ((sxy - sx * sy / NULLIF(CAST(n AS DOUBLE), 0))
+                    / NULLIF(sxx - sx * sx / NULLIF(CAST(n AS DOUBLE), 0), 0))
+                   * (sx / NULLIF(CAST(n AS DOUBLE), 0)) AS zipf_intercept,
+               ((sxy - sx * sy / NULLIF(CAST(n AS DOUBLE), 0))
+                * (sxy - sx * sy / NULLIF(CAST(n AS DOUBLE), 0)))
+                 / NULLIF((sxx - sx * sx / NULLIF(CAST(n AS DOUBLE), 0))
+                          * (syy - sy * sy / NULLIF(CAST(n AS DOUBLE), 0)), 0)
+                 AS zipf_r2
         FROM s
     """,
     tags=("llm", "text", "stats", "defer-sample"),
@@ -400,14 +407,19 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sxx, sy, syy, sxy = (
         F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy")
     )
-    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    # degenerate fits (vocab of 0/1 tokens, or every log identical) have a
+    # zero denominator: NULL in both engines, never an ANSI error — found
+    # by test_zipf_ngram_readability_fuzz
+    nz = F.nullif(n.cast("double"), F.lit(0.0))
+    vx = F.nullif(sxx - sx * sx / nz, F.lit(0.0))
+    slope = (sxy - sx * sy / nz) / vx
     return s.select(
         F.col("n").alias("n_vocab"),
         slope.alias("zipf_slope"),
-        (sy / n - slope * (sx / n)).alias("zipf_intercept"),
+        (sy / nz - slope * (sx / nz)).alias("zipf_intercept"),
         (
-            ((sxy - sx * sy / n) * (sxy - sx * sy / n))
-            / ((sxx - sx * sx / n) * (syy - sy * sy / n))
+            ((sxy - sx * sy / nz) * (sxy - sx * sy / nz))
+            / F.nullif(vx * (syy - sy * sy / nz), F.lit(0.0))
         ).alias("zipf_r2"),
     )
 
@@ -775,4 +787,725 @@ def vec_pair_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*")
             ).alias("mean_cosine"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution tests and inequality metrics. KS runs on a banded two-phase
+# cumulative sum (the scale-safe pattern); the oracle uses the plain
+# window form — integer counts make the two algebraically identical.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_ks_test",
+    oracle="""
+        WITH v AS (
+            SELECT c_acctbal AS val,
+                   COUNT(*) FILTER (c_mktsegment = 'BUILDING') AS n1_v,
+                   COUNT(*) FILTER (c_mktsegment = 'MACHINERY') AS n2_v
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            GROUP BY c_acctbal
+        ), c AS (
+            SELECT SUM(n1_v) OVER w AS c1, SUM(n2_v) OVER w AS c2,
+                   SUM(n1_v) OVER () AS t1, SUM(n2_v) OVER () AS t2
+            FROM v
+            WINDOW w AS (ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT CAST(MAX(t1) AS BIGINT) AS n1, CAST(MAX(t2) AS BIGINT) AS n2,
+               MAX(ABS(CAST(c1 AS DOUBLE) / NULLIF(t1, 0)
+                       - CAST(c2 AS DOUBLE) / NULLIF(t2, 0))) AS ks_d,
+               1.358 * sqrt(CAST(MAX(t1) + MAX(t2) AS DOUBLE)
+                            / NULLIF(MAX(t1) * MAX(t2), 0)) AS crit_05
+        FROM c
+    """,
+    tags=("stats", "defer-sample"),
+)
+def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between two customer
+    segments' balance distributions: D = max |F1(x) - F2(x)| over the
+    pooled sample, with the alpha=0.05 critical value
+    1.358*sqrt((n1+n2)/(n1*n2)).
+
+    Scale shape: rows collapse to distinct values first, then the
+    cumulative counts run as a TWO-PHASE banded sum — per-band totals, a
+    tiny all-bands window (the balance domain is schema-bounded, so
+    bands are a constant ~22), then within-band cumulatives partitioned
+    by band. No single-partition window ever sees the full value set
+    (the same pattern as sample_token_budget's banded cumsum). The
+    oracle uses the plain one-window form: over integer counts the two
+    are algebraically identical. ECDF divisions are single
+    correctly-rounded IEEE ops on exact integers, so D is bit-stable."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    v = c.groupBy(F.col("c_acctbal").alias("val")).agg(
+        F.count(F.when(F.col("c_mktsegment") == "BUILDING", 1)).alias("n1_v"),
+        F.count(F.when(F.col("c_mktsegment") == "MACHINERY", 1)).alias("n2_v"),
+    ).withColumn("band", F.floor(F.col("val") / 500.0))
+    band_tot = v.groupBy("band").agg(
+        F.sum("n1_v").alias("b1"), F.sum("n2_v").alias("b2")
+    )
+    wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = band_tot.select(
+        "band",
+        F.coalesce(F.sum("b1").over(wb), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("b2").over(wb), F.lit(0)).alias("off2"),
+    )
+    ww = Window.partitionBy("band").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        v.join(F.broadcast(offsets), ["band"])
+        .select(
+            (F.col("off1") + F.sum("n1_v").over(ww)).alias("c1"),
+            (F.col("off2") + F.sum("n2_v").over(ww)).alias("c2"),
+        )
+    )
+    tot = v.agg(F.sum("n1_v").alias("t1"), F.sum("n2_v").alias("t2"))
+    # one-sided samples (a segment with zero rows) yield NULL ECDFs and a
+    # NULL statistic in BOTH engines — found by test_ks_banded_cumsum_fuzz
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        F.abs(
+            F.col("c1").cast("double") / F.nullif(F.col("t1"), F.lit(0))
+            - F.col("c2").cast("double") / F.nullif(F.col("t2"), F.lit(0))
+        ).alias("d"),
+        "t1",
+        "t2",
+    )
+    return d.agg(
+        F.max("t1").alias("n1"),
+        F.max("t2").alias("n2"),
+        F.max("d").alias("ks_d"),
+        (
+            1.358
+            * F.sqrt(
+                (F.max("t1") + F.max("t2")).cast("double")
+                / F.nullif(F.max("t1") * F.max("t2"), F.lit(0))
+            )
+        ).alias("crit_05"),
+    )
+
+
+@query(
+    "text_readability",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words,
+                   GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                     AS sentences,
+                   len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+            FROM documents
+        )
+        SELECT doc_id, lang, words, sentences, syllables,
+               206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                       - 84.6 * (CAST(syllables AS DOUBLE) / NULLIF(words, 0))
+                 AS flesch_ease,
+               0.39 * (CAST(words AS DOUBLE) / sentences)
+                 + 11.8 * (CAST(syllables AS DOUBLE) / NULLIF(words, 0)) - 15.59
+                 AS fk_grade
+        FROM m
+    """,
+    tags=("llm", "text", "defer-sample"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per document, with the
+    classic vowel-group syllable proxy (a [aeiouy]+ run ≈ one syllable)
+    — the cheap readability gate corpus pipelines run next to the Gopher
+    rules (very low ease scores flag boilerplate/code; negative grades
+    flag token soup).
+
+    Everything is regexp_count + integer ratios in whole-stage codegen:
+    a stateless projection, no shuffle, no Python. The formula's
+    multiply/divide/subtract chain runs on identical integer inputs in
+    both engines, so the doubles are bit-exact (IEEE correctly-rounded
+    ops only)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.regexp_count(F.lower("text"), F.lit("[a-z0-9]+"))
+    sentences = F.greatest(F.regexp_count("text", F.lit("[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+    m = d.select(
+        "doc_id",
+        "lang",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    wps = F.col("words").cast("double") / F.col("sentences")
+    spw = F.col("syllables").cast("double") / F.nullif(
+        F.col("words"), F.lit(0)
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "words",
+        "sentences",
+        "syllables",
+        (F.lit(206.835) - 1.015 * wps - 84.6 * spw).alias("flesch_ease"),
+        (0.39 * wps + 11.8 * spw - 15.59).alias("fk_grade"),
+    )
+
+
+@query(
+    "text_length_gini",
+    oracle="""
+        WITH r AS (
+            SELECT lang, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id) AS i
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               2.0 * CAST(CAST(SUM(CAST(i AS DECIMAL(38,0))
+                                   * CAST(n_chars AS DECIMAL(38,0)))
+                               AS VARCHAR) AS DOUBLE)
+                 / (COUNT(*) * CAST(SUM(n_chars) AS DOUBLE))
+                 - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*) AS gini
+        FROM r
+        GROUP BY lang
+    """,
+    tags=("llm", "text", "stats", "defer-sample"),
+)
+def text_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per language — the corpus
+    inequality diagnostic (a mixture of tweets and books scores high; a
+    uniform-length scrape scores near 0; a jump after a crawl refresh
+    flags a source-mix shift). Formula: G = 2*Σ(i·x_i)/(n·Σx) - (n+1)/n
+    over values sorted ascending.
+
+    Rank permutations among TIED lengths leave Σ(i·x_i) unchanged (equal
+    x), so the (n_chars, doc_id) ordering is deterministic in effect as
+    well as form. Products accumulate in DECIMAL(38,0) — exact at any
+    corpus size (rank × chars exceeds 2^53 long before 100 TB). The
+    per-lang rank window is the documented hotspot: languages are
+    corpus-linear, so the 100-TB form swaps in the banded two-phase rank
+    (agg_histogram_equidepth) with identical output; the final G is a
+    fixed IEEE expression over exact sums."""
+    d = load_table(spark, sf_dir, "documents")
+    r = d.select(
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
+        .alias("i"),
+    )
+    sixi = (
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("n_chars").cast("decimal(38,0)"))
+        .cast("string")
+        .cast("double")
+    )
+    n = F.count("*")
+    sx = F.sum("n_chars").cast("bigint")
+    return r.groupBy("lang").agg(
+        n.alias("n_docs"),
+        sx.alias("total_chars"),
+        (
+            2.0 * sixi / (n * sx.cast("double"))
+            - (n + 1).cast("double") / n
+        ).alias("gini"),
+    )
+
+
+# Poisson(1) inverse CDF on a 4-hex-digit md5 uniform: cumulative
+# probabilities e^-1 * sum(1/k!) scaled by 16^4 (same uniform-bucket
+# trick as llm_sampling._bkt). Draws are capped at 5 (P > 5 ~ 0.06%).
+_POIS_CUTS = ("5e2d", "bc5a", "eb71", "fb23", "ff10")
+
+
+@query(
+    "stat_bootstrap_poisson_ci",
+    oracle=f"""
+        WITH draws AS (
+            SELECT r.rep, o.o_totalprice,
+                   (CASE
+                      WHEN u < '{_POIS_CUTS[0]}' THEN 0
+                      WHEN u < '{_POIS_CUTS[1]}' THEN 1
+                      WHEN u < '{_POIS_CUTS[2]}' THEN 2
+                      WHEN u < '{_POIS_CUTS[3]}' THEN 3
+                      WHEN u < '{_POIS_CUTS[4]}' THEN 4
+                      ELSE 5 END) AS c
+            FROM orders o
+            CROSS JOIN (SELECT unnest(range(0, 32)) AS rep) r,
+            LATERAL (SELECT substring(md5(CAST(o.o_orderkey AS VARCHAR)
+                                          || '#' || CAST(r.rep AS VARCHAR)),
+                                      1, 4) AS u) h
+        ),
+        means AS (
+            SELECT rep,
+                   CAST(CAST(SUM(c * CAST(o_totalprice AS DECIMAL(18,4)))
+                             AS VARCHAR) AS DOUBLE) / NULLIF(SUM(c), 0)
+                     AS mean_r
+            FROM draws GROUP BY rep
+        ),
+        sorted AS (SELECT list_sort(list(mean_r)) AS ms FROM means
+                   WHERE mean_r IS NOT NULL),
+        point AS (
+            SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                             AS VARCHAR) AS DOUBLE) / COUNT(*) AS point_mean
+            FROM orders
+        )
+        SELECT 32 AS n_replicates, point_mean,
+               ms[2] AS ci_lo, ms[31] AS ci_hi
+        FROM sorted, point
+    """,
+    tags=("stats", "sampling", "defer-sample"),
+)
+def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order value —
+    THE distributed bootstrap: classical resampling-with-replacement
+    needs global coordination, but for large n a bootstrap replicate is
+    indistinguishable from giving each row an independent Poisson(1)
+    multiplicity, which is embarrassingly parallel. Each of 32
+    replicates derives its count from an md5-uniform (no RNG state, no
+    shuffle dependency — the same hash-bucket trick as
+    sample_hash_fraction), so the whole resample is reproducible at any
+    partitioning.
+
+    The CI is the [2nd, 31st] ORDER STATISTIC of the 32 sorted replicate
+    means (~93.75% coverage) rather than an interpolated percentile —
+    selection is bit-exact across engines, interpolation formulas are
+    not. Replicate means divide exact decimal sums once. 100-TB shape:
+    a 32× map-side expansion feeding one 32-group partial aggregate; the
+    driver sees 32 numbers."""
+    o = load_table(spark, sf_dir, "orders")
+    draws = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"),
+    ).withColumn(
+        "u",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("#"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+    )
+    c = (
+        F.when(F.col("u") < _POIS_CUTS[0], 0)
+        .when(F.col("u") < _POIS_CUTS[1], 1)
+        .when(F.col("u") < _POIS_CUTS[2], 2)
+        .when(F.col("u") < _POIS_CUTS[3], 3)
+        .when(F.col("u") < _POIS_CUTS[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        draws.withColumn("c", c)
+        .groupBy("rep")
+        .agg(
+            (
+                F.sum(F.col("c") * dec("o_totalprice"))
+                .cast("string")
+                .cast("double")
+                / F.nullif(F.sum("c"), F.lit(0))
+            ).alias("mean_r")
+        )
+    )
+    # a replicate that drew zero rows (tiny inputs) has no mean: dropped
+    # before the order statistics, identically in both engines — found by
+    # test_bootstrap_poisson_fuzz
+    sorted_ms = means.filter(F.col("mean_r").isNotNull()).agg(
+        F.sort_array(F.collect_list("mean_r")).alias("ms")
+    )
+    point = o.agg(
+        (
+            F.sum(dec("o_totalprice")).cast("string").cast("double") / F.count("*")
+        ).alias("point_mean")
+    )
+    return sorted_ms.crossJoin(F.broadcast(point)).select(
+        F.lit(32).alias("n_replicates"),
+        "point_mean",
+        F.try_element_at("ms", F.lit(2)).alias("ci_lo"),
+        F.try_element_at("ms", F.lit(31)).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: growth accounting, robust time-series filtering, SQL UNPIVOT,
+# activity heatmaps, and perceptual-hash image dedup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cumulative_users",
+    oracle="""
+        WITH first_day AS (
+            SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS day
+            FROM events GROUP BY user_id
+        ), daily AS (
+            SELECT day, COUNT(*) AS new_users FROM first_day GROUP BY day
+        )
+        SELECT day, new_users,
+               CAST(SUM(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
+        FROM daily
+    """,
+    tags=("events", "ts", "defer-sample"),
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth-accounting curve.
+    Running COUNT(DISTINCT) is unbounded-state in a window; the standard
+    rewrite is first-touch attribution: min event day per user (one hash
+    aggregate), daily new-user counts, then a cumulative sum over a
+    CALENDAR-bounded series (rows = days, never raw volume — the same
+    discipline as ts_rolling_median). Every value is an integer; nothing
+    to round."""
+    e = load_table(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("day")
+    )
+    daily = first_day.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+@query(
+    "ts_hampel_outliers",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+                        AS DOUBLE) AS revenue
+            FROM events
+            GROUP BY event_type, date_trunc('day', ts)
+        ), f AS (
+            SELECT event_type, day, revenue,
+                   list(revenue) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS frame,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                     AS rn
+            FROM daily
+        ), m AS (
+            SELECT event_type, day, revenue,
+                   list_sort(frame)[4] AS med7,
+                   list_sort(list_transform(frame,
+                       v -> ABS(v - list_sort(frame)[4])))[4] AS mad7
+            FROM f WHERE rn >= 7
+        )
+        SELECT event_type, day, revenue, med7, mad7,
+               ABS(revenue - med7) > 4.4478 * mad7 AS is_outlier
+        FROM m
+    """,
+    tags=("ts", "stats", "defer-sample"),
+)
+def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over daily revenue per event type: a point is an
+    outlier when it sits more than 3 scaled MADs (3 × 1.4826 = 4.4478)
+    from the rolling 7-day median — the robust alternative to the
+    z-score gate (ts_zscore_anomaly), immune to the outliers it hunts.
+
+    Median and MAD are pure ORDER STATISTICS of the odd-sized full frame
+    (rows before day 7 are dropped, as in ts_rolling_median), computed by
+    sorting the collected 7-element frame array — selection only, no
+    interpolation, no transcendentals, so both engines agree bit-for-bit.
+    100-TB shape: the aggregation collapses to one row per (type, day);
+    frames are constant-size arrays over a calendar-bounded window."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(_dsum("value").alias("revenue"))
+    win = Window.partitionBy("event_type").orderBy("day")
+    f = daily.select(
+        "event_type",
+        "day",
+        "revenue",
+        F.collect_list("revenue").over(win.rowsBetween(-6, 0)).alias("frame"),
+        F.row_number().over(win).alias("rn"),
+    ).filter(F.col("rn") >= 7)
+    med = F.element_at(F.sort_array("frame"), 4)
+    # med7 is bound in its own select first so the MAD transform can
+    # reference it as a resolved column.
+    withmed = f.select("event_type", "day", "revenue", "frame", med.alias("med7"))
+    m = withmed.select(
+        "event_type",
+        "day",
+        "revenue",
+        "med7",
+        F.element_at(
+            F.sort_array(
+                F.transform("frame", lambda v: F.abs(v - F.col("med7")))
+            ),
+            4,
+        ).alias("mad7"),
+    )
+    return m.select(
+        "event_type",
+        "day",
+        "revenue",
+        "med7",
+        "mad7",
+        (F.abs(F.col("revenue") - F.col("med7")) > 4.4478 * F.col("mad7")).alias(
+            "is_outlier"
+        ),
+    )
+
+
+@query(
+    "sql_unpivot_clause",
+    oracle="""
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS DOUBLE) AS n_orders,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                        AS VARCHAR) AS DOUBLE) AS total_price,
+                   CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, metric, val
+        FROM wide UNPIVOT (val FOR metric IN (n_orders, total_price, max_price))
+    """,
+    tags=("sql", "agg", "defer-sample"),
+)
+def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual SQL ``UNPIVOT`` (the standard-syntax wide→long melt, the
+    inverse of sql_pivot_clause) over a per-priority metrics table. The
+    same clause text parses on both engines and compiles to Spark's
+    Expand node — one pass, no join, rows × metrics output. Metrics are
+    pre-cast to a uniform DOUBLE because UNPIVOT requires a common value
+    type (the decimal sums are exact before the cast)."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        _dsum("o_totalprice").alias("total_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+    wide.createOrReplaceTempView("orders_wide_metrics")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, metric, val
+        FROM orders_wide_metrics
+        UNPIVOT (val FOR metric IN (n_orders, total_price, max_price))
+        """
+    )
+
+
+@query(
+    "events_dow_hour_heatmap",
+    oracle="""
+        SELECT ((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7)
+                 + 1 AS dow_iso,
+               hour(ts) AS hr,
+               COUNT(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+                    AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("events", "agg", "defer-sample"),
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap — the operational load grid
+    behind capacity planning and anomaly eyeballing. Day-of-week is
+    derived ARITHMETICALLY (epoch day 0 = Thursday, so (days+3)%7+1 gives
+    ISO Monday=1) instead of each engine's dayofweek() — Spark counts
+    Sunday=1, DuckDB Sunday=0, and the epoch arithmetic sidesteps the
+    whole convention mismatch. One hash aggregate over a 7×24-bounded
+    group domain; partials carry (count, decimal sum)."""
+    e = load_table(spark, sf_dir, "events")
+    days = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    return e.groupBy(
+        ((days + 3) % 7 + 1).alias("dow_iso"), F.hour("ts").alias("hr")
+    ).agg(
+        F.count("*").alias("n_events"),
+        _dsum("value").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) image near-dup: the image-modality analogue of
+# SimHash text dedup. Fixture pixels use multiplicative-gradient formulas
+# (NOT llm_multimodal's affine ones — those are too smooth for a gradient
+# hash: every image hashes alike; verified min cross-image hamming 15
+# with these, 0-2 for true perturbed copies).
+# ---------------------------------------------------------------------------
+
+_PH_R = "(({d} + 1) * ({x} + 3) * ({y} + 7) + 13 * {x} * {x}) % 256"
+_PH_G = "(({d} + 2) * ({x} + 5) * ({y} + 1) + 7 * {y} * {y}) % 256"
+_PH_B = "(({d} + 5) * ({x} + 1) * ({y} + 3) + 11 * {x} * {y}) % 256"
+
+
+def _ph_luma_sql(xpos: str) -> str:
+    r = _PH_R.format(d="d", x=xpos, y="ys")
+    g = _PH_G.format(d="d", x=xpos, y="ys")
+    b = _PH_B.format(d="d", x=xpos, y="ys")
+    r = f"(CASE WHEN kind = 'pert' AND ys = 0 THEN (({r}) + 3) % 256 ELSE {r} END)"
+    return f"((299 * {r} + 587 * ({g}) + 114 * ({b})) // 1000)"
+
+
+@query(
+    "mm_image_phash_dedup",
+    oracle=f"""
+        WITH ids AS (
+            SELECT doc_id AS img_id, doc_id AS d, 'base' AS kind,
+                   8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h
+            FROM documents WHERE doc_id < 200
+            UNION ALL
+            SELECT doc_id + 10000, doc_id, 'pert',
+                   8 + doc_id % 9, 8 + (doc_id // 9) % 9
+            FROM documents WHERE doc_id < 40
+            UNION ALL
+            SELECT doc_id + 20000, doc_id, 'base',
+                   8 + doc_id % 9, 8 + (doc_id // 9) % 9
+            FROM documents WHERE doc_id < 20
+        ),
+        bits AS (
+            SELECT i.img_id, yy.yy, xx.xx,
+                   ({_ph_luma_sql("(((xx + 1) * w) // 9)")}
+                    > {_ph_luma_sql("((xx * w) // 9)")}) AS bit
+            FROM ids i
+            CROSS JOIN (SELECT unnest(range(8)) AS yy) yy
+            CROSS JOIN (SELECT unnest(range(8)) AS xx) xx,
+            LATERAL (SELECT (yy * h) // 8 AS ys) s
+        ),
+        hashes AS (
+            SELECT img_id,
+                   CAST(SUM(CASE WHEN yy < 4 AND bit
+                            THEN (CAST(1 AS BIGINT) << (8 * yy + xx))
+                            ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(SUM(CASE WHEN yy >= 4 AND bit
+                            THEN (CAST(1 AS BIGINT) << (8 * yy + xx - 32))
+                            ELSE 0 END) AS BIGINT) AS lo
+            FROM bits GROUP BY img_id
+        )
+        SELECT a.img_id AS id_a, b.img_id AS id_b,
+               CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                    AS INT) AS hamming
+        FROM hashes a JOIN hashes b ON a.img_id < b.img_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    """,
+    tags=("llm", "multimodal", "dedup", "defer-sample"),
+)
+def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup detection — the image-modality arm
+    of the dedup family (exact byte-hash catches bit-identical files;
+    dHash catches re-encoded / lightly-edited copies). Each image is
+    decoded from REAL BMP bytes (encode→decode roundtrip through
+    functions/bmp.py inside Arrow-batched mapInPandas), reduced to a
+    9×8 luma difference grid, and hashed to 64 bits stored as two
+    32-bit halves.
+
+    Candidate pairs come from a 4×16-bit BAND join, never all-pairs —
+    and at the Hamming≤3 threshold the banding is EXACT, not
+    approximate: 3 differing bits cannot touch all 4 bands (pigeonhole),
+    so some band collides for every true pair. The fixture carries
+    perturbed copies (first image row brightened, ids +10000) and exact
+    copies (+20000); cross-image hamming floors at 15, so output =
+    precisely the planted duplicates. The oracle recomputes the hash
+    analytically from the pixel formulas — every bit cross-checked.
+    100-TB shape: hash is one Arrow pass over payload bytes; the band
+    join shuffles 4 rows of 3 scalars per image (the SimHash plan,
+    applied to pixels)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.bmp import bmp_decode, bmp_encode
+
+    d0 = load_table(spark, sf_dir, "documents")
+    base = d0.filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("img_id"),
+        F.col("doc_id").alias("d"),
+        F.lit("base").alias("kind"),
+    )
+    pert = d0.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 10000).alias("img_id"),
+        F.col("doc_id").alias("d"),
+        F.lit("pert").alias("kind"),
+    )
+    copy = d0.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 20000).alias("img_id"),
+        F.col("doc_id").alias("d"),
+        F.lit("base").alias("kind"),
+    )
+    ids = base.unionByName(pert).unionByName(copy)
+
+    def hash_batches(it):
+        for pdf in it:
+            out = {"img_id": [], "hi": [], "lo": []}
+            for img_id, d, kind in zip(pdf["img_id"], pdf["d"], pdf["kind"]):
+                d = int(d)
+                w, h = 8 + d % 9, 8 + (d // 9) % 9
+                y, x = np.mgrid[0:h, 0:w]
+                r = ((d + 1) * (x + 3) * (y + 7) + 13 * x * x) % 256
+                g = ((d + 2) * (x + 5) * (y + 1) + 7 * y * y) % 256
+                b = ((d + 5) * (x + 1) * (y + 3) + 11 * x * y) % 256
+                im = np.stack([r, g, b], 2).astype(np.uint8)
+                if kind == "pert":
+                    im[0, :, 0] = (im[0, :, 0].astype(int) + 3) % 256
+                # the real codec roundtrip: bytes in flight, then decode
+                im = bmp_decode(bmp_encode(im))
+                lum = (
+                    299 * im[:, :, 0].astype(np.int64)
+                    + 587 * im[:, :, 1].astype(np.int64)
+                    + 114 * im[:, :, 2].astype(np.int64)
+                ) // 1000
+                hi = lo = 0
+                for yy in range(8):
+                    ys = (yy * h) // 8
+                    for xx in range(8):
+                        xa, xb = (xx * w) // 9, ((xx + 1) * w) // 9
+                        if lum[ys, xb] > lum[ys, xa]:
+                            k = 8 * yy + xx
+                            if yy < 4:
+                                hi |= 1 << k
+                            else:
+                                lo |= 1 << (k - 32)
+                out["img_id"].append(int(img_id))
+                out["hi"].append(hi)
+                out["lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    hashes = ids.mapInPandas(hash_batches, "img_id long, hi long, lo long")
+    bands = hashes.select(
+        "img_id",
+        "hi",
+        "lo",
+        F.posexplode(
+            F.array(
+                F.shiftrightunsigned("hi", 16),
+                F.col("hi").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftrightunsigned("lo", 16),
+                F.col("lo").bitwiseAND(F.lit(0xFFFF)),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col("img_id").alias("id_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("img_id").alias("id_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+        "band_idx",
+        "band_val",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return (
+        pairs.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
     )

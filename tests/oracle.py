@@ -171,6 +171,13 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     for col in s_c.columns:
         sd, od = _norm_dtype(s_c[col].dtype), _norm_dtype(o_c[col].dtype)
         if sd != od:
+            if len(s_c) == 0 and len(o_c) == 0 and "object" in (sd, od):
+                # a zero-row frame can't reveal its element type on the
+                # pandas side (Spark DateType → object needs a value for
+                # _datify to recognize); the driver hashes no values here,
+                # so an object-vs-typed mismatch on empty frames is
+                # transport noise, not a schema difference
+                continue
             problems.append(f"dtype differs on {col!r}: spark={sd} oracle={od}")
     if problems:
         return problems

@@ -168,6 +168,15 @@ EMPTY_SAFE = [
     "source_avro_container",
     "sql_order_by_all",
     "vec_pair_distance_histogram",
+    "stat_ks_test",
+    "text_readability",
+    "text_length_gini",
+    "stat_bootstrap_poisson_ci",
+    "events_cumulative_users",
+    "ts_hampel_outliers",
+    "sql_unpivot_clause",
+    "events_dow_hour_heatmap",
+    "mm_image_phash_dedup",
 ]
 
 
@@ -188,7 +197,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
 # Report-shaped queries emit a fixed spine (e.g. the funnel's stage rows)
 # whose identifier columns are non-zero by design; only their COUNT
 # columns must be zero/NULL on an empty corpus.
-_IDENTIFIER_COLS = {"stage", "stage_name", "disposition"}
+_IDENTIFIER_COLS = {"stage", "stage_name", "disposition", "n_replicates"}
 
 
 @pytest.mark.parametrize("name", EMPTY_SAFE)
