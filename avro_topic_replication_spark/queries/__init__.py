@@ -44,6 +44,7 @@ _MODULES = (
     "analytics_ext",
     "analytics_ext2",
     "analytics_ext3",
+    "analytics_ext4",
 )
 
 # Presentation order for the registry. The external correctness harness samples

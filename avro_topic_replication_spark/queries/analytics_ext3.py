@@ -1020,7 +1020,7 @@ _POIS_CUTS = ("5e2d", "bc5a", "eb71", "fb23", "ff10")
     "stat_bootstrap_poisson_ci",
     oracle=f"""
         WITH draws AS (
-            SELECT r.rep, o.o_totalprice,
+            SELECT b.blk * 8 + p.pos AS rep, o.o_totalprice,
                    (CASE
                       WHEN u < '{_POIS_CUTS[0]}' THEN 0
                       WHEN u < '{_POIS_CUTS[1]}' THEN 1
@@ -1029,10 +1029,11 @@ _POIS_CUTS = ("5e2d", "bc5a", "eb71", "fb23", "ff10")
                       WHEN u < '{_POIS_CUTS[4]}' THEN 4
                       ELSE 5 END) AS c
             FROM orders o
-            CROSS JOIN (SELECT unnest(range(0, 32)) AS rep) r,
-            LATERAL (SELECT substring(md5(CAST(o.o_orderkey AS VARCHAR)
-                                          || '#' || CAST(r.rep AS VARCHAR)),
-                                      1, 4) AS u) h
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS blk) b,
+            LATERAL (SELECT md5(CAST(o.o_orderkey AS VARCHAR)
+                                || '#' || CAST(b.blk AS VARCHAR)) AS h) hh
+            CROSS JOIN (SELECT unnest(range(0, 8)) AS pos) p,
+            LATERAL (SELECT substring(h, pos * 4 + 1, 4) AS u) uu
         ),
         means AS (
             SELECT rep,
@@ -1063,7 +1064,12 @@ def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates derives its count from an md5-uniform (no RNG state, no
     shuffle dependency — the same hash-bucket trick as
     sample_hash_fraction), so the whole resample is reproducible at any
-    partitioning.
+    partitioning. One md5 digest is 32 hex chars = EIGHT independent
+    4-hex uniforms, so the hash runs once per block of 8 replicates
+    (4 digests/row, not 32), and the 8 replicates of a block fold into
+    aggregate columns instead of a second Generate — measured 7.7s →
+    3.3s min-of-3 at sf0.1; the md5 and the 32× row expansion were the
+    cost, not the 32-group shuffle.
 
     The CI is the [2nd, 31st] ORDER STATISTIC of the 32 sorted replicate
     means (~93.75% coverage) rather than an interpolated percentile —
@@ -1072,42 +1078,64 @@ def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 32× map-side expansion feeding one 32-group partial aggregate; the
     driver sees 32 numbers."""
     o = load_table(spark, sf_dir, "orders")
-    draws = o.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"),
-    ).withColumn(
-        "u",
-        F.substring(
+    draws = (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("blk"),
+        )
+        .withColumn(
+            "h",
             F.md5(
                 F.concat(
                     F.col("o_orderkey").cast("string"),
                     F.lit("#"),
-                    F.col("rep").cast("string"),
+                    F.col("blk").cast("string"),
                 )
             ),
-            1,
-            4,
-        ),
+        )
     )
-    c = (
-        F.when(F.col("u") < _POIS_CUTS[0], 0)
-        .when(F.col("u") < _POIS_CUTS[1], 1)
-        .when(F.col("u") < _POIS_CUTS[2], 2)
-        .when(F.col("u") < _POIS_CUTS[3], 3)
-        .when(F.col("u") < _POIS_CUTS[4], 4)
-        .otherwise(5)
+
+    def c_at(pos: int):
+        u = F.substring("h", pos * 4 + 1, 4)
+        return (
+            F.when(u < _POIS_CUTS[0], 0)
+            .when(u < _POIS_CUTS[1], 1)
+            .when(u < _POIS_CUTS[2], 2)
+            .when(u < _POIS_CUTS[3], 3)
+            .when(u < _POIS_CUTS[4], 4)
+            .otherwise(5)
+        )
+
+    # the 8 replicates of a block fold into 8 (sum, count) aggregate
+    # column pairs instead of a second 8x Generate: the 32-row (rep,
+    # mean) shape is rebuilt by inline() from the 4 block rows, and the
+    # decimal sums are exact, so the means are bit-identical to the
+    # oracle's per-rep GROUP BY form (7.7s -> 4.8s -> 3.3s at sf0.1)
+    blk_wide = draws.groupBy("blk").agg(
+        *[
+            a
+            for p in range(8)
+            for a in (
+                F.sum(c_at(p) * dec("o_totalprice")).alias(f"s{p}"),
+                F.sum(c_at(p)).alias(f"k{p}"),
+            )
+        ]
     )
-    means = (
-        draws.withColumn("c", c)
-        .groupBy("rep")
-        .agg(
-            (
-                F.sum(F.col("c") * dec("o_totalprice"))
-                .cast("string")
-                .cast("double")
-                / F.nullif(F.sum("c"), F.lit(0))
-            ).alias("mean_r")
+    means = blk_wide.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("blk") * 8 + F.lit(p)).alias("rep"),
+                        (
+                            F.col(f"s{p}").cast("string").cast("double")
+                            / F.nullif(F.col(f"k{p}"), F.lit(0))
+                        ).alias("mean_r"),
+                    )
+                    for p in range(8)
+                ]
+            )
         )
     )
     # a replicate that drew zero rows (tiny inputs) has no mean: dropped

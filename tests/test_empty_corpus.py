@@ -177,6 +177,12 @@ EMPTY_SAFE = [
     "sql_unpivot_clause",
     "events_dow_hour_heatmap",
     "mm_image_phash_dedup",
+    "stat_benford_law",
+    "cdc_snapshot_diff",
+    "mba_association_rules",
+    "profile_table_columns",
+    "dq_expectations",
+    "pareto_frontier_parts",
 ]
 
 
@@ -197,7 +203,12 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
 # Report-shaped queries emit a fixed spine (e.g. the funnel's stage rows)
 # whose identifier columns are non-zero by design; only their COUNT
 # columns must be zero/NULL on an empty corpus.
-_IDENTIFIER_COLS = {"stage", "stage_name", "disposition", "n_replicates"}
+_IDENTIFIER_COLS = {
+    "stage", "stage_name", "disposition", "n_replicates",
+    # profiler / expectation spines: column and check names are fixed,
+    # and every check trivially PASSES (True) on a zero-row table
+    "col_name", "check_name", "passed",
+}
 
 
 @pytest.mark.parametrize("name", EMPTY_SAFE)
