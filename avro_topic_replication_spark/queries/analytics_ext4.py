@@ -496,3 +496,387 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_retailprice") == F.col("mp"))
         .select("p_partkey", "p_name", "p_size", "p_retailprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: rank-sum testing, distribution drift, privacy audit, weighted
+# sampling, and robust trend estimation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_mannwhitney_u",
+    oracle="""
+        WITH v AS (
+            SELECT c_acctbal AS val,
+                   COUNT(*) FILTER (c_mktsegment = 'BUILDING') AS n1_v,
+                   COUNT(*) FILTER (c_mktsegment = 'MACHINERY') AS n2_v
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            GROUP BY c_acctbal
+        ), w AS (
+            SELECT n1_v, n2_v, n1_v + n2_v AS t,
+                   COALESCE(SUM(n1_v + n2_v) OVER (ORDER BY val
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cb
+            FROM v
+        ), s AS (
+            SELECT CAST(SUM(n1_v) AS BIGINT) AS n1,
+                   CAST(SUM(n2_v) AS BIGINT) AS n2,
+                   CAST(SUM(n1_v * (2 * cb + t + 1)) AS BIGINT) AS r1x2,
+                   CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+            FROM w
+        )
+        SELECT n1, n2,
+               CAST(n1 AS DOUBLE) * n2 + CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0
+                 - r1x2 / 2.0 AS u1,
+               CAST(n1 AS DOUBLE) * n2
+                 - (CAST(n1 AS DOUBLE) * n2 + CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0
+                    - r1x2 / 2.0) AS u2,
+               (CAST(n1 AS DOUBLE) * n2 + CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0
+                  - r1x2 / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                 / NULLIF(sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                     * ((n1 + n2 + 1)
+                        - CAST(ties AS DOUBLE)
+                          / NULLIF(CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1), 0))),
+                     0) AS z_tie_corrected
+        FROM s
+    """,
+    tags=("stats", "defer-sample"),
+)
+def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between two customer
+    segments — the nonparametric complement to stat_welch_ttest (no
+    normality assumption) and stat_ks_test (location-shift-focused).
+
+    The rank sum is computed WITHOUT materializing per-row ranks: rows
+    collapse to distinct values with per-sample counts, and the average
+    rank of a tied block is (cum_before + (t+1)/2). Doubling clears the
+    half: R1×2 = Σ n1_v·(2·cum_before + t + 1) is ALL-INTEGER, so the
+    accumulation is exact at any scale and order-independent (the same
+    trick that makes the Gini's Σi·x_i exact). U, the tie-corrected
+    variance, and z are then a fixed chain of single IEEE ops on
+    integers — bit-stable across engines, NULLIF-guarded for the
+    degenerate one-sided / all-tied inputs. The distinct-value window is
+    domain-bounded; at true scale it swaps to stat_ks_test's banded
+    two-phase form unchanged."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    v = c.groupBy(F.col("c_acctbal").alias("val")).agg(
+        F.count(F.when(F.col("c_mktsegment") == "BUILDING", 1)).alias("n1_v"),
+        F.count(F.when(F.col("c_mktsegment") == "MACHINERY", 1)).alias("n2_v"),
+    )
+    wb = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
+    w = v.select(
+        "n1_v",
+        "n2_v",
+        (F.col("n1_v") + F.col("n2_v")).alias("t"),
+        F.coalesce(F.sum(F.col("n1_v") + F.col("n2_v")).over(wb), F.lit(0)).alias(
+            "cb"
+        ),
+    )
+    s = w.agg(
+        F.sum("n1_v").cast("bigint").alias("n1"),
+        F.sum("n2_v").cast("bigint").alias("n2"),
+        F.sum(F.col("n1_v") * (2 * F.col("cb") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2 = F.col("n2")
+    u1 = n1d * n2 + n1d * (F.col("n1") + 1) / 2.0 - F.col("r1x2") / 2.0
+    var = (
+        n1d * n2 / 12.0
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("ties").cast("double")
+            / F.nullif(
+                (F.col("n1") + F.col("n2")).cast("double")
+                * (F.col("n1") + F.col("n2") - 1),
+                F.lit(0.0),
+            )
+        )
+    )
+    return s.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        (n1d * n2 - u1).alias("u2"),
+        ((u1 - n1d * n2 / 2.0) / F.nullif(F.sqrt(var), F.lit(0.0))).alias(
+            "z_tie_corrected"
+        ),
+    )
+
+
+@query(
+    "stat_psi_drift",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS band,
+                   COUNT(*) FILTER (o_orderdate < TIMESTAMP '1998-06-01')
+                       AS c_a,
+                   COUNT(*) FILTER (o_orderdate >= TIMESTAMP '1998-06-01')
+                       AS c_b
+            FROM orders
+            GROUP BY 1
+        ), t AS (
+            SELECT band, c_a, c_b,
+                   SUM(c_a) OVER () AS n_a, SUM(c_b) OVER () AS n_b,
+                   COUNT(*) OVER () AS nb
+            FROM b
+        ), p AS (
+            SELECT band, c_a, c_b,
+                   (c_a + 0.5) / (n_a + 0.5 * nb) AS p_a,
+                   (c_b + 0.5) / (n_b + 0.5 * nb) AS p_b
+            FROM t
+        )
+        SELECT band, c_a, c_b, p_a, p_b,
+               ROUND((p_a - p_b) * ln(p_a / p_b), 6) AS psi_term,
+               CAST(CAST(SUM(CAST(ROUND((p_a - p_b) * ln(p_a / p_b), 6)
+                                  AS DECIMAL(38,12))) OVER () AS VARCHAR)
+                    AS DOUBLE) AS psi_total
+        FROM p
+    """,
+    tags=("stats", "audit", "defer-sample"),
+)
+def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two order periods over fixed
+    price bands — the model-monitoring drift gate (PSI < 0.1 stable,
+    > 0.25 retrain). Laplace-smoothed probabilities (+0.5 per observed
+    band) keep ln finite when a band is empty on one side.
+
+    Numeric contract: counts are exact integers and the smoothed
+    probabilities single IEEE divisions (bit-stable); each band's
+    (p_a-p_b)·ln(p_a/p_b) crosses libm, so the EMITTED term is rounded
+    to 6 dp (a 1-ulp ln disagreement survives rounding with probability
+    ~4e-9 — the text_zipf_fit precedent) and the total accumulates the
+    rounded terms in DECIMAL(38,12), exact and order-free. 100-TB
+    shape: one hash aggregate into a fixed ~dozen-band domain; both
+    windows run over that band table."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-06-01").cast("timestamp")
+    b = o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("int").alias("band")
+    ).agg(
+        F.count(F.when(F.col("o_orderdate") < cut, 1)).alias("c_a"),
+        F.count(F.when(F.col("o_orderdate") >= cut, 1)).alias("c_b"),
+    )
+    wall = Window.partitionBy()
+    t = b.select(
+        "band",
+        "c_a",
+        "c_b",
+        F.sum("c_a").over(wall).alias("n_a"),
+        F.sum("c_b").over(wall).alias("n_b"),
+        F.count("*").over(wall).alias("nb"),
+    )
+    p_a = (F.col("c_a") + 0.5) / (F.col("n_a") + 0.5 * F.col("nb"))
+    p_b = (F.col("c_b") + 0.5) / (F.col("n_b") + 0.5 * F.col("nb"))
+    p = t.select("band", "c_a", "c_b", p_a.alias("p_a"), p_b.alias("p_b"))
+    term = F.round(
+        (F.col("p_a") - F.col("p_b")) * F.log(F.col("p_a") / F.col("p_b")), 6
+    )
+    return p.select(
+        "band",
+        "c_a",
+        "c_b",
+        "p_a",
+        "p_b",
+        term.alias("psi_term"),
+        F.sum(term.cast("decimal(38,12)"))
+        .over(wall)
+        .cast("string")
+        .cast("double")
+        .alias("psi_total"),
+    )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+        WITH g AS (
+            SELECT c_mktsegment, c_nationkey, COUNT(*) AS sz
+            FROM customer GROUP BY c_mktsegment, c_nationkey
+        )
+        SELECT COUNT(*) AS n_groups,
+               CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+               COUNT(*) FILTER (sz < 5) AS n_violating_groups,
+               CAST(COALESCE(SUM(sz) FILTER (sz < 5), 0) AS BIGINT)
+                   AS n_rows_at_risk,
+               CAST(COALESCE(SUM(sz) FILTER (sz < 5), 0) AS DOUBLE)
+                   / CAST(SUM(sz) AS DOUBLE) AS frac_rows_at_risk
+        FROM g
+    """,
+    tags=("audit", "privacy", "defer-sample"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (segment, nation) quasi-identifier
+    pair — the privacy gate a training-data pipeline runs before
+    releasing user-derived tables: the table's k-anonymity level is the
+    SMALLEST equivalence-class size, and every row in a class below the
+    k=5 policy threshold is re-identification-exposed. Two hash
+    aggregates (QI group sizes, then a 1-row summary over the bounded
+    QI domain); the fraction is one IEEE division of exact counts.
+    Generalization/suppression (the fix) is a filter join against the
+    violating-class keys — the dedup_exact plan shape."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(F.count("*").alias("sz"))
+    viol = F.when(F.col("sz") < 5, F.col("sz"))
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.min("sz").cast("bigint").alias("k_anonymity"),
+        F.count(viol).alias("n_violating_groups"),
+        F.coalesce(F.sum(viol), F.lit(0)).cast("bigint").alias("n_rows_at_risk"),
+        (
+            F.coalesce(F.sum(viol), F.lit(0)).cast("double")
+            / F.sum("sz").cast("double")
+        ).alias("frac_rows_at_risk"),
+    )
+
+
+# A-Res (Efraimidis–Spirakis) weighted reservoir key: u^(1/w) with u a
+# 16-bit md5 uniform opened up from hex via instr() arithmetic — the
+# same shared-text trick as the Poisson bootstrap, but numeric. The 0.5
+# offset keeps u strictly inside (0, 1) so pow never sees 0.
+_U16_SQL = (
+    "((CAST(instr('0123456789abcdef', substring({h}, 1, 1)) - 1 AS DOUBLE)"
+    " * 4096.0"
+    " + (instr('0123456789abcdef', substring({h}, 2, 1)) - 1) * 256.0"
+    " + (instr('0123456789abcdef', substring({h}, 3, 1)) - 1) * 16.0"
+    " + (instr('0123456789abcdef', substring({h}, 4, 1)) - 1)"
+    " + 0.5) / 65536.0)"
+)
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+        WITH k AS (
+            SELECT doc_id, lang, n_chars,
+                   ROUND(pow(
+                       {_U16_SQL.format(h="md5(CAST(doc_id AS VARCHAR))")},
+                       1.0 / CAST(n_chars AS DOUBLE)), 9) AS akey
+            FROM documents
+            WHERE n_chars > 0
+        ), r AS (
+            SELECT doc_id, lang, n_chars, akey,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY akey DESC, doc_id) AS rk
+            FROM k
+        )
+        SELECT doc_id, lang, n_chars, akey, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 20
+    """,
+    tags=("llm", "sampling", "defer-sample"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample, k=20 per language, by the
+    Efraimidis–Spirakis A-Res key u^(1/w): one pass, no RNG state, and
+    inclusion probability proportional to the document's length weight
+    — the length-weighted counterpart of sample_reservoir_per_group
+    (longer docs carry more training tokens, so token-budget-faithful
+    subsampling weights by size).
+
+    u is a 16-bit md5 uniform opened to a number with instr()
+    arithmetic (identical shared SQL text on both engines). pow crosses
+    libm, so the key is ROUNDED to 9 dp and ties break on doc_id — a
+    cross-engine selection flip needs two keys within 1 ulp of the same
+    9-dp boundary. 100-TB shape: map-only key computation; the
+    per-group top-k is the windows.py partial-top-k-per-partition
+    pattern, never a global sort."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # identical arithmetic text on both engines; only the cast keyword in
+    # the hash argument differs (Spark rejects length-less VARCHAR)
+    u = F.expr(_U16_SQL.format(h="md5(CAST(doc_id AS STRING))"))
+    k = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(
+            F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 9
+        ).alias("akey"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("akey"), F.asc("doc_id"))
+    return (
+        k.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .withColumn("rk", F.col("rk").cast("bigint"))
+    )
+
+
+@query(
+    "stat_theil_sen_trend",
+    oracle="""
+        WITH m AS (
+            SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mi,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                             AS VARCHAR) AS DOUBLE) AS rev
+            FROM orders GROUP BY 1
+        ), slopes AS (
+            SELECT (b.rev - a.rev) / (b.mi - a.mi) AS slope
+            FROM m a JOIN m b ON a.mi < b.mi
+        ), arr AS (
+            SELECT list_sort(list(slope)) AS ss, COUNT(*) AS np FROM slopes
+        )
+        SELECT (SELECT COUNT(*) FROM m) AS n_months,
+               CAST(np AS BIGINT) AS n_pairs,
+               CASE WHEN np = 0 THEN NULL
+                    WHEN np % 2 = 1 THEN ss[CAST((np + 1) // 2 AS INT)]
+                    ELSE (ss[CAST(np // 2 AS INT)]
+                          + ss[CAST(np // 2 + 1 AS INT)]) / 2.0
+               END AS theil_sen_slope
+        FROM arr
+    """,
+    tags=("stats", "ts", "defer-sample"),
+)
+def stat_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of monthly revenue: the median of all
+    pairwise slopes — immune to the outlier months that wreck an OLS
+    fit (29% breakdown point). The pairwise join runs over the MONTH
+    table (calendar-bounded: 84 months → 3.5k pairs at any corpus
+    size), never the fact table; monthly revenues are exact decimal
+    sums exported once through the string hop.
+
+    Each slope is ONE IEEE division of bit-identical inputs; the median
+    is pure selection on the sorted slope array (odd count) or a single
+    averaging division (even) — no interpolation formula, so both
+    engines agree bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).alias("mi")
+    ).agg(_dsum("o_totalprice").alias("rev"))
+    a = m.select(F.col("mi").alias("mi_a"), F.col("rev").alias("rev_a"))
+    b = m.select(F.col("mi").alias("mi_b"), F.col("rev").alias("rev_b"))
+    slopes = a.join(b, F.col("mi_a") < F.col("mi_b")).select(
+        ((F.col("rev_b") - F.col("rev_a")) / (F.col("mi_b") - F.col("mi_a"))).alias(
+            "slope"
+        )
+    )
+    n_months = m.count()
+    arr = slopes.agg(
+        F.sort_array(F.collect_list("slope")).alias("ss"),
+        F.count("*").alias("np"),
+    )
+    # np = 0 (single-month or empty input) must yield NULL, not an
+    # element_at(ss, 0) ANSI error
+    med = F.when(F.col("np") == 0, F.lit(None).cast("double")).when(
+        F.col("np") % 2 == 1,
+        F.element_at("ss", ((F.col("np") + 1) / 2).cast("int")),
+    ).otherwise(
+        (
+            F.element_at("ss", (F.col("np") / 2).cast("int"))
+            + F.element_at("ss", (F.col("np") / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return arr.select(
+        F.lit(n_months).cast("bigint").alias("n_months"),
+        F.col("np").cast("bigint").alias("n_pairs"),
+        med.alias("theil_sen_slope"),
+    )

@@ -183,6 +183,11 @@ EMPTY_SAFE = [
     "profile_table_columns",
     "dq_expectations",
     "pareto_frontier_parts",
+    "stat_mannwhitney_u",
+    "stat_psi_drift",
+    "dq_k_anonymity",
+    "sample_weighted_reservoir",
+    "stat_theil_sen_trend",
 ]
 
 
