@@ -880,3 +880,847 @@ def stat_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").cast("bigint").alias("n_pairs"),
         med.alias("theil_sen_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 8: survival analysis, causal lift, Q-Q distribution matching, and
+# a manifest-versioned time-travel source (the lakehouse snapshot idea).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_survival_km",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) AS max_day
+            FROM events
+        ), lif AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+                   CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1
+            FROM events GROUP BY user_id
+        ), dur AS (
+            SELECT datediff('day', d0, d1) AS t,
+                   (d1 < max_day - INTERVAL 7 DAY) AS observed
+            FROM lif, bounds
+        ), g AS (
+            SELECT t, COUNT(*) AS c_t,
+                   COUNT(*) FILTER (observed) AS d_t
+            FROM dur GROUP BY t
+        ), r AS (
+            SELECT t, c_t, d_t,
+                   SUM(c_t) OVER () AS total,
+                   COALESCE(SUM(c_t) OVER (ORDER BY t ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+            FROM g
+        ), f AS (
+            SELECT t, c_t, d_t, total - cb AS n_t,
+                   1.0 - CAST(d_t AS DOUBLE) / (total - cb) AS factor
+            FROM r
+        )
+        SELECT t AS duration_days,
+               CAST(n_t AS BIGINT) AS n_at_risk,
+               CAST(d_t AS BIGINT) AS n_events,
+               list_reduce(
+                   list_prepend(1.0::DOUBLE,
+                       list(factor) OVER (ORDER BY t ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND CURRENT ROW)),
+                   (a, b) -> a * b) AS survival
+        FROM f
+    """,
+    tags=("events", "stats", "defer-sample"),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve over user activity lifetimes — the
+    churn/retention estimator that handles RIGHT-CENSORING correctly: a
+    user whose last event falls in the final 7-day observation window
+    hasn't churned, merely left the study, and drops from the risk set
+    without counting as an event. S(t) = Π_{s≤t} (1 - d_s/n_s).
+
+    The cumulative product is an ORDERED LEFT FOLD over the window
+    frame's factor list (Spark F.aggregate vs DuckDB list_reduce, seed
+    1.0, identical multiply order) — bit-exact without a single
+    transcendental, sidestepping the exp(Σln) detour entirely (the
+    ts_holt_linear fold discipline). 100-TB shape: the fact collapses
+    to one row per user, then one row per distinct duration (bounded by
+    the calendar); every window runs over that duration table."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.date_trunc("day", F.max("ts")).cast("date").alias("max_day"))
+    lif = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("d1"),
+    )
+    dur = lif.crossJoin(F.broadcast(bounds)).select(
+        F.datediff("d1", "d0").alias("t"),
+        (F.col("d1") < F.date_sub("max_day", 7)).alias("observed"),
+    )
+    g = dur.groupBy("t").agg(
+        F.count("*").alias("c_t"),
+        F.count(F.when(F.col("observed"), 1)).alias("d_t"),
+    )
+    wall = Window.partitionBy()
+    wb = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "t",
+        "c_t",
+        "d_t",
+        F.sum("c_t").over(wall).alias("total"),
+        F.coalesce(F.sum("c_t").over(wb), F.lit(0)).alias("cb"),
+    )
+    f = r.select(
+        "t",
+        "d_t",
+        (F.col("total") - F.col("cb")).alias("n_t"),
+        (
+            F.lit(1.0) - F.col("d_t").cast("double") / (F.col("total") - F.col("cb"))
+        ).alias("factor"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return f.select(
+        F.col("t").alias("duration_days"),
+        F.col("n_t").cast("bigint").alias("n_at_risk"),
+        F.col("d_t").cast("bigint").alias("n_events"),
+        F.aggregate(
+            F.collect_list("factor").over(wcum),
+            F.lit(1.0),
+            lambda a, b: a * b,
+        ).alias("survival"),
+    )
+
+
+@query(
+    "stat_diff_in_diff",
+    oracle="""
+        WITH m AS (
+            SELECT
+                COUNT(*) FILTER (user_id % 2 = 0 AND ts <  TIMESTAMP '2024-03-01') AS n_t0,
+                COUNT(*) FILTER (user_id % 2 = 0 AND ts >= TIMESTAMP '2024-03-01') AS n_t1,
+                COUNT(*) FILTER (user_id % 2 = 1 AND ts <  TIMESTAMP '2024-03-01') AS n_c0,
+                COUNT(*) FILTER (user_id % 2 = 1 AND ts >= TIMESTAMP '2024-03-01') AS n_c1,
+                CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                     FILTER (user_id % 2 = 0 AND ts <  TIMESTAMP '2024-03-01') AS VARCHAR) AS DOUBLE) AS s_t0,
+                CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                     FILTER (user_id % 2 = 0 AND ts >= TIMESTAMP '2024-03-01') AS VARCHAR) AS DOUBLE) AS s_t1,
+                CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                     FILTER (user_id % 2 = 1 AND ts <  TIMESTAMP '2024-03-01') AS VARCHAR) AS DOUBLE) AS s_c0,
+                CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                     FILTER (user_id % 2 = 1 AND ts >= TIMESTAMP '2024-03-01') AS VARCHAR) AS DOUBLE) AS s_c1
+            FROM events
+        )
+        SELECT n_t0, n_t1, n_c0, n_c1,
+               s_t0 / NULLIF(n_t0, 0) AS mean_treat_pre,
+               s_t1 / NULLIF(n_t1, 0) AS mean_treat_post,
+               s_c0 / NULLIF(n_c0, 0) AS mean_ctrl_pre,
+               s_c1 / NULLIF(n_c1, 0) AS mean_ctrl_post,
+               (s_t1 / NULLIF(n_t1, 0) - s_t0 / NULLIF(n_t0, 0))
+                 - (s_c1 / NULLIF(n_c1, 0) - s_c0 / NULLIF(n_c0, 0))
+                 AS did_estimate
+        FROM m
+    """,
+    tags=("stats", "events", "defer-sample"),
+)
+def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator — the workhorse causal
+    read-out when only a cohort received a change: the treatment
+    group's pre→post mean shift minus the control group's shift nets
+    out the common time trend. Groups derive deterministically from
+    user parity; the cut date splits the event stream.
+
+    ONE conditional aggregate computes all four cell sums and counts in
+    a single scan (partial-aggregated, shuffle carries 8 scalars); the
+    four means and the DiD are then a fixed IEEE chain over exact
+    decimal sums — bit-stable, NULLIF-guarded for empty cells. 100-TB
+    shape: a map-side-combined scan, driver sees one row."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-03-01").cast("timestamp")
+    treat = F.col("user_id") % 2 == 0
+    pre = F.col("ts") < cut
+
+    def cell(cond, name_n, name_s):
+        return [
+            F.count(F.when(cond, 1)).alias(name_n),
+            F.sum(F.when(cond, dec("value")))
+            .cast("string")
+            .cast("double")
+            .alias(name_s),
+        ]
+
+    m = e.agg(
+        *cell(treat & pre, "n_t0", "s_t0")
+        + cell(treat & ~pre, "n_t1", "s_t1")
+        + cell(~treat & pre, "n_c0", "s_c0")
+        + cell(~treat & ~pre, "n_c1", "s_c1")
+    )
+    mt0 = F.col("s_t0") / F.nullif(F.col("n_t0"), F.lit(0))
+    mt1 = F.col("s_t1") / F.nullif(F.col("n_t1"), F.lit(0))
+    mc0 = F.col("s_c0") / F.nullif(F.col("n_c0"), F.lit(0))
+    mc1 = F.col("s_c1") / F.nullif(F.col("n_c1"), F.lit(0))
+    return m.select(
+        "n_t0",
+        "n_t1",
+        "n_c0",
+        "n_c1",
+        mt0.alias("mean_treat_pre"),
+        mt1.alias("mean_treat_post"),
+        mc0.alias("mean_ctrl_pre"),
+        mc1.alias("mean_ctrl_post"),
+        ((mt1 - mt0) - (mc1 - mc0)).alias("did_estimate"),
+    )
+
+
+@query(
+    "stat_qq_deciles",
+    oracle="""
+        WITH v AS (
+            SELECT c_acctbal AS val,
+                   COUNT(*) FILTER (c_mktsegment = 'BUILDING') AS n1_v,
+                   COUNT(*) FILTER (c_mktsegment = 'MACHINERY') AS n2_v
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            GROUP BY c_acctbal
+        ), c AS (
+            SELECT val,
+                   COALESCE(SUM(n1_v) OVER (ORDER BY val ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb1,
+                   SUM(n1_v) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS c1,
+                   COALESCE(SUM(n2_v) OVER (ORDER BY val ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb2,
+                   SUM(n2_v) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS c2,
+                   SUM(n1_v) OVER () AS t1, SUM(n2_v) OVER () AS t2
+            FROM v
+        ), q AS (SELECT unnest(range(1, 10)) AS decile)
+        SELECT decile,
+               (SELECT MIN(val) FROM c
+                WHERE c1 >= CAST(CEIL(decile * t1 / 10.0) AS BIGINT)
+                  AND cb1 < CAST(CEIL(decile * t1 / 10.0) AS BIGINT)
+                  AND t1 > 0) AS q_building,
+               (SELECT MIN(val) FROM c
+                WHERE c2 >= CAST(CEIL(decile * t2 / 10.0) AS BIGINT)
+                  AND cb2 < CAST(CEIL(decile * t2 / 10.0) AS BIGINT)
+                  AND t2 > 0) AS q_machinery
+        FROM q
+    """,
+    tags=("stats", "defer-sample"),
+)
+def stat_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q decile pairs between two customer segments — the
+    distribution-matching diagnostic behind the KS/Mann-Whitney
+    verdicts: decile d of sample A against decile d of sample B (a
+    straight line ⇒ same shape; a bowed curve shows WHERE they
+    diverge). Quantiles are TYPE-1 (inverse-ECDF) order statistics —
+    the smallest value whose cumulative count reaches ceil(d·n/10) —
+    pure selection on exact integers, no interpolation, bit-exact.
+
+    Spark side: both samples' cumulative counts come from ONE window
+    pass over the distinct-value table (the stat_ks_test collapse);
+    each decile row then broadcast-joins the 9-row decile grid against
+    the rank brackets. The oracle's correlated-subquery form is the
+    quadratic textbook spelling of the same selection."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    v = c.groupBy(F.col("c_acctbal").alias("val")).agg(
+        F.count(F.when(F.col("c_mktsegment") == "BUILDING", 1)).alias("n1_v"),
+        F.count(F.when(F.col("c_mktsegment") == "MACHINERY", 1)).alias("n2_v"),
+    )
+    wb = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = v.select(
+        "val",
+        F.coalesce(F.sum("n1_v").over(wb), F.lit(0)).alias("cb1"),
+        F.sum("n1_v").over(wc).alias("c1"),
+        F.coalesce(F.sum("n2_v").over(wb), F.lit(0)).alias("cb2"),
+        F.sum("n2_v").over(wc).alias("c2"),
+        F.sum("n1_v").over(wall).alias("t1"),
+        F.sum("n2_v").over(wall).alias("t2"),
+    )
+    q = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    r1 = F.ceil(F.col("decile") * F.col("t1") / 10.0).cast("bigint")
+    qa = (
+        cum.join(F.broadcast(q), (F.col("c1") >= r1) & (F.col("cb1") < r1) & (F.col("t1") > 0))
+        .groupBy("decile")
+        .agg(F.min("val").alias("q_building"))
+    )
+    r2 = F.ceil(F.col("decile") * F.col("t2") / 10.0).cast("bigint")
+    qb = (
+        cum.join(F.broadcast(q), (F.col("c2") >= r2) & (F.col("cb2") < r2) & (F.col("t2") > 0))
+        .groupBy("decile")
+        .agg(F.min("val").alias("q_machinery"))
+    )
+    return (
+        q.join(qa, "decile", "left")
+        .join(qb, "decile", "left")
+        .select("decile", "q_building", "q_machinery")
+    )
+
+
+def _time_travel_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build a 3-version manifest-logged table from `orders` — the
+    Delta/Iceberg snapshot mechanism in miniature. Version v adds data
+    files and the manifest (a JSON line per live file, rewritten per
+    version, exactly like a snapshot's file list) pins which files a
+    reader at that version sees:
+
+      v0: keys %3 == 0            (files: part0)
+      v1: + keys %3 == 1          (files: part0, part1)
+      v2: + keys %3 == 2, VACUUM of part0 (files: part1, part2)
+
+    Data files are written once by executors (DataFrameWriter); the
+    manifests are tiny driver-side metadata, as in every table format."""
+    import json as _json
+    import os as _os
+
+    from ..streaming.replay import SCRATCH
+
+    sf_tag = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    base = _os.path.join(SCRATCH, "io", sf_tag, "time_travel")
+    done = _os.path.join(base, "_done")
+    if _os.path.exists(done):
+        return base
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for part in range(3):
+        o.filter(F.col("o_orderkey") % 3 == part).write.mode("overwrite").parquet(
+            _os.path.join(base, f"data_part{part}")
+        )
+    live = {0: ["data_part0"], 1: ["data_part0", "data_part1"],
+            2: ["data_part1", "data_part2"]}
+    _os.makedirs(_os.path.join(base, "_manifests"), exist_ok=True)
+    for ver, files in live.items():
+        with open(_os.path.join(base, "_manifests", f"v{ver}.json"), "w") as fh:
+            for f in files:
+                fh.write(_json.dumps({"version": ver, "file": f}) + "\n")
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return base
+
+
+@query(
+    "source_time_travel",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    tags=("source", "sql", "defer-sample"),
+)
+def source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned read — `VERSION AS OF 1` against a
+    manifest-logged table (the Delta/Iceberg time-travel mechanism,
+    self-contained): the reader loads the tiny v1 manifest, resolves
+    the live file list (part0+part1; v2's vacuum of part0 must NOT leak
+    back), and scans exactly those parquet files. The oracle derives
+    the same snapshot from the source predicate, proving the manifest
+    pinning end-to-end.
+
+    100-TB shape: manifests are metadata (KB per version) read on the
+    driver like a format's transaction log; the data scan is ordinary
+    parquet with full pushdown/pruning into only the live files —
+    dropping dead files at PLANNING time is the whole point of the
+    snapshot layout."""
+    import os as _os
+
+    base = _time_travel_fixture(spark, sf_dir)
+    manifest = spark.read.json(
+        _os.path.join(base, "_manifests", "v1.json")
+    )
+    files = [r["file"] for r in manifest.select("file").collect()]  # KB-sized metadata
+    if not files:
+        return spark.createDataFrame(
+            [], "o_orderkey long, o_orderstatus string, o_totalprice double"
+        )
+    return spark.read.parquet(*[_os.path.join(base, f) for f in sorted(files)])
+
+
+# ---------------------------------------------------------------------------
+# Batch 9: voice-activity detection over real PCM, histogram-intersection
+# image dedup over real BMP, CUPED experiment variance reduction, and a
+# seasonal-naive forecast backtest.
+# ---------------------------------------------------------------------------
+
+# VAD synth: the base waveform is llm_multimodal's analytic noise, but
+# every third 100-sample frame (offset by doc_id) is attenuated to a
+# quiet floor so frame energies bimodal-split around the 1e6 threshold.
+# All-integer pixel math keeps both engines bit-exact.
+_VAD_FRAME = 100
+_VAD_THRESH = 1_000_000
+
+
+@query(
+    "mm_audio_vad_segments",
+    oracle=f"""
+        WITH samp AS (
+            SELECT d.doc_id, r.i,
+                   CASE WHEN ((r.i // {_VAD_FRAME}) + d.doc_id) % 3 = 0
+                        THEN ((d.doc_id * 7 + r.i * 13) % 51) - 25
+                        ELSE ((d.doc_id * 7 + r.i * 13) % 2001) - 1000
+                   END AS s
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d,
+                 LATERAL (SELECT unnest(range(0, 800 + (d.doc_id % 5) * 100))
+                          AS i) r
+        ), fr AS (
+            SELECT doc_id, i // {_VAD_FRAME} AS frame,
+                   SUM(s * s) AS energy
+            FROM samp GROUP BY doc_id, i // {_VAD_FRAME}
+        ), act AS (
+            SELECT doc_id, frame, energy > {_VAD_THRESH} AS speech,
+                   LAG(energy > {_VAD_THRESH}) OVER
+                       (PARTITION BY doc_id ORDER BY frame) AS prev
+            FROM fr
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(COUNT(*) FILTER (speech) AS BIGINT) AS n_speech_frames,
+               CAST(COUNT(*) FILTER (speech) AS DOUBLE) / COUNT(*)
+                   AS speech_ratio,
+               CAST(COUNT(*) FILTER (speech AND (prev IS NULL OR NOT prev))
+                    AS BIGINT) AS n_segments
+        FROM act
+        GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "udf", "defer-sample"),
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over REAL PCM bytes: the deterministic
+    clip (noise frames with every third frame attenuated, keyed by
+    doc_id) is WAV-encoded and re-decoded executor-side through the
+    pure-Python RIFF codec, then split into 100-sample frames whose
+    energies threshold into speech/silence; segments are runs of
+    consecutive speech frames — the trim/segment pass an audio-corpus
+    pipeline runs before transcription. The DuckDB oracle regenerates
+    the waveform analytically and replays the same frame algebra, so
+    frame counts, ratios, and segment counts are all hash-checked
+    (the mm_audio_features de-stubbing pattern).
+
+    100-TB shape: one Arrow-batched mapInPandas over payload bytes —
+    per-clip work, no shuffle at all; the output is clip-metadata
+    sized."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.wav import wav_decode, wav_encode
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def vad_batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 800 + (did % 5) * 100
+                i = np.arange(n, dtype=np.int64)
+                base = ((did * 7 + i * 13) % 2001) - 1000
+                quiet = ((did * 7 + i * 13) % 51) - 25
+                mask = ((i // _VAD_FRAME) + did) % 3 == 0
+                s = np.where(mask, quiet, base).astype(np.int16)
+                payload = wav_encode(s, 16000)  # REAL bytes in flight
+                s2, _sr = wav_decode(payload)
+                fr = s2.astype(np.int64).reshape(-1, _VAD_FRAME)
+                energy = (fr * fr).sum(axis=1)
+                speech = energy > _VAD_THRESH
+                starts = speech & ~np.concatenate(([False], speech[:-1]))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_frames": len(speech),
+                        "n_speech_frames": int(speech.sum()),
+                        "speech_ratio": float(speech.sum()) / len(speech),
+                        "n_segments": int(starts.sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.select("doc_id").mapInPandas(
+        vad_batches,
+        "doc_id long, n_frames long, n_speech_frames long, "
+        "speech_ratio double, n_segments long",
+    )
+
+
+# Histogram-dedup fixture shares the phash pixel formulas (multiplicative
+# gradients) so the two image-dedup queries stress the same codec path
+# with different signatures: dHash = gradient structure, histogram =
+# global tone distribution.
+_HIST_IDS_SQL = """
+        SELECT doc_id AS img_id, doc_id AS d, 'base' AS kind,
+               8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h
+        FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 10000, doc_id, 'pert',
+               8 + doc_id % 9, 8 + (doc_id // 9) % 9
+        FROM documents WHERE doc_id < 40
+        UNION ALL
+        SELECT doc_id + 20000, doc_id, 'base',
+               8 + doc_id % 9, 8 + (doc_id // 9) % 9
+        FROM documents WHERE doc_id < 20
+"""
+
+_HIST_LUMA_SQL = (
+    "((299 * (CASE WHEN kind = 'pert' AND y = 0 THEN "
+    "((((d + 1) * (x + 3) * (y + 7) + 13 * x * x) % 256) + 3) % 256 "
+    "ELSE ((d + 1) * (x + 3) * (y + 7) + 13 * x * x) % 256 END) "
+    "+ 587 * (((d + 2) * (x + 5) * (y + 1) + 7 * y * y) % 256) "
+    "+ 114 * (((d + 5) * (x + 1) * (y + 3) + 11 * x * y) % 256)) // 1000)"
+)
+
+
+@query(
+    "mm_image_histogram_dedup",
+    oracle=f"""
+        WITH ids AS ({_HIST_IDS_SQL}),
+        px AS (
+            SELECT i.img_id, {_HIST_LUMA_SQL} // 16 AS bucket
+            FROM ids i
+            CROSS JOIN LATERAL (SELECT unnest(range(i.h)) AS y) yy
+            CROSS JOIN LATERAL (SELECT unnest(range(i.w)) AS x) xx
+        ),
+        hist AS (
+            SELECT img_id, bucket, COUNT(*) AS cnt
+            FROM px GROUP BY img_id, bucket
+        ),
+        tot AS (
+            SELECT img_id, SUM(cnt) AS n FROM hist GROUP BY img_id
+        ),
+        bands AS (
+            SELECT img_id, bucket FROM (
+                SELECT img_id, bucket,
+                       ROW_NUMBER() OVER (PARTITION BY img_id
+                                          ORDER BY cnt DESC, bucket) AS rn
+                FROM hist
+            ) WHERE rn <= 2
+        ),
+        pairs AS (
+            SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.bucket = b.bucket AND a.img_id < b.img_id
+        ),
+        inter AS (
+            SELECT p.id_a, p.id_b,
+                   SUM(LEAST(ha.cnt * tb.n, hb.cnt * ta.n)) AS ix
+            FROM pairs p
+            JOIN hist ha ON ha.img_id = p.id_a
+            JOIN hist hb ON hb.img_id = p.id_b AND hb.bucket = ha.bucket
+            JOIN tot ta ON ta.img_id = p.id_a
+            JOIN tot tb ON tb.img_id = p.id_b
+            GROUP BY p.id_a, p.id_b, ta.n, tb.n
+            HAVING SUM(LEAST(ha.cnt * tb.n, hb.cnt * ta.n)) * 100
+                   >= 97 * ta.n * tb.n
+        )
+        SELECT i.id_a, i.id_b, CAST(i.ix AS BIGINT) AS inter_x,
+               CAST(ta.n * tb.n AS BIGINT) AS norm_x
+        FROM inter i
+        JOIN tot ta ON ta.img_id = i.id_a
+        JOIN tot tb ON tb.img_id = i.id_b
+    """,
+    tags=("llm", "multimodal", "dedup", "defer-sample"),
+)
+def mm_image_histogram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-intersection image near-dup — the global-tone
+    complement to mm_image_phash_dedup's gradient hash (dHash misses a
+    re-tinted copy with intact structure; histograms miss a re-layout
+    with intact palette; pipelines run both). Each image round-trips
+    REAL BMP bytes executor-side and reduces to a 16-bucket luma
+    histogram in LONG form; candidate pairs band on each image's TOP-2
+    buckets (measured on the fixture: top-1 banding loses a planted
+    perturbed pair whose argmax shifts — top-2 recalls all 80 planted
+    pairs while pruning ~44% of the pair space even at toy scale);
+    similarity is the normalized intersection Sum(min(ha/na, hb/nb)),
+    kept ALL-INTEGER by cross-multiplying against 97% * na * nb. At 16
+    buckets the fixture separates perfectly: planted pairs >= 0.977,
+    everything else <= 0.948 — the output is exactly the planted
+    duplicates, every bucket cross-checked by the oracle's analytic
+    recomputation.
+
+    100-TB shape: one Arrow pass emits <= 16 (bucket, count) rows per
+    image; candidates come from a band equi-join (2 rows/image), and
+    the intersection is a bucket-keyed join over candidate pairs only
+    — never an all-pairs product."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.bmp import bmp_decode, bmp_encode
+
+    d0 = load_table(spark, sf_dir, "documents")
+    base = d0.filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("img_id"),
+        F.col("doc_id").alias("d"),
+        F.lit("base").alias("kind"),
+    )
+    pert = d0.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 10000).alias("img_id"),
+        F.col("doc_id").alias("d"),
+        F.lit("pert").alias("kind"),
+    )
+    copy = d0.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 20000).alias("img_id"),
+        F.col("doc_id").alias("d"),
+        F.lit("base").alias("kind"),
+    )
+    ids = base.unionByName(pert).unionByName(copy)
+
+    def hist_batches(it):
+        for pdf in it:
+            out = {"img_id": [], "bucket": [], "cnt": []}
+            for img_id, dd, kind in zip(pdf["img_id"], pdf["d"], pdf["kind"]):
+                dd = int(dd)
+                w, h = 8 + dd % 9, 8 + (dd // 9) % 9
+                y, x = np.mgrid[0:h, 0:w]
+                r = ((dd + 1) * (x + 3) * (y + 7) + 13 * x * x) % 256
+                g = ((dd + 2) * (x + 5) * (y + 1) + 7 * y * y) % 256
+                b = ((dd + 5) * (x + 1) * (y + 3) + 11 * x * y) % 256
+                im = np.stack([r, g, b], 2).astype(np.uint8)
+                if kind == "pert":
+                    im[0, :, 0] = (im[0, :, 0].astype(int) + 3) % 256
+                im = bmp_decode(bmp_encode(im))  # REAL bytes in flight
+                lum = (
+                    299 * im[:, :, 0].astype(np.int64)
+                    + 587 * im[:, :, 1].astype(np.int64)
+                    + 114 * im[:, :, 2].astype(np.int64)
+                ) // 1000
+                hist = np.bincount((lum // 16).ravel(), minlength=16)
+                for k in np.nonzero(hist)[0]:
+                    out["img_id"].append(int(img_id))
+                    out["bucket"].append(int(k))
+                    out["cnt"].append(int(hist[k]))
+            yield pd.DataFrame(out)
+
+    hist = ids.mapInPandas(hist_batches, "img_id long, bucket int, cnt long")
+    hist = hist.localCheckpoint(eager=False)  # 5 consumers below
+    tot = hist.groupBy("img_id").agg(F.sum("cnt").alias("n"))
+    wtop = Window.partitionBy("img_id").orderBy(F.desc("cnt"), F.asc("bucket"))
+    bands = (
+        hist.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 2)
+        .select("img_id", "bucket")
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(
+            F.col("a.img_id").alias("id_a"), F.col("b.img_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ha = hist.select(
+        F.col("img_id").alias("id_a"), "bucket", F.col("cnt").alias("cnt_a")
+    )
+    hb = hist.select(
+        F.col("img_id").alias("id_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    ta = tot.select(F.col("img_id").alias("id_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("img_id").alias("id_b"), F.col("n").alias("n_b"))
+    hb2 = hb.withColumnRenamed("id_b", "id_b2")
+    tb2 = tb.withColumnRenamed("id_b", "id_b3")
+    inter = (
+        pairs.join(ha, "id_a")
+        .join(
+            hb2,
+            (F.col("id_b2") == F.col("id_b"))
+            & (F.col("bucket_b") == F.col("bucket")),
+        )
+        .join(F.broadcast(ta), "id_a")
+        .join(F.broadcast(tb2), F.col("id_b3") == F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(
+            F.sum(
+                F.least(
+                    F.col("cnt_a") * F.col("n_b"), F.col("cnt_b") * F.col("n_a")
+                )
+            ).alias("ix")
+        )
+        .filter(F.col("ix") * 100 >= 97 * F.col("n_a") * F.col("n_b"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.col("ix").cast("bigint").alias("inter_x"),
+        (F.col("n_a") * F.col("n_b")).cast("bigint").alias("norm_x"),
+    )
+
+
+@query(
+    "stat_cuped_adjusted",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, user_id % 2 = 0 AS treat,
+                   CAST(CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,4)))
+                       FILTER (ts < TIMESTAMP '2024-03-01'), 0) AS VARCHAR)
+                       AS DOUBLE) AS x,
+                   CAST(CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,4)))
+                       FILTER (ts >= TIMESTAMP '2024-03-01'), 0) AS VARCHAR)
+                       AS DOUBLE) AS y
+            FROM events GROUP BY user_id
+        ), s AS (
+            SELECT COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS VARCHAR)
+                        AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(y AS DECIMAL(28,10))) AS VARCHAR)
+                        AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(28,10))
+                                 * CAST(x AS DECIMAL(28,10))) AS VARCHAR)
+                        AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(28,10))
+                                 * CAST(y AS DECIMAL(28,10))) AS VARCHAR)
+                        AS DOUBLE) AS sxy,
+                   COUNT(*) FILTER (treat) AS nt,
+                   COUNT(*) FILTER (NOT treat) AS nc,
+                   CAST(CAST(SUM(CAST(y AS DECIMAL(28,10))) FILTER (treat)
+                             AS VARCHAR) AS DOUBLE) AS syt,
+                   CAST(CAST(SUM(CAST(y AS DECIMAL(28,10))) FILTER (NOT treat)
+                             AS VARCHAR) AS DOUBLE) AS syc,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(28,10))) FILTER (treat)
+                             AS VARCHAR) AS DOUBLE) AS sxt,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(28,10))) FILTER (NOT treat)
+                             AS VARCHAR) AS DOUBLE) AS sxc
+            FROM per_user
+        )
+        SELECT CAST(n AS BIGINT) AS n_users,
+               (sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0) AS theta,
+               syt / NULLIF(nt, 0) - syc / NULLIF(nc, 0) AS lift_raw,
+               (syt / NULLIF(nt, 0)
+                  - (sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0)
+                    * (sxt / NULLIF(nt, 0) - sx / n))
+                 - (syc / NULLIF(nc, 0)
+                    - (sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0)
+                      * (sxc / NULLIF(nc, 0) - sx / n)) AS lift_cuped
+        FROM s
+    """,
+    tags=("stats", "events", "defer-sample"),
+)
+def stat_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment lift: each user's post-period
+    metric Y is adjusted by θ·(X - mean X) with X the PRE-period value
+    of the same user and θ = cov(X,Y)/var(X) — the standard trick that
+    removes the between-user variance an A/B test doesn't care about
+    (Deng et al. 2013 shape). Treatment derives from user parity, as in
+    stat_diff_in_diff.
+
+    Two aggregates: per-user (X, Y) decimal sums, then ONE moment pass
+    (Σx, Σy, Σxx, Σxy + per-arm sums) whose products accumulate in
+    DECIMAL(28,10) — exact, order-free; θ and both lifts are then a
+    fixed IEEE chain, NULLIF-guarded for empty arms and constant X.
+    100-TB shape: user-keyed aggregate then an 11-scalar reduce; the
+    driver sees one row."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-03-01").cast("timestamp")
+    pu = e.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < cut, dec("value"))), F.lit(0).cast("decimal(18,4)"))
+        .cast("string")
+        .cast("double")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= cut, dec("value"))), F.lit(0).cast("decimal(18,4)"))
+        .cast("string")
+        .cast("double")
+        .alias("y"),
+    ).withColumn("treat", F.col("user_id") % 2 == 0)
+    d10 = lambda c: F.col(c).cast("decimal(28,10)")
+    sh = lambda c: c.cast("string").cast("double")
+    s = pu.agg(
+        F.count("*").alias("n"),
+        sh(F.sum(d10("x"))).alias("sx"),
+        sh(F.sum(d10("y"))).alias("sy"),
+        sh(F.sum(d10("x") * d10("x"))).alias("sxx"),
+        sh(F.sum(d10("x") * d10("y"))).alias("sxy"),
+        F.count(F.when(F.col("treat"), 1)).alias("nt"),
+        F.count(F.when(~F.col("treat"), 1)).alias("nc"),
+        sh(F.sum(F.when(F.col("treat"), d10("y")))).alias("syt"),
+        sh(F.sum(F.when(~F.col("treat"), d10("y")))).alias("syc"),
+        sh(F.sum(F.when(F.col("treat"), d10("x")))).alias("sxt"),
+        sh(F.sum(F.when(~F.col("treat"), d10("x")))).alias("sxc"),
+    )
+    theta = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.nullif(
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"), F.lit(0.0)
+    )
+    myt = F.col("syt") / F.nullif(F.col("nt"), F.lit(0))
+    myc = F.col("syc") / F.nullif(F.col("nc"), F.lit(0))
+    mxt = F.col("sxt") / F.nullif(F.col("nt"), F.lit(0))
+    mxc = F.col("sxc") / F.nullif(F.col("nc"), F.lit(0))
+    mx = F.col("sx") / F.col("n")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        theta.alias("theta"),
+        (myt - myc).alias("lift_raw"),
+        ((myt - theta * (mxt - mx)) - (myc - theta * (mxc - mx))).alias(
+            "lift_cuped"
+        ),
+    )
+
+
+@query(
+    "ts_snaive_backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   SUM(CAST(value AS DECIMAL(18,4))) AS rev
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        ), scored AS (
+            SELECT a.event_type, ABS(a.rev - f.rev) AS abs_err,
+                   ABS(a.rev) AS abs_act
+            FROM daily a JOIN daily f
+              ON a.event_type = f.event_type AND f.day = a.day - 7
+        )
+        SELECT event_type,
+               COUNT(*) AS n_days_scored,
+               CAST(CAST(SUM(abs_err) AS VARCHAR) AS DOUBLE) / COUNT(*)
+                   AS mae,
+               CAST(CAST(SUM(abs_err) AS VARCHAR) AS DOUBLE)
+                 / NULLIF(CAST(CAST(SUM(abs_act) AS VARCHAR) AS DOUBLE), 0)
+                   AS wape
+        FROM scored GROUP BY event_type
+    """,
+    tags=("ts", "stats", "defer-sample"),
+)
+def ts_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue with
+    the value 7 calendar days earlier and score MAE + WAPE per event
+    type — the baseline every forecasting system must beat, and the
+    backtest harness shape (align forecast to actual by CALENDAR join,
+    never row offset: gaps must disqualify a day, not shift the
+    season).
+
+    Every error is an exact DECIMAL difference; MAE and WAPE divide
+    exact decimal sums once (WAPE = Σ|err|/Σ|actual| replaces MAPE
+    precisely because it needs no per-day division crossing a float
+    sum). 100-TB shape: the fact collapses to (type, day) rows; the
+    lag-7 alignment is a self equi-join on that calendar-bounded
+    table."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(dec("value")).alias("rev"))
+    a = daily.select("event_type", "day", F.col("rev").alias("rev_a"))
+    f = daily.select(
+        F.col("event_type").alias("et_f"),
+        F.col("day").alias("day_f"),
+        F.col("rev").alias("rev_f"),
+    )
+    scored = a.join(
+        f,
+        (F.col("event_type") == F.col("et_f"))
+        & (F.col("day_f") == F.date_sub("day", 7)),
+    ).select(
+        "event_type",
+        F.abs(F.col("rev_a") - F.col("rev_f")).alias("abs_err"),
+        F.abs(F.col("rev_a")).alias("abs_act"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_days_scored"),
+        (F.sum("abs_err").cast("string").cast("double") / F.count("*")).alias(
+            "mae"
+        ),
+        (
+            F.sum("abs_err").cast("string").cast("double")
+            / F.nullif(F.sum("abs_act").cast("string").cast("double"), F.lit(0.0))
+        ).alias("wape"),
+    )

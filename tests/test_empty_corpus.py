@@ -188,6 +188,14 @@ EMPTY_SAFE = [
     "dq_k_anonymity",
     "sample_weighted_reservoir",
     "stat_theil_sen_trend",
+    "events_survival_km",
+    "stat_diff_in_diff",
+    "stat_qq_deciles",
+    "source_time_travel",
+    "mm_audio_vad_segments",
+    "mm_image_histogram_dedup",
+    "stat_cuped_adjusted",
+    "ts_snaive_backtest",
 ]
 
 
@@ -213,6 +221,9 @@ _IDENTIFIER_COLS = {
     # profiler / expectation spines: column and check names are fixed,
     # and every check trivially PASSES (True) on a zero-row table
     "col_name", "check_name", "passed",
+    # the Q-Q grid always emits its 9 decile rows; quantiles are NULL
+    # on an empty corpus
+    "decile",
 }
 
 

@@ -380,3 +380,161 @@ def test_k_anonymity_boundary_fuzz(spark, tmp_path_factory, rows):
     )
     problems = compare(q.fn(spark, base), _con(base, "customer"), q.oracle)
     assert not problems, (rows[:6], problems)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),  # user
+            st.integers(min_value=0, max_value=30),  # day offset
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_survival_km_fuzz(spark, tmp_path_factory, rows):
+    """events_survival_km on random activity patterns: single-event
+    users (duration 0), everyone censored (all events in the last 7
+    days — survival stays 1.0 through factor 1 - 0/n), everyone
+    churned, and duplicate (user, day) events. The ordered-fold
+    cumulative product must match DuckDB's list_reduce bit-for-bit."""
+    q = QS["events_survival_km"]
+    base = str(tmp_path_factory.mktemp("kmfuzz"))
+    _write(
+        spark,
+        base,
+        "events",
+        [(u, dt.datetime(2024, 4, 1, 12) + dt.timedelta(days=d)) for u, d in rows],
+        "user_id long, ts timestamp_ntz",
+    )
+    problems = compare(q.fn(spark, base), _con(base, "events"), q.oracle)
+    assert not problems, (rows[:8], problems)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # user (parity = group)
+            st.sampled_from(
+                [dt.datetime(2024, 2, 28), dt.datetime(2024, 2, 29, 23, 59),
+                 dt.datetime(2024, 3, 1), dt.datetime(2024, 3, 15)]
+            ),
+            st.sampled_from([-10.0, 0.0, 5.25, 5.25, 999.75]),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_diff_in_diff_cells_fuzz(spark, tmp_path_factory, rows):
+    """stat_diff_in_diff with empty cells (no treatment users, no
+    pre-period rows → NULLIF keeps the estimate NULL on both engines),
+    boundary timestamps one minute before the cut, and negative
+    values."""
+    q = QS["stat_diff_in_diff"]
+    base = str(tmp_path_factory.mktemp("didfuzz"))
+    _write(
+        spark,
+        base,
+        "events",
+        rows,
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    problems = compare(q.fn(spark, base), _con(base, "events"), q.oracle)
+    assert not problems, (rows[:6], problems)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["BUILDING", "MACHINERY", "AUTOMOBILE"]),
+            st.sampled_from([-7.5, 0.0, 0.0, 3.25, 3.25, 888.0]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_qq_deciles_fuzz(spark, tmp_path_factory, rows):
+    """stat_qq_deciles type-1 quantile selection on tie-heavy samples:
+    n < 10 (several deciles share one value), one-sided samples (that
+    segment's column all NULL), and rank boundaries landing exactly on
+    cumulative-count edges."""
+    q = QS["stat_qq_deciles"]
+    base = str(tmp_path_factory.mktemp("qqfuzz"))
+    _write(
+        spark,
+        base,
+        "customer",
+        rows,
+        "c_mktsegment string, c_acctbal double",
+    )
+    problems = compare(q.fn(spark, base), _con(base, "customer"), q.oracle)
+    assert not problems, (rows[:6], problems)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.sampled_from(
+                [dt.datetime(2024, 2, 1), dt.datetime(2024, 2, 29, 23, 59),
+                 dt.datetime(2024, 3, 1), dt.datetime(2024, 4, 1)]
+            ),
+            st.sampled_from([-3.5, 0.0, 1.25, 1.25, 400.0]),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_cuped_moments_fuzz(spark, tmp_path_factory, rows):
+    """stat_cuped_adjusted on degenerate experiments: constant pre-period
+    covariate (var(X)=0 → theta NULL via NULLIF), users with only
+    pre- or only post-period events (the COALESCE(0) per-user sums),
+    and one-armed experiments (empty treatment → NULL lift)."""
+    q = QS["stat_cuped_adjusted"]
+    base = str(tmp_path_factory.mktemp("cupedfuzz"))
+    _write(
+        spark,
+        base,
+        "events",
+        rows,
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    problems = compare(q.fn(spark, base), _con(base, "events"), q.oracle)
+    assert not problems, (rows[:6], problems)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view"]),
+            st.integers(min_value=0, max_value=20),  # day (gaps + dup days)
+            st.sampled_from([-50.0, 0.0, 10.5, 10.5, 3000.0]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_snaive_backtest_fuzz(spark, tmp_path_factory, rows):
+    """ts_snaive_backtest on gappy calendars: a day whose lag-7 day is
+    missing must be UNSCORED (calendar join, not row offset), zero
+    actuals (WAPE NULL via NULLIF when all actuals are 0), and negative
+    revenue (ABS on exact decimals)."""
+    q = QS["ts_snaive_backtest"]
+    base = str(tmp_path_factory.mktemp("snfuzz"))
+    _write(
+        spark,
+        base,
+        "events",
+        [
+            (t, dt.datetime(2024, 5, 1, 8) + dt.timedelta(days=day), v)
+            for t, day, v in rows
+        ],
+        "event_type string, ts timestamp_ntz, value double",
+    )
+    problems = compare(q.fn(spark, base), _con(base, "events"), q.oracle)
+    assert not problems, (rows[:6], problems)
