@@ -51,18 +51,15 @@ _MODULES = (
 # a fixed-size (50-row) prefix of the registry each round, so the prefix rotates
 # each round to the oracle-bearing queries that have never received a harness
 # CORRECTNESS row. ``_DRIVER_SAMPLED`` is the union of the keys of
-# CORRECTNESS_r01..r05.json (127 names); everything oracle-bearing outside it
-# sorts first, in ``_FAMILY_ORDER`` order sized so the r6 window covers exactly
-# the 50 highest-priority backlog entries (replication roundtrip, llm_curation,
-# llm_scoring, engine4, events, new tpch, mm audio/video, aggregates extras,
-# windows extras) and the remaining ~24 land in the r7 window.
+# CORRECTNESS_r01..r06.json (177 names); everything oracle-bearing outside it
+# sorts first, in ``_FAMILY_ORDER`` order. The r6 "defer-sample" tags were
+# deleted in r7 per the documented rotation, so the never-sampled remainder
+# (~119 oracle-bearing queries) drains through the r7 and r8 windows; r7
+# additions are capped (≤15) so the backlog strictly shrinks.
 #
-# r7 ROTATION PROCEDURE (do this first next round): add the 50 keys of
-# CORRECTNESS_r06.json to _DRIVER_SAMPLED, then delete the "defer-sample"
-# tag from every query that carries it (analytics_ext, analytics_ext2, and
-# the r6 additions in llm_text/llm_vectors/sources_sinks/streaming_batch) —
-# the never-sampled remainder (~24 pre-r6 backlog + ~70 r6 additions) then
-# sorts into the r7/r8 windows automatically. ~2 rotations clear it.
+# r8 ROTATION PROCEDURE (do this first next round): add the 50 keys of
+# CORRECTNESS_r07.json to _DRIVER_SAMPLED; the never-sampled remainder then
+# sorts into the r8 window automatically.
 _DRIVER_SAMPLED = frozenset((
     "agg_approx_count_distinct", "agg_arg_minmax", "agg_collect_sorted",
     "agg_conditional", "agg_corr", "agg_count_distinct", "agg_cube",
@@ -103,6 +100,26 @@ _DRIVER_SAMPLED = frozenset((
     "udf_udtf_words", "vec_cosine_pairs_exact", "vec_knn_query", "vec_norms",
     "win_distribution", "win_first_last_value", "win_lag_lead", "win_moving_avg",
     "win_range_frame", "win_rank_customers", "win_running_sum", "win_topk_per_group",
+    # --- CORRECTNESS_r06.json (50 keys, all green) ---
+    "agg_boolean_median", "agg_entropy", "agg_histogram_buckets",
+    "agg_histogram_equidepth", "agg_observe_metrics", "agg_regression",
+    "agg_winsorized_mean", "dedup_contamination_check", "dedup_incremental_batch",
+    "dedup_span_rewrite", "events_activity_streaks", "events_cohort_retention",
+    "events_markov_transitions", "events_rfm_segmentation", "events_time_to_convert",
+    "fn_collation_lcase", "fn_lateral_column_alias", "fn_variant_json",
+    "join_runtime_bloom_filter", "mm_audio_downsample", "mm_audio_features",
+    "mm_frame_dedup", "mm_video_frame_stats", "pack_sequences_chunks",
+    "pipeline_filter_funnel", "pipeline_pretraining_batch",
+    "replication_stream_roundtrip", "sample_language_temperature",
+    "sample_token_budget", "shuffle_shard_assign", "sort_global_range",
+    "sql_group_by_all_offset", "sql_language_udf", "sql_parameterized_identifier",
+    "sql_pipe_syntax", "sql_recursive_month_series", "sql_session_variables",
+    "text_boilerplate_coverage", "text_lm_perplexity", "text_repetition_metrics",
+    "tpch_q11_important_stock", "tpch_q16_part_supplier_relationship",
+    "tpch_q20_potential_promotion", "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
+    "udf_udtf_table_arg", "vec_label_centroid_classify", "vec_random_projection",
+    "win_nth_value",
 ))
 _FAMILY_ORDER = (
     "replication_pipeline",
@@ -172,8 +189,8 @@ def _presentation_order(registry: "dict[str, Query]") -> "dict[str, Query]":
         return (
             q.oracle is None,  # oracle-bearing first
             # Backlog first: oracle queries that already have a driver
-            # CORRECTNESS row (union r1-r5) sort after the never-sampled
-            # set, as do brand-new r6 additions tagged "defer-sample"
+            # CORRECTNESS row (union r1-r6) sort after the never-sampled
+            # set, as do brand-new additions tagged "defer-sample"
             # (they must not displace the backlog from the 50-row window).
             name in _DRIVER_SAMPLED or "defer-sample" in q.tags,
             family_rank.get(family, len(family_rank)),

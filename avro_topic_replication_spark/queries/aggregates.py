@@ -1250,7 +1250,7 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp_bitmap
         FROM lineitem GROUP BY l_returnflag
     """,
-    tags=("agg", "bitmap", "defer-sample"),
+    tags=("agg", "bitmap"),
 )
 def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitmap-based exact distinct counting (Spark 3.5 bitmap_* family):
@@ -1301,7 +1301,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(c AS BIGINT) AS mode_count
         FROM ranked WHERE rn = 1
     """,
-    tags=("agg", "stats", "defer-sample"),
+    tags=("agg", "stats"),
 )
 def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MODE (most frequent value, smallest-value

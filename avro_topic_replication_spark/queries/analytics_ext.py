@@ -7,8 +7,6 @@ operations a training-data / analytics user reaches for next once the
 relational + dedup legs exist. Every query here is oracle-checked against
 DuckDB; scale notes per query docstring.
 
-All queries are tagged ``defer-sample`` so the driver's 50-row correctness
-window keeps draining the pre-r6 backlog first (queries/__init__.py).
 """
 
 from __future__ import annotations
@@ -79,7 +77,7 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MIN(node) AS BIGINT) AS min_node
         FROM deg GROUP BY degree
     """,
-    tags=("graph", "agg", "defer-sample"),
+    tags=("graph", "agg"),
 )
 def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the co-supply graph: union both edge
@@ -117,7 +115,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MIN(a * 1000000 + b * 1000 + c) AS BIGINT) AS min_triangle_id
         FROM tri
     """,
-    tags=("graph", "join", "defer-sample"),
+    tags=("graph", "join"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle counting over the co-supply graph — the classic
@@ -192,7 +190,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 0.0 END AS clustering_coeff
         FROM deg LEFT JOIN tn USING (node)
     """,
-    tags=("graph", "join", "defer-sample"),
+    tags=("graph", "join"),
 )
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node local clustering coefficient over the co-supply graph:
@@ -271,7 +269,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(vals[len(vals)] AS DOUBLE) AS last_value
         FROM s
     """,
-    tags=("timeseries", "agg", "defer-sample"),
+    tags=("timeseries", "agg"),
 )
 def ts_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average (alpha = 0.2) of purchase
@@ -337,7 +335,7 @@ def ts_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e JOIN stats USING (event_type)
         GROUP BY e.event_type
     """,
-    tags=("timeseries", "stats", "defer-sample"),
+    tags=("timeseries", "stats"),
 )
 def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score anomaly detection: per event_type mean/std from
@@ -417,7 +415,7 @@ def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS n_repetition_fail
         FROM m GROUP BY source
     """,
-    tags=("llm", "text", "defer-sample"),
+    tags=("llm", "text"),
 )
 def text_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality gate (Rae et al. 2021 §A1.1 shape): word-count
@@ -514,7 +512,7 @@ def text_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                md5(chunk) AS chunk_md5
         FROM c
     """,
-    tags=("llm", "rag", "defer-sample"),
+    tags=("llm", "rag"),
 )
 def rag_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping character-window chunking (size 200, stride 150 — 50
@@ -568,7 +566,7 @@ def rag_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS P
         FROM orders GROUP BY o_orderpriority
     """,
-    tags=("stat", "agg", "defer-sample"),
+    tags=("stat", "agg"),
 )
 def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``df.stat.crosstab`` — the contingency-table entry point of the
@@ -603,7 +601,7 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND b.o_orderdate < a.o_orderdate + INTERVAL 7 DAY
         GROUP BY a.o_custkey
     """,
-    tags=("join", "interval", "defer-sample"),
+    tags=("join", "interval"),
 )
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap self-join: each order opens a 7-day activity
@@ -692,7 +690,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(st[2] + st[3] AS DOUBLE) AS forecast_1
         FROM f
     """,
-    tags=("timeseries", "agg", "defer-sample"),
+    tags=("timeseries", "agg"),
 )
 def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double exponential smoothing (level+trend, alpha=0.5,
@@ -772,7 +770,7 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dev JOIN mad USING (event_type)
         GROUP BY dev.event_type
     """,
-    tags=("timeseries", "stats", "defer-sample"),
+    tags=("timeseries", "stats"),
 )
 def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median-absolute-deviation outlier detection — the robust
@@ -838,7 +836,7 @@ def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
         FROM p WHERE rk <= 10
     """,
-    tags=("llm", "sampling", "defer-sample"),
+    tags=("llm", "sampling"),
 )
 def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement, k=10 per language, weight =
@@ -875,7 +873,7 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_label_propagation",
-    tags=("graph", "iterative", "rows-only", "defer-sample"),
+    tags=("graph", "iterative", "rows-only"),
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the co-supply graph: 5 rounds of
@@ -953,7 +951,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(st[2] AS DOUBLE) AS cusum_max
         FROM f
     """,
-    tags=("timeseries", "agg", "defer-sample"),
+    tags=("timeseries", "agg"),
 )
 def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift detection per event type (Page 1954 shape):
@@ -1045,7 +1043,7 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                              * (sv / CAST(n AS DOUBLE)))) AS sq_residual_sum
         FROM season
     """,
-    tags=("timeseries", "stats", "defer-sample"),
+    tags=("timeseries", "stats"),
 )
 def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonal baseline + residual energy: per (type, dow)
@@ -1126,7 +1124,7 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
                END AS z_score
         FROM wide
     """,
-    tags=("events", "stats", "defer-sample"),
+    tags=("events", "stats"),
 )
 def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion A/B readout: users split into control/treatment by
@@ -1265,7 +1263,7 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN den7 = 0.0 THEN NULL ELSE cov7 / den7 END AS acf_lag7
         FROM d
     """,
-    tags=("timeseries", "stats", "defer-sample"),
+    tags=("timeseries", "stats"),
 )
 def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample autocorrelation of the daily value series at lags 1 and 7
@@ -1355,7 +1353,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS P_cnt
         FROM orders GROUP BY o_orderpriority
     """,
-    tags=("sql", "pivot", "defer-sample"),
+    tags=("sql", "pivot"),
 )
 def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-text PIVOT clause (the textual twin of agg_pivot's
@@ -1388,7 +1386,7 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_quantity >= 48
         GROUP BY l_suppkey
     """,
-    tags=("sql", "layout", "defer-sample"),
+    tags=("sql", "layout"),
 )
 def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTE BY + SORT BY — the SQL layout clauses (Hive dialect,
@@ -1446,7 +1444,7 @@ def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, score
         FROM ranked WHERE rk <= 5
     """,
-    tags=("llm", "text", "defer-sample"),
+    tags=("llm", "text"),
 )
 def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 keywords by TF-IDF (the keyword-extraction /
@@ -1485,7 +1483,7 @@ def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vec_mmr_diversify",
-    tags=("vector", "rag", "rows-only", "defer-sample"),
+    tags=("vector", "rag", "rows-only"),
 )
 def vec_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
@@ -1586,7 +1584,7 @@ def vec_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS first_peak_day
         FROM dd GROUP BY event_type
     """,
-    tags=("timeseries", "window", "defer-sample"),
+    tags=("timeseries", "window"),
 )
 def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown of the daily value series per event type — the
@@ -1626,7 +1624,7 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_kcore",
-    tags=("graph", "iterative", "rows-only", "defer-sample"),
+    tags=("graph", "iterative", "rows-only"),
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 3-core of the co-supply graph (operators/kcore.py iterative
@@ -1659,7 +1657,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS cnt
         FROM lineitem GROUP BY l_returnflag
     """,
-    tags=("agg", "sketch", "defer-sample"),
+    tags=("agg", "sketch"),
 )
 def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4's ``approx_top_k`` sketch aggregate over the bounded
@@ -1685,7 +1683,7 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ml_als_recommend",
-    tags=("ml", "iterative", "rows-only", "blocked-product", "defer-sample"),
+    tags=("ml", "iterative", "rows-only", "blocked-product"),
 )
 def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collaborative filtering with ALS (pyspark.ml.recommendation) over
@@ -1782,7 +1780,7 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS intercept
         FROM c
     """,
-    tags=("agg", "stats", "defer-sample"),
+    tags=("agg", "stats"),
 )
 def agg_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-predictor OLS per group, closed form: price ~ quantity +
@@ -1852,7 +1850,7 @@ def agg_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT click_id, user_id, view_id FROM ranked WHERE rn = 1
     """,
-    tags=("join", "asof", "defer-sample"),
+    tags=("join", "asof"),
 )
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join WITH TOLERANCE: the latest same-user view at or before

@@ -8,8 +8,6 @@ All [EXT] surface beyond the reference's replication dataflow
 (ReplicationApplication.java:71 is its only transform). Every query is
 oracle-checked against DuckDB; scale notes per query docstring.
 
-All queries are tagged ``defer-sample`` so the driver's 50-row correctness
-window keeps draining the pre-r6 backlog first (queries/__init__.py).
 """
 
 from __future__ import annotations
@@ -58,7 +56,7 @@ _PACK_DUCK = """
         ORDER BY hamming, c.vec_id
         LIMIT 10
     """,
-    tags=("vectors", "ann", "defer-sample"),
+    tags=("vectors", "ann"),
 )
 def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k nearest neighbours under 1-bit (sign) quantization: pack the
@@ -122,7 +120,7 @@ def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked WHERE rn <= 3
         GROUP BY c_nationkey
     """,
-    tags=("agg", "string", "engine4", "defer-sample"),
+    tags=("agg", "string", "engine4"),
 )
 def agg_listagg_top_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation via Spark 4's ``listagg(...) WITHIN
@@ -177,7 +175,7 @@ def agg_listagg_top_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.k, c.n_cust, s.n_supp
         FROM cust_k c JOIN supp_k s ON c.k IS NOT DISTINCT FROM s.k
     """,
-    tags=("join", "null-semantics", "defer-sample"),
+    tags=("join", "null-semantics"),
 )
 def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equi-join (``eqNullSafe`` / SQL ``<=>``): both sides
@@ -232,7 +230,7 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
                'supplier' AS src
         FROM supplier WHERE s_suppkey <= 20
     """,
-    tags=("setop", "schema", "defer-sample"),
+    tags=("setop", "schema"),
 )
 def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union two sources with different column ORDER and a column missing
@@ -319,7 +317,7 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(v IS NULL AS INT) AS is_interpolated
         FROM ctx
     """,
-    tags=("timeseries", "window", "defer-sample"),
+    tags=("timeseries", "window"),
 )
 def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation of a sparse per-user daily series onto a dense
@@ -416,7 +414,7 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MIN(user_id) AS BIGINT) AS sample_user
         FROM paths GROUP BY path
     """,
-    tags=("events", "window", "string", "defer-sample"),
+    tags=("events", "window", "string"),
 )
 def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-journey mining: each user's first three events (deterministic
@@ -481,7 +479,7 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
         FROM gaps GROUP BY event_type
     """,
-    tags=("events", "window", "defer-sample"),
+    tags=("events", "window"),
 )
 def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival gap statistics per event type (the first thing a
@@ -552,7 +550,7 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                            (a, b) -> a + b) AS chi2
         FROM t
     """,
-    tags=("stats", "agg", "defer-sample"),
+    tags=("stats", "agg"),
 )
 def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square test of independence between event type and a
@@ -650,7 +648,7 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM numbered
         GROUP BY user_id, session_id
     """,
-    tags=("streaming", "window", "session", "defer-sample"),
+    tags=("streaming", "window", "session"),
 )
 def stream_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a DYNAMIC per-event gap (Spark's
@@ -701,7 +699,7 @@ def stream_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         FROM events GROUP BY user_id
     """,
-    tags=("agg", "incremental", "defer-sample"),
+    tags=("agg", "incremental"),
 )
 def agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental refresh of a per-user rollup: the 'materialized' base
@@ -762,7 +760,7 @@ def agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(o_custkey AS BIGINT) AS custkey, n_orders, revenue
         FROM rev WHERE n_orders >= 10
     """,
-    tags=("sql", "cache", "engine4", "defer-sample"),
+    tags=("sql", "cache", "engine4"),
 )
 def sql_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`CACHE TABLE ... AS SELECT`: materialize a per-customer revenue
@@ -818,7 +816,7 @@ def sql_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                               AND CURRENT ROW)
     """,
-    tags=("window", "timeseries", "defer-sample"),
+    tags=("window", "timeseries"),
 )
 def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour rolling count and decimal-exact sum per user: a
@@ -885,7 +883,7 @@ _SCD2_DIM_SQL = """
          AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
         GROUP BY d.version, d.c_mktsegment
     """,
-    tags=("join", "scd2", "warehouse", "defer-sample"),
+    tags=("join", "scd2", "warehouse"),
 )
 def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join against an SCD2-versioned dimension: every
@@ -958,7 +956,7 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT NULLIF(c_custkey % 50, 0)
             FROM customer WHERE c_mktsegment = 'BUILDING')
     """,
-    tags=("sql", "null-semantics", "subquery", "defer-sample"),
+    tags=("sql", "null-semantics", "subquery"),
 )
 def sql_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN under three-valued logic: against a NULL-free subquery it
@@ -1030,7 +1028,7 @@ def sql_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_7d,
                CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_7d
     """,
-    tags=("events", "funnel", "defer-sample"),
+    tags=("events", "funnel"),
 )
 def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bounded view→click→purchase funnel: each stage counts only

@@ -932,7 +932,7 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM canon
         GROUP BY canonical_url
     """,
-    tags=("llm", "dedup", "curation", "defer-sample"),
+    tags=("llm", "dedup", "curation"),
 )
 def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup — the step a web-crawl corpus runs

@@ -737,7 +737,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM ranked
         GROUP BY doc_id
     """,
-    tags=("llm", "dedup", "defer-sample"),
+    tags=("llm", "dedup"),
 )
 def dedup_line_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide LINE-level exact dedup with document rewrite — the

@@ -253,7 +253,7 @@ def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN (SELECT source, COUNT(*) AS n FROM kept GROUP BY source) k
                USING (source)
     """,
-    tags=("llm", "sampling", "defer-sample"),
+    tags=("llm", "sampling"),
 )
 def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling with a DATA-DRIVEN rates table — the

@@ -621,7 +621,7 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY pmi DESC, bigram ASC
         LIMIT 20
     """,
-    tags=("llm", "text", "defer-sample"),
+    tags=("llm", "text"),
 )
 def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining by pointwise mutual information: which adjacent
@@ -708,7 +708,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (a, b) -> a + b), 6) AS char_entropy_bits
         FROM g
     """,
-    tags=("llm", "text", "quality", "defer-sample"),
+    tags=("llm", "text", "quality"),
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-level Shannon entropy (bits/char) — the

@@ -835,7 +835,7 @@ def vec_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / 10.0 AS recall_at_10
         FROM ranked GROUP BY qid
     """,
-    tags=("llm", "vector", "defer-sample"),
+    tags=("llm", "vector"),
 )
 def vec_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style truncation quality: for each of 3 query vectors,

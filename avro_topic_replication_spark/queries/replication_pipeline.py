@@ -246,7 +246,7 @@ def replication_evolved_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS n_distinct_ids
         FROM d GROUP BY disposition
     """,
-    tags=("replication", "avro", "dlq", "defer-sample"),
+    tags=("replication", "avro", "dlq"),
 )
 def replication_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter routing, oracle-verified: the clean nation-derived
@@ -334,7 +334,7 @@ def replication_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "replication_stream_dlq",
     oracle=None,
-    tags=("replication", "avro", "dlq", "live", "defer-sample"),
+    tags=("replication", "avro", "dlq", "live"),
 )
 def replication_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tolerant R1–R9 pipeline END TO END in streaming mode: the

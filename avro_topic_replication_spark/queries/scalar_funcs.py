@@ -859,7 +859,7 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS cipher_bytes
         FROM customer WHERE c_custkey < 300
     """,
-    tags=("scalar", "crypto", "defer-sample"),
+    tags=("scalar", "crypto"),
 )
 def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level encryption with Spark's native aes_encrypt/aes_decrypt
@@ -900,7 +900,7 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(date_part('isodow', o_orderdate) AS INTEGER) AS iso_dow
         FROM orders WHERE o_orderkey < 300
     """,
-    tags=("scalar", "datetime", "defer-sample"),
+    tags=("scalar", "datetime"),
 )
 def fn_datetime_make(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp/date CONSTRUCTION and calendar parts: make_date /

@@ -641,7 +641,7 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_totalprice AS total
         FROM orders WHERE o_orderkey % 100 BETWEEN 10 AND 19
     """,
-    tags=("source", "parquet", "schema-evolution", "defer-sample"),
+    tags=("source", "parquet", "schema-evolution"),
 )
 def source_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution ON READ: two parquet generations — v1 without the

@@ -1202,7 +1202,7 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sess
         GROUP BY user_id, session_idx
     """,
-    tags=("events", "analytics", "window", "defer-sample"),
+    tags=("events", "analytics", "window"),
 )
 def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-based sessionization (the 30-minute-inactivity rule):
@@ -1266,7 +1266,7 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS quick_convert_count
         FROM seq
     """,
-    tags=("events", "analytics", "pattern", "defer-sample"),
+    tags=("events", "analytics", "pattern"),
 )
 def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-pattern detection over event streams (the MATCH_RECOGNIZE
@@ -1335,7 +1335,7 @@ def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_type = 'purchase'
         GROUP BY user_id
     """,
-    tags=("events", "analytics", "attribution", "defer-sample"),
+    tags=("events", "analytics", "attribution"),
 )
 def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: every purchase is credited to the user's
@@ -1412,7 +1412,7 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM rolled, bounds
         WHERE target_day <= hi
     """,
-    tags=("events", "analytics", "window", "defer-sample"),
+    tags=("events", "analytics", "window"),
 )
 def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling active-user counts — DAU / WAU (7-day) / MAU (30-day) per
