@@ -16,8 +16,6 @@ Transcendentals (ln/exp) are avoided in hash-matched columns — Java's
 engines. Power means at p = -1, 1, 2 need only division/multiply/sqrt and
 are exact; the geometric mean (p → 0) is deliberately excluded.
 
-All queries are tagged ``defer-sample`` so the driver's 50-row correctness
-window keeps draining the pre-r6 backlog first (queries/__init__.py).
 """
 
 from __future__ import annotations
@@ -70,7 +68,7 @@ def _dsum(col):
                  AS welch_df
         FROM s
     """,
-    tags=("stats", "defer-sample"),
+    tags=("stats"),
 )
 def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test between two customer segments'
@@ -129,7 +127,7 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         GROUP BY o_orderpriority
     """,
-    tags=("agg", "stats", "defer-sample"),
+    tags=("agg", "stats"),
 )
 def agg_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generalized power means (p = -1 harmonic, p = 1 arithmetic, p = 2
@@ -176,7 +174,7 @@ def agg_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c
         GROUP BY l_returnflag
     """,
-    tags=("agg", "stats", "defer-sample"),
+    tags=("agg", "stats"),
 )
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median extended price per return flag: the
@@ -233,7 +231,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, day, revenue, rolling_median7
         FROM r WHERE rn >= 7
     """,
-    tags=("ts", "window", "defer-sample"),
+    tags=("ts", "window"),
 )
 def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day rolling median of daily revenue per event type — the
@@ -289,7 +287,7 @@ _TOKENS_SQL = "string_split_regex(lower(text), '\\s+')"
         FROM b GROUP BY bigram
         ORDER BY n DESC, bigram LIMIT 20
     """,
-    tags=("llm", "text", "defer-sample"),
+    tags=("llm", "text"),
 )
 def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 bigrams with exact counts — the building block
@@ -361,7 +359,7 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS zipf_r2
         FROM s
     """,
-    tags=("llm", "text", "stats", "defer-sample"),
+    tags=("llm", "text", "stats"),
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit over the corpus unigram distribution: regress
@@ -445,7 +443,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.l_partkey, b.l_partkey
         ORDER BY n_orders DESC, part_a, part_b LIMIT 20
     """,
-    tags=("graph", "defer-sample"),
+    tags=("graph"),
 )
 def graph_bipartite_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite projection of the order->part graph: top co-purchased
@@ -506,7 +504,7 @@ def graph_bipartite_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN deg db ON db.cust = cust_b
         ORDER BY common_parts DESC, cust_a, cust_b LIMIT 20
     """,
-    tags=("graph", "defer-sample"),
+    tags=("graph"),
 )
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbors link prediction on the customer-part bipartite
@@ -522,8 +520,15 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     binds, and the hub parts a cap drops contribute negligible
     similarity signal anyway. Degrees are computed on the SAME capped
     graph so jaccard = common / (|A u B|) is internally consistent.
-    Everything is equi-joins + hash aggregates; no all-pairs product
-    anywhere."""
+
+    Pair generation is one shuffle, not two: buyers collapse to a
+    sorted array per part (<= 50 elements by the cap, so the row is
+    bounded), and the C(buyers, 2) ordered pairs are generated map-side
+    by nested TRANSFORM/SLICE higher-order functions + one explode —
+    replacing the e JOIN e self-join of the r6 shape, whose part-keyed
+    exchange the pair aggregate then reshuffled (measured 5.3s -> the
+    cheapest query shape at sf0.1; plan has one fewer Exchange). No
+    all-pairs product anywhere."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cp = (
@@ -536,11 +541,19 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = cp.join(capped.select("part"), ["part"])
     deg = e.groupBy("cust").agg(F.count("*").alias("deg"))
-    a = e.select(F.col("part").alias("p"), F.col("cust").alias("cust_a"))
-    b = e.select(F.col("part").alias("p"), F.col("cust").alias("cust_b"))
+    lists = e.groupBy("part").agg(F.sort_array(F.collect_list("cust")).alias("custs"))
+    pair_arr = F.flatten(
+        F.transform(
+            "custs",
+            lambda x, i: F.transform(
+                F.slice(F.col("custs"), i + F.lit(2), F.size("custs")),
+                lambda y: F.struct(x.alias("cust_a"), y.alias("cust_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, ["p"])
-        .filter(F.col("cust_a") < F.col("cust_b"))
+        lists.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.cust_a", "pr.cust_b")
         .groupBy("cust_a", "cust_b")
         .agg(F.count("*").alias("common_parts"))
     )
@@ -643,7 +656,7 @@ def _ocf_fixture(spark: SparkSession, sf_dir: str) -> str:
                c_acctbal AS acctbal, c_mktsegment AS mktsegment
         FROM customer
     """,
-    tags=("source", "avro", "defer-sample"),
+    tags=("source", "avro"),
 )
 def source_avro_container(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro Object Container File ingest without the spark-avro jar: OCF
@@ -697,7 +710,7 @@ def source_avro_container(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         ORDER BY ALL
     """,
-    tags=("sql", "engine4", "defer-sample"),
+    tags=("sql", "engine4"),
 )
 def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``GROUP BY ALL`` + ``ORDER BY ALL`` — the modern SQL shorthand
@@ -742,7 +755,7 @@ def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         dbb="""list_reduce(list_transform(list_zip(b.embedding, b.embedding),
                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)""",
     ),
-    tags=("llm", "vector", "stats", "defer-sample"),
+    tags=("llm", "vector", "stats"),
 )
 def vec_pair_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise-cosine distribution profile over a deterministic linear
@@ -821,7 +834,7 @@ def vec_pair_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / NULLIF(MAX(t1) * MAX(t2), 0)) AS crit_05
         FROM c
     """,
-    tags=("stats", "defer-sample"),
+    tags=("stats"),
 )
 def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic between two customer
@@ -909,7 +922,7 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS fk_grade
         FROM m
     """,
-    tags=("llm", "text", "defer-sample"),
+    tags=("llm", "text"),
 )
 def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading ease + Flesch–Kincaid grade per document, with the
@@ -968,7 +981,7 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r
         GROUP BY lang
     """,
-    tags=("llm", "text", "stats", "defer-sample"),
+    tags=("llm", "text", "stats"),
 )
 def text_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of document length per language — the corpus
@@ -1053,7 +1066,7 @@ _POIS_CUTS = ("5e2d", "bc5a", "eb71", "fb23", "ff10")
                ms[2] AS ci_lo, ms[31] AS ci_hi
         FROM sorted, point
     """,
-    tags=("stats", "sampling", "defer-sample"),
+    tags=("stats", "sampling"),
 )
 def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson bootstrap confidence interval for the mean order value —
@@ -1177,7 +1190,7 @@ def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                     PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
         FROM daily
     """,
-    tags=("events", "ts", "defer-sample"),
+    tags=("events", "ts"),
 )
 def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative distinct users by day — the growth-accounting curve.
@@ -1227,7 +1240,7 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                ABS(revenue - med7) > 4.4478 * mad7 AS is_outlier
         FROM m
     """,
-    tags=("ts", "stats", "defer-sample"),
+    tags=("ts", "stats"),
 )
 def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hampel filter over daily revenue per event type: a point is an
@@ -1295,7 +1308,7 @@ def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority, metric, val
         FROM wide UNPIVOT (val FOR metric IN (n_orders, total_price, max_price))
     """,
-    tags=("sql", "agg", "defer-sample"),
+    tags=("sql", "agg"),
 )
 def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Textual SQL ``UNPIVOT`` (the standard-syntax wide→long melt, the
@@ -1332,7 +1345,7 @@ def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY 1, 2
     """,
-    tags=("events", "agg", "defer-sample"),
+    tags=("events", "agg"),
 )
 def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week × hour activity heatmap — the operational load grid
@@ -1414,7 +1427,7 @@ def _ph_luma_sql(xpos: str) -> str:
         FROM hashes a JOIN hashes b ON a.img_id < b.img_id
         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
     """,
-    tags=("llm", "multimodal", "dedup", "defer-sample"),
+    tags=("llm", "multimodal", "dedup"),
 )
 def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup detection — the image-modality arm
