@@ -538,3 +538,95 @@ def test_snaive_backtest_fuzz(spark, tmp_path_factory, rows):
     )
     problems = compare(q.fn(spark, base), _con(base, "events"), q.oracle)
     assert not problems, (rows[:6], problems)
+
+
+@given(
+    value=st.sampled_from([0.25, 1.0, 5.5, 9.999, 10.0, 777.0, 1000000.0]),
+    n=st.integers(min_value=1, max_value=60),
+)
+@settings(**_SETTINGS)
+def test_benford_all_equal_amounts_fuzz(spark, tmp_path_factory, value, n):
+    """stat_benford_law's fully degenerate corpus: every amount identical,
+    so at most ONE first digit survives (fewer than 9 distinct digits —
+    the chi-square must come from that single cell, with n == observed),
+    and a sub-1 constant empties the table entirely after the >= 1
+    filter. Both ends must match the oracle bit-exactly."""
+    q = QS["stat_benford_law"]
+    base = str(tmp_path_factory.mktemp("benequal"))
+    _write(spark, base, "orders", [(value,)] * n, "o_totalprice double")
+    problems = compare(q.fn(spark, base), _con(base, "orders"), q.oracle)
+    assert not problems, (value, n, problems)
+
+
+@given(
+    keys=st.sets(
+        # keys in NO derivation class: k % 7, % 10, % 13 all nonzero, so
+        # v1 == v2 exactly (identical snapshots)
+        st.integers(min_value=1, max_value=3000).filter(
+            lambda k: k % 7 and k % 10 and k % 13
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    status=st.sampled_from(["O", "F", "P"]),
+)
+@settings(**_SETTINGS)
+def test_cdc_identical_snapshots_fuzz(spark, tmp_path_factory, keys, status):
+    """cdc_snapshot_diff when the two derived snapshots are IDENTICAL
+    (no key hits the %7/%10/%13 classes): the full outer join matches
+    every row to itself, the unchanged-row filter drops everything, and
+    both engines must emit exactly zero rows."""
+    q = QS["cdc_snapshot_diff"]
+    base = str(tmp_path_factory.mktemp("cdcid"))
+    _write(
+        spark,
+        base,
+        "orders",
+        [(k, status) for k in sorted(keys)],
+        "o_orderkey long, o_orderstatus string",
+    )
+    sdf = q.fn(spark, base)
+    assert sdf.count() == 0  # identical snapshots -> empty diff
+    problems = compare(sdf, _con(base, "orders"), q.oracle)
+    assert not problems, (sorted(keys)[:8], problems)
+
+
+@given(
+    baskets=st.dictionaries(
+        st.integers(min_value=0, max_value=40),  # order key
+        st.integers(min_value=0, max_value=20),  # its single part
+        min_size=1,
+        max_size=40,
+    ),
+    dup=st.integers(min_value=1, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_association_rules_single_item_baskets_fuzz(
+    spark, tmp_path_factory, baskets, dup
+):
+    """mba_association_rules when EVERY basket holds exactly one distinct
+    part (repeated `dup` times — the DISTINCT collapse must still leave a
+    single item): there is no pair to count, so the rule set is empty on
+    both engines regardless of the support threshold."""
+    q = QS["mba_association_rules"]
+    base = str(tmp_path_factory.mktemp("mbasingle"))
+    _write(
+        spark,
+        base,
+        "lineitem",
+        [(o, p) for o, p in baskets.items() for _ in range(dup)],
+        "l_orderkey long, l_partkey long",
+    )
+    _write(
+        spark,
+        base,
+        "part",
+        [(p, f"Brand#{p % 3}") for p in range(21)],
+        "p_partkey long, p_brand string",
+    )
+    sdf = q.fn(spark, base)
+    assert sdf.count() == 0  # single-item baskets -> no pairs, no rules
+    problems = compare(
+        sdf, _con(base, "lineitem", "part"), q.oracle
+    )
+    assert not problems, (list(baskets.items())[:8], dup, problems)
