@@ -57,7 +57,7 @@ def main() -> int:
     queries = {n: q for n, q in sorted(all_queries().items()) if "bench_skip" not in q.tags}
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name, q in queries.items():
+    for i, (name, q) in enumerate(queries.items()):
         try:
             timings[name] = run_once(q)
         except Exception as e:  # a broken query must not kill the bench
@@ -67,6 +67,14 @@ def main() -> int:
             # Evict per-query persisted lineage so later queries aren't
             # timed under the accumulated memory pressure of earlier ones.
             spark.catalog.clearCache()
+            # Spark's ContextCleaner only releases accumulated broadcast
+            # blocks / shuffle state on a DRIVER GC, and a 16 GiB heap may
+            # never collect during a ~300 s bench — late queries otherwise
+            # run under every broadcast built since startup. Hygiene, not
+            # a measured speedup (PLANS.md r7: run-to-run host noise
+            # dominates sub-2s timings); runs outside the timed sections.
+            if (i + 1) % 50 == 0:
+                spark._jvm.System.gc()
 
     # Queries whose first run was slow mostly paid one-time costs (codegen
     # of a large expression tree, scratch-fixture staging, state-store
