@@ -526,9 +526,21 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded), and the C(buyers, 2) ordered pairs are generated map-side
     by nested TRANSFORM/SLICE higher-order functions + one explode —
     replacing the e JOIN e self-join of the r6 shape, whose part-keyed
-    exchange the pair aggregate then reshuffled (measured 5.3s -> the
-    cheapest query shape at sf0.1; plan has one fewer Exchange). No
-    all-pairs product anywhere."""
+    exchange the pair aggregate then reshuffled (plan has one fewer
+    Exchange). The edge table feeds two consumers (degrees, buyer
+    lists), so it materializes once via eager localCheckpoint instead
+    of recomputing the orders-lineitem distinct per consumer. The
+    ranking depends only on (common_parts, cust_a, cust_b) — a total
+    order — so the top-20 is taken BEFORE the degree joins
+    (TakeOrderedAndProject heaps over the pair aggregate), and the
+    jaccard denominators join onto 20 rows, not the full pair table.
+
+    Cost floor, measured at sf0.1: the df<=50 cap admits 9.0M candidate
+    pairs that collapse to 8.6M distinct groups — the pair aggregate's
+    near-injective shuffle IS the query (2.7s of the 4.4s total); every
+    other stage is edges-sized or 20-rows-sized. That term scales as
+    Sum_over_capped_parts C(buyers, 2), linear in edges once the cap
+    binds. No all-pairs product anywhere."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cp = (
@@ -539,7 +551,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = cp.groupBy("part").agg(F.count("*").alias("buyers")).filter(
         F.col("buyers") <= 50
     )
-    e = cp.join(capped.select("part"), ["part"])
+    e = cp.join(capped.select("part"), ["part"]).localCheckpoint(eager=True)
     deg = e.groupBy("cust").agg(F.count("*").alias("deg"))
     lists = e.groupBy("part").agg(F.sort_array(F.collect_list("cust")).alias("custs"))
     pair_arr = F.flatten(
@@ -557,10 +569,13 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_a", "cust_b")
         .agg(F.count("*").alias("common_parts"))
     )
+    top = pairs.orderBy(
+        F.desc("common_parts"), F.asc("cust_a"), F.asc("cust_b")
+    ).limit(20)
     da = deg.select(F.col("cust").alias("cust_a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("cust").alias("cust_b"), F.col("deg").alias("deg_b"))
     return (
-        pairs.join(da, ["cust_a"])
+        top.join(da, ["cust_a"])
         .join(db, ["cust_b"])
         .select(
             "cust_a",
@@ -575,7 +590,6 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .orderBy(F.desc("common_parts"), F.asc("cust_a"), F.asc("cust_b"))
-        .limit(20)
     )
 
 
