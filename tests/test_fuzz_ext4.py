@@ -630,3 +630,85 @@ def test_association_rules_single_item_baskets_fuzz(
         sdf, _con(base, "lineitem", "part"), q.oracle
     )
     assert not problems, (list(baskets.items())[:8], dup, problems)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=50)),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+            st.one_of(st.none(), st.sampled_from(["O", "F", "P"])),
+            st.one_of(st.none(), st.sampled_from(["1-URGENT", "5-LOW"])),
+            st.one_of(st.none(), st.sampled_from([0.0, 1.5, 99.99, 4321.0])),
+            st.one_of(
+                st.none(),
+                st.sampled_from(
+                    [dt.datetime(1995, 3, 1), dt.datetime(1998, 8, 2)]
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_profile_columns_null_riddled_fuzz(spark, tmp_path_factory, rows):
+    """profile_table_columns (r7 per-column two-phase rewrite) on tables
+    where any column can be entirely NULL: null counts, exact distinct
+    counts (NULLs excluded), and the VARCHAR-rendered min/max (NULL when
+    a column is all-NULL) must match the oracle bit-exactly — including
+    the all-rows-NULL column whose distinct count is zero."""
+    q = QS["profile_table_columns"]
+    base = str(tmp_path_factory.mktemp("proffuzz"))
+    _write(
+        spark,
+        base,
+        "orders",
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_orderpriority string, o_totalprice double, "
+        "o_orderdate timestamp_ntz",
+    )
+    problems = compare(q.fn(spark, base), _con(base, "orders"), q.oracle)
+    assert not problems, (rows[:6], problems)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),   # order key
+            st.integers(min_value=0, max_value=6),    # cust (via order)
+            st.integers(min_value=0, max_value=8),    # part
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_common_neighbors_fuzz(spark, tmp_path_factory, edges):
+    """graph_common_neighbors (rewritten twice in r7: map-side pair
+    explode, then top-20-before-degree-joins) against the oracle's
+    self-join + NOT-EXISTS-free formulation on tiny random bipartite
+    graphs: duplicate (cust, part) edges must collapse, tied
+    common_parts at the top-20 boundary must break on (cust_a, cust_b),
+    and single-buyer parts must contribute no pairs."""
+    q = QS["graph_common_neighbors"]
+    base = str(tmp_path_factory.mktemp("cnfuzz"))
+    _write(
+        spark,
+        base,
+        "orders",
+        [(o, c) for o, c, _ in edges],
+        "o_orderkey long, o_custkey long",
+    )
+    _write(
+        spark,
+        base,
+        "lineitem",
+        [(o, p) for o, _, p in edges],
+        "l_orderkey long, l_partkey long",
+    )
+    problems = compare(
+        q.fn(spark, base), _con(base, "orders", "lineitem"), q.oracle
+    )
+    assert not problems, (edges[:8], problems)
