@@ -551,59 +551,96 @@ def vec_label_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every float sum (centroid means, norms, dot products) goes through
     DECIMAL(28,16): float32 products are exact at that scale, decimal
-    addition is associative, so Spark's shuffle order and DuckDB's scan
-    order produce bit-identical doubles — the same trick as
-    functions/numeric.py, at float precision. Long-form layout
-    (vec_id, pos, v): dims×rows rows shuffle once to build centroids
-    (64·|labels| values, broadcast back) and once for per-vector dot
-    groups; ties break on the label for a deterministic argmax. The
-    long-form table feeds three consumers (centroids, vector norms, dot
-    products) — persisted so the posexplode runs once (A/B at sf0.1:
-    3.9 s → 2.9 s min-of-3; the remaining cost is the ex×labels dot
-    expansion — collecting the model-sized centroid matrix to the driver
-    and folding per-label dot expressions over the array column would
-    drop it further, at the price of duplicating the decimal-exact sum
-    logic driver-side)."""
+    addition is associative AND commutative at that exactness, so any
+    summation order — Spark shuffle, DuckDB scan, or a fixed positional
+    array fold — produces the bit-identical double (the
+    functions/numeric.py trick at float precision).
+
+    Shape (r7): centroids come from one long-form shuffle
+    (dims×rows → 64·|labels| means + |labels| norms), and that
+    model-sized matrix is COLLECTED to the driver — the bounded k×dim
+    driver traffic of operators/kmeans.py, not row data. Scoring is then
+    entirely map-side: per label, a zip_with/aggregate decimal fold over
+    the array column computes the dot, the vector norm is the same fold
+    on v·v, and the argmax chains WHEN comparisons in ascending-label
+    order (ties keep the earlier = smaller label, matching the oracle's
+    ROW_NUMBER tie-break). This removed the r6 shape's rows×dims×labels
+    broadcast-join expansion, the per-vector norm shuffle, and the
+    ranking window — A/B at sf0.1: 2.9 s → map-only scoring + one tiny
+    confusion aggregate."""
     e = load_table(spark, sf_dir, "embeddings")
     ex = e.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos0", "v32")
     ).select(
-        "vec_id",
         "label",
         (F.col("pos0") + 1).alias("pos"),
         F.col("v32").cast("double").alias("v"),
-    ).persist()
+    )
     cent = (
         ex.groupBy(F.col("label").alias("clabel"), "pos")
         .agg(
             (F.sum(F.col("v").cast(_DEC)).cast("double") / F.count("*")).alias("c")
         )
+        # 64·|labels| rows; materialized once so the cnorm aggregate and
+        # the collect below don't each replay the dims×rows shuffle
+        .localCheckpoint(eager=True)
     )
     cnorm = cent.groupBy("clabel").agg(
         F.sqrt(F.sum((F.col("c") * F.col("c")).cast(_DEC)).cast("double")).alias(
             "cn"
         )
     )
-    vnorm = ex.groupBy("vec_id").agg(
-        F.sqrt(F.sum((F.col("v") * F.col("v")).cast(_DEC)).cast("double")).alias(
-            "vn"
+    # model-sized collects: 64·|labels| means + |labels| norms (bounded —
+    # the centroid matrix IS the model, same budget as kmeans centroids)
+    cvec: dict = {}
+    for r in cent.collect():
+        cvec.setdefault(r["clabel"], {})[r["pos"]] = r["c"]
+    cns = {r["clabel"]: r["cn"] for r in cnorm.collect()}
+    label_type = dict(e.dtypes)["label"]
+    if not cvec:  # empty corpus: no centroids, no predictions
+        return spark.createDataFrame(
+            [], f"label {label_type}, predicted {label_type}, n bigint"
         )
+
+    def dec_sum(arr):  # decimal-exact, order-independent array sum
+        # the fold's merge must return the accumulator type exactly, so
+        # each add re-casts to decimal(32,16): (32,16)+(28,16) widens to
+        # (33,16) — still lossless — and the cast back is exact for the
+        # <= dims-sized sums of unit-scale products this query folds
+        acc = "decimal(32,16)"
+        return F.aggregate(
+            arr,
+            F.lit(0).cast(acc),
+            lambda a, x: (a + x.cast(_DEC)).cast(acc),
+        ).cast("double")
+
+    varr = F.transform("embedding", lambda x: x.cast("double"))
+    # one named column per reused subexpression: a WHEN-chain argmax that
+    # re-references the running best would DOUBLE the expression tree per
+    # label (2^|labels| subtrees — measured 88s at sf0.1); the array fold
+    # below binds everything to lambda variables instead, so each cosine
+    # is built and evaluated exactly once per row
+    scored = e.withColumn("vn", F.sqrt(dec_sum(F.transform(varr, lambda v: v * v))))
+    cand = []
+    for lab in sorted(cvec):  # ascending: fold keeps the earlier label on ties
+        carr = F.array(
+            *[F.lit(cvec[lab][p]) for p in range(1, len(cvec[lab]) + 1)]
+        )
+        cos = dec_sum(F.zip_with(varr, carr, lambda v, c: v * c)) / (
+            F.col("vn") * F.lit(cns[lab])
+        )
+        cand.append(
+            F.struct(cos.alias("cos"), F.lit(lab).cast(label_type).alias("clabel"))
+        )
+    scored = scored.withColumn("scores", F.array(*cand))
+    best = F.aggregate(
+        F.slice("scores", 2, F.size("scores")),
+        F.col("scores")[0],
+        lambda a, x: F.when(x["cos"] > a["cos"], x).otherwise(a),
     )
-    dots = (
-        ex.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "clabel")
-        .agg(F.sum((F.col("v") * F.col("c")).cast(_DEC)).cast("double").alias("dot"))
-    )
-    scored = (
-        dots.join(vnorm, "vec_id")
-        .join(F.broadcast(cnorm), "clabel")
-        .withColumn("cos", F.col("dot") / (F.col("vn") * F.col("cn")))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
-    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
-        top.join(e.select("vec_id", "label"), "vec_id")
-        .groupBy("label", F.col("clabel").alias("predicted"))
+        scored.select("label", best["clabel"].alias("predicted"))
+        .groupBy("label", "predicted")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
 
