@@ -788,7 +788,13 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         F.expr("try_cast(c_name AS int)").alias("bad_parse"),
-        F.expr("try_cast(element_at(split(c_name, '#'), 2) AS bigint)").alias("parsed_id"),
+        # try_element_at, not element_at: ANSI mode makes a bare
+        # element_at THROW on out-of-bounds (a name with no '#'), which
+        # defeats this query's corrupt-tolerance contract (found by
+        # tests/test_fuzz_window7.py)
+        F.expr(
+            "try_cast(try_element_at(split(c_name, '#'), 2) AS bigint)"
+        ).alias("parsed_id"),
         F.try_divide(
             F.col("c_acctbal").cast("double"),
             (F.col("c_custkey") % 3).cast("double"),
