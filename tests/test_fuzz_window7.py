@@ -164,3 +164,97 @@ def test_try_arithmetic_edges_fuzz(spark, tmp_path_factory, rows):
     )
     problems = compare(q.fn(spark, base), _con(base, "customer"), q.oracle)
     assert not problems, (rows[:6], problems)
+
+
+@given(
+    ids=st.lists(
+        # negatives probe %-sign agreement between engines (both keep the
+        # dividend's sign, so all negative ids fall to the ELSE variant)
+        st.integers(min_value=-200, max_value=200),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_url_canonical_variant_classes_fuzz(spark, tmp_path_factory, ids):
+    """dedup_url_canonical over arbitrary doc_id sets: every %4 variant
+    class (scheme, www-case, tracking params, fragment) must collapse to
+    the same canonical key per page, keeper is MIN(doc_id) — including
+    negative ids, where the %-of-negative convention has to agree
+    between the engines for both the variant class and the page id."""
+    q = QS["dedup_url_canonical"]
+    base = str(tmp_path_factory.mktemp("urlfuzz"))
+    _write(
+        spark,
+        base,
+        "documents",
+        [(i,) for i in ids],
+        "doc_id long",
+    )
+    problems = compare(q.fn(spark, base), _con(base, "documents"), q.oracle)
+    assert not problems, (ids[:8], problems)
+
+
+@given(
+    suffixes=st.lists(
+        # 9-digit suffixes over {0,1,2} at 3 varying positions: dense
+        # distance-1 neighborhoods, duplicates (distance 0 — excluded),
+        # and distance-2 pairs the mask join must NOT emit
+        st.tuples(
+            st.sampled_from("012"), st.sampled_from("012"), st.sampled_from("012")
+        ).map(lambda t: f"000{t[0]}0{t[1]}0{t[2]}0"),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_fuzzy_name_blocking_complete_fuzz(spark, tmp_path_factory, suffixes):
+    """join_fuzzy_name_match's wildcard-mask blocking vs the oracle's
+    exhaustive n^2 levenshtein join on fixed-width names (the query's
+    stated contract): every substitution-distance-1 pair must surface
+    through a shared mask (completeness), duplicates (distance 0) and
+    distance-2+ pairs must not (the verify filter), and pairs must
+    dedup across the L masks they can share."""
+    q = QS["join_fuzzy_name_match"]
+    base = str(tmp_path_factory.mktemp("fuzzyfuzz"))
+    _write(
+        spark,
+        base,
+        "customer",
+        [(i, f"Customer#{s}") for i, s in enumerate(suffixes)],
+        "c_custkey long, c_name string",
+    )
+    problems = compare(q.fn(spark, base), _con(base, "customer"), q.oracle)
+    assert not problems, (suffixes[:8], problems)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            # 4-value quantity domain -> constant count ties; the mode
+            # must break them on the smallest quantity in both engines
+            st.sampled_from([1.0, 2.0, 3.0, 50.0]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_mode_tie_break_fuzz(spark, tmp_path_factory, rows):
+    """agg_mode_deterministic on tie-heavy count tables: when several
+    quantities share the max frequency within a return flag, both
+    engines must return the smallest quantity (the deterministic
+    tie-break that replaces Spark's arbitrary native mode())."""
+    q = QS["agg_mode_deterministic"]
+    base = str(tmp_path_factory.mktemp("modefuzz"))
+    _write(
+        spark,
+        base,
+        "lineitem",
+        rows,
+        "l_returnflag string, l_quantity double",
+    )
+    problems = compare(q.fn(spark, base), _con(base, "lineitem"), q.oracle)
+    assert not problems, (rows[:8], problems)
