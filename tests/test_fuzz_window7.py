@@ -258,3 +258,106 @@ def test_mode_tie_break_fuzz(spark, tmp_path_factory, rows):
     )
     problems = compare(q.fn(spark, base), _con(base, "lineitem"), q.oracle)
     assert not problems, (rows[:8], problems)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            # keys straddle the 32768-bit bitmap bucket boundary so the
+            # per-bucket construct + popcount merge is actually exercised
+            st.sampled_from(
+                [0, 1, 7, 32767, 32768, 32769, 65535, 65536, 70000]
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_bitmap_distinct_bucket_boundary_fuzz(spark, tmp_path_factory, rows):
+    """agg_bitmap_distinct on keys that sit exactly on bitmap bucket
+    boundaries (…32767|32768…): the OR-merged popcount per group must
+    equal the classic exact distinct count for every return flag, with
+    heavy duplicate keys inside and across buckets."""
+    q = QS["agg_bitmap_distinct"]
+    base = str(tmp_path_factory.mktemp("bmfuzz"))
+    _write(
+        spark,
+        base,
+        "lineitem",
+        rows,
+        "l_returnflag string, l_suppkey long",
+    )
+    problems = compare(q.fn(spark, base), _con(base, "lineitem"), q.oracle)
+    assert not problems, (rows[:8], problems)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            # keys above 500 must be filtered identically; unique keys keep
+            # the NULLS FIRST ranking a total order (the real PK contract)
+            st.integers(min_value=0, max_value=600),
+            # repeated prices create x-ties the o_orderkey tiebreak resolves
+            st.sampled_from([10.0, 10.0, 77.5, 4321.25]),
+            st.sampled_from(["O", "F", "P"]),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_null_semantics_3vl_fuzz(spark, tmp_path_factory, rows):
+    """fn_null_semantics on random key sets: the %3/%5 NULL classes hit
+    x-NULL-only, y-NULL-only, both-NULL (null-safe TRUE, plain NULL) and
+    neither; NULLS FIRST ranking must agree across engines whose default
+    null placement differs, with price ties broken on the key."""
+    q = QS["fn_null_semantics"]
+    base = str(tmp_path_factory.mktemp("nullfuzz"))
+    _write(
+        spark,
+        base,
+        "orders",
+        rows,
+        "o_orderkey long, o_totalprice double, o_orderstatus string",
+    )
+    problems = compare(q.fn(spark, base), _con(base, "orders"), q.oracle)
+    assert not problems, (rows[:8], problems)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # user
+            # day offsets straddle the WAU (6/7) and MAU (29/30) lag
+            # boundaries and leave >30-day gaps the trim must handle
+            st.sampled_from([0, 1, 6, 7, 29, 30, 31, 45]),
+            st.sampled_from([3, 12, 23]),  # hour within the day
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_dau_wau_mau_lag_boundary_fuzz(spark, tmp_path_factory, rows):
+    """events_dau_wau_mau on sparse activity spanning lag boundaries: a
+    user active on day d must count toward WAU through d+6 but not d+7,
+    toward MAU through d+29 but not d+30, multiple same-day events must
+    collapse to one (user, day) contribution, and target days past the
+    last observed day must be trimmed."""
+    q = QS["events_dau_wau_mau"]
+    base = str(tmp_path_factory.mktemp("daufuzz"))
+    _write(
+        spark,
+        base,
+        "events",
+        [
+            (u, dt.datetime(2024, 1, 1, h) + dt.timedelta(days=off))
+            for u, off, h in rows
+        ],
+        "user_id long, ts timestamp_ntz",
+    )
+    problems = compare(q.fn(spark, base), _con(base, "events"), q.oracle)
+    assert not problems, (rows[:8], problems)
