@@ -57,9 +57,13 @@ _MODULES = (
 # (~119 oracle-bearing queries) drains through the r7 and r8 windows; r7
 # additions are capped (≤15) so the backlog strictly shrinks.
 #
-# r8 ROTATION PROCEDURE (do this first next round): add the 50 keys of
-# CORRECTNESS_r07.json to _DRIVER_SAMPLED; the never-sampled remainder then
-# sorts into the r8 window automatically.
+# r9 ROTATION PROCEDURE (do this first next round): add the 50 keys of
+# CORRECTNESS_r08.json to _DRIVER_SAMPLED; the never-sampled remainder then
+# sorts into the r9 window automatically. ALSO (r7 verdict #2): remove
+# "fn_math", "fn_json_from_json", "fn_array", "fn_map" from _DRIVER_SAMPLED —
+# their only driver rows are r1-era failures fixed long ago; re-enqueueing
+# them in r9 (when the backlog has slack) replaces the only red driver
+# history with green rows.
 _DRIVER_SAMPLED = frozenset((
     "agg_approx_count_distinct", "agg_arg_minmax", "agg_collect_sorted",
     "agg_conditional", "agg_corr", "agg_count_distinct", "agg_cube",
@@ -120,6 +124,22 @@ _DRIVER_SAMPLED = frozenset((
     "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
     "udf_udtf_table_arg", "vec_label_centroid_classify", "vec_random_projection",
     "win_nth_value",
+    # --- CORRECTNESS_r07.json (50 keys, all green) ---
+    "agg_bitmap_distinct", "agg_mode_deterministic", "dedup_cluster_representatives",
+    "dedup_line_rewrite", "dedup_url_canonical", "events_attribution_last_touch",
+    "events_dau_wau_mau", "events_pattern_regex", "events_sessionize_batch",
+    "fn_aes_roundtrip", "fn_array_setops", "fn_bitwise", "fn_datetime_extra",
+    "fn_datetime_make", "fn_encode_decode", "fn_json_tuple", "fn_map_explode",
+    "fn_map_higher_order", "fn_null_semantics", "fn_string_extra", "fn_struct_ops",
+    "fn_to_json", "fn_try_arithmetic", "fn_url_parse", "graph_clustering_coefficient",
+    "graph_degree_stats", "graph_triangle_count", "join_fuzzy_name_match",
+    "rag_chunk_overlap", "replication_dlq_routing", "sample_domain_mixture",
+    "sample_reservoir_per_group", "sink_scd2_dimension", "sink_zorder_layout",
+    "source_parquet_merge_schema", "source_python_datasource", "source_xml_roundtrip",
+    "stat_crosstab", "text_char_entropy", "text_collocations_pmi",
+    "text_gopher_quality_gate", "text_rare_token_ratio", "ts_ewma_per_user",
+    "ts_zscore_anomaly", "udf_apply_in_arrow", "udf_map_in_arrow", "vec_lsh_pairs",
+    "vec_matryoshka_recall", "vec_quantize_int8", "vec_two_stage_rerank",
 ))
 _FAMILY_ORDER = (
     "replication_pipeline",
@@ -160,6 +180,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        if isinstance(tags, str):
+            # tags=("stats") is a parenthesized str, not a 1-tuple; tuple()
+            # would silently explode it into character tags.
+            raise TypeError(f"{name}: tags must be a tuple, got str {tags!r}")
         REGISTRY[name] = Query(name, fn, oracle, tuple(tags), fn.__doc__ or "")
         return fn
 

@@ -68,7 +68,7 @@ def _dsum(col):
                  AS welch_df
         FROM s
     """,
-    tags=("stats"),
+    tags=("stats",),
 )
 def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test between two customer segments'
@@ -443,7 +443,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.l_partkey, b.l_partkey
         ORDER BY n_orders DESC, part_a, part_b LIMIT 20
     """,
-    tags=("graph"),
+    tags=("graph",),
 )
 def graph_bipartite_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite projection of the order->part graph: top co-purchased
@@ -504,7 +504,7 @@ def graph_bipartite_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN deg db ON db.cust = cust_b
         ORDER BY common_parts DESC, cust_a, cust_b LIMIT 20
     """,
-    tags=("graph"),
+    tags=("graph",),
 )
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbors link prediction on the customer-part bipartite
@@ -848,7 +848,7 @@ def vec_pair_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / NULLIF(MAX(t1) * MAX(t2), 0)) AS crit_05
         FROM c
     """,
-    tags=("stats"),
+    tags=("stats",),
 )
 def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic between two customer

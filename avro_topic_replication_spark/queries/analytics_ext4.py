@@ -551,7 +551,7 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      0) AS z_tie_corrected
         FROM s
     """,
-    tags=("stats"),
+    tags=("stats",),
 )
 def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) test between two customer
@@ -1111,7 +1111,7 @@ def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AND t2 > 0) AS q_machinery
         FROM q
     """,
-    tags=("stats"),
+    tags=("stats",),
 )
 def stat_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q-Q decile pairs between two customer segments — the

@@ -595,6 +595,17 @@ def vec_label_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     cvec: dict = {}
     for r in cent.collect():
         cvec.setdefault(r["clabel"], {})[r["pos"]] = r["c"]
+    # Ragged embeddings would make per-label position sets diverge; carr
+    # below assumes contiguous 1..dims, and zip_with would NULL-pad a
+    # length mismatch into silently-NULL cosines. Fail loudly instead.
+    dims_seen = {tuple(sorted(pos)) for pos in cvec.values()}
+    if len(dims_seen) > 1 or any(
+        pos != tuple(range(1, len(pos) + 1)) for pos in dims_seen
+    ):
+        raise ValueError(
+            "vec_label_centroid_classify: non-uniform embedding dims across "
+            f"labels: {sorted((k, len(v)) for k, v in cvec.items())}"
+        )
     cns = {r["clabel"]: r["cn"] for r in cnorm.collect()}
     label_type = dict(e.dtypes)["label"]
     if not cvec:  # empty corpus: no centroids, no predictions

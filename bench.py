@@ -19,34 +19,103 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
 
-def main() -> int:
+def _sf_dir_and_sf() -> "tuple[str, float | None]":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
-    sf = float(m.group(1)) if m else None
+    return sf_dir, (float(m.group(1)) if m else None)
+
+
+def _warm(spark, sf_dir: str) -> None:
+    """Pay one-time session costs (JVM, parquet footers, the Python/Arrow
+    worker pool) outside any timed section."""
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    from pyspark.sql.functions import col, pandas_udf  # noqa: PLC0415
+    from pyspark.sql.functions import PandasUDFType  # noqa: PLC0415
+
+    w = pandas_udf(lambda s: s * 1.0, "double", PandasUDFType.SCALAR)
+    spark.range(100_000).select(w(col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+def _isolated_child(name: str) -> int:
+    """One timing of one query in THIS fresh process; prints one JSON line.
+
+    PLANS.md r7 showed shared-session full-bench timings swing >1.5x on
+    identical code for sub-2s queries (accumulated broadcasts, JVM/GC
+    state, codegen caches). A child process = a fresh JVM, so the number
+    is the query's cold-plan steady cost, comparable across rounds.
+    """
+    sf_dir, _ = _sf_dir_and_sf()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from avro_topic_replication_spark.queries import all_queries
+    from avro_topic_replication_spark.session import get_spark
+
+    q = all_queries()[name]
+    spark = get_spark(app_name=f"bench-isolated-{name}")
+    _warm(spark, sf_dir)
+    t0 = time.perf_counter()
+    q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    sec = round(time.perf_counter() - t0, 4)
+    spark.stop()
+    print(json.dumps({"name": name, "sec": sec}))
+    return 0
+
+
+def _isolated_parent(names: "list[str]") -> int:
+    """min-of-3 over fresh-JVM child runs per query; the cross-round
+    comparison protocol (BENCH_ISOLATED.json + one JSON line)."""
+    sf_dir, sf = _sf_dir_and_sf()
+    script = os.path.abspath(__file__)
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in names:
+        runs: list[float] = []
+        for _ in range(3):
+            r = subprocess.run(
+                [sys.executable, script, "--isolated-child", name],
+                capture_output=True,
+                text=True,
+            )
+            if r.returncode != 0:
+                failures[name] = r.stderr.strip()[-200:]
+                break
+            runs.append(json.loads(r.stdout.strip().splitlines()[-1])["sec"])
+        if runs:
+            timings[name] = min(runs)
+            print(f"isolated {name}: min-of-{len(runs)} = {timings[name]}",
+                  file=sys.stderr)
+    result = {
+        "metric": "isolated_min_of_3",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "failures": failures,
+        "queries": timings,
+    }
+    with open(
+        os.path.join(os.path.dirname(script), "BENCH_ISOLATED.json"), "w"
+    ) as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(json.dumps(result))
+    return 0 if not failures else 1
+
+
+def main() -> int:
+    sf_dir, sf = _sf_dir_and_sf()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from avro_topic_replication_spark.queries import all_queries
     from avro_topic_replication_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
-
-    # Warm the JVM + parquet footers once so q1 doesn't pay session startup.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-
-    # Warm the Python/Arrow worker pool too: the first pandas-UDF stage
-    # otherwise pays ~3-5s of worker forking, billed to whichever query
-    # happens to run it first — noise, not plan cost.
-    from pyspark.sql.functions import col, pandas_udf  # noqa: PLC0415
-    from pyspark.sql.functions import PandasUDFType  # noqa: PLC0415
-
-    _warm = pandas_udf(lambda s: s * 1.0, "double", PandasUDFType.SCALAR)
-    spark.range(100_000).select(_warm(col("id"))).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    _warm(spark, sf_dir)
 
     def run_once(q) -> float:
         t0 = time.perf_counter()
@@ -116,4 +185,8 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--isolated-child":
+        sys.exit(_isolated_child(sys.argv[2]))
+    if len(sys.argv) > 2 and sys.argv[1] == "--isolated":
+        sys.exit(_isolated_parent(sys.argv[2:]))
     sys.exit(main())
