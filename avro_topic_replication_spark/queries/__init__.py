@@ -45,6 +45,7 @@ _MODULES = (
     "analytics_ext2",
     "analytics_ext3",
     "analytics_ext4",
+    "analytics_ext5",
 )
 
 # Presentation order for the registry. The external correctness harness samples

@@ -1,0 +1,454 @@
+"""Round-8 analytics extensions: oracle-checked variants of the four
+families whose main implementations are engine-native and therefore
+rows-only (MinHash LSH on xxhash64, PageRank / label propagation /
+k-core as unbounded-fixpoint loops).
+
+Each query here pins the SAME algorithm to a cross-engine-deterministic
+contract — md5-derived integer hashes, fixed-point integer arithmetic,
+a fixed round count — so DuckDB can replay it bit-exactly and the round
+driver's rows+schema+hash gate applies. The production variants
+(llm_dedup.dedup_minhash_lsh, operators/{pagerank,labelprop,kcore}.py)
+keep their faster engine-native hashing and run-to-convergence loops;
+these twins exist to hash-verify the algorithmic core: band-candidate
+generation + exact verify, mass-conserving rank flow, min-label
+flooding, and degree-threshold peeling.
+
+All [EXT] surface beyond the reference's replication dataflow
+(``ReplicationApplication.java:71`` is its only transform). Tagged
+"defer-sample" per the r7 rotation discipline: the r8 driver window is
+reserved for the never-sampled backlog; these enter the r9+ windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+from .llm_curation import _token_grams, _token_grams_sql
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH, md5-deterministic.
+#
+# One md5 per (doc, gram) — conv(substr(md5,1,15),16,10) is a 60-bit
+# non-negative integer both engines compute identically (verified:
+# 426544247714475757 for 'hello world' in Spark AND DuckDB) — then 8
+# minhash slots as affine permutations (a*h+b) mod P of its 31-bit
+# reduction, the same one-hash-many-permutations construction the
+# production dedup_minhash_lsh uses on xxhash64. Constants hardcoded so
+# the oracle embeds the identical family.
+# ---------------------------------------------------------------------------
+
+_P31 = 2147483647  # Mersenne prime 2^31 - 1
+# 8 fixed affine permutation pairs (a odd, < 2^31; products stay < 2^62)
+_PERMS = (
+    (1103515245, 12345),
+    (1588635695, 98765),
+    (784588717, 5555555),
+    (999999937, 31337),
+    (1229782938, 7777777),
+    (363264403, 13579),
+    (1834691741, 246810),
+    (572936153, 999331),
+)
+_NBANDS = 2  # 2 bands x 4 rows: P(candidate) = 1-(1-j^4)^2
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {_P31}) AS s{i}"
+        for i, (a, b) in enumerate(_PERMS)
+    )
+    return f"SELECT doc_id, {mins} FROM inv GROUP BY doc_id"
+
+
+_MINHASH_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, {_token_grams_sql('text', 6)} AS g FROM documents
+    ),
+    ug AS (SELECT doc_id, unnest(g) AS gr FROM sh),
+    inv AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(gr), 1, 15) AS BIGINT) % {_P31} AS h
+        FROM ug
+    ),
+    sig AS ({_minhash_sig_sql()}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id,
+               concat_ws('-', s0, s1, s2, s3) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, 1, concat_ws('-', s4, s5, s6, s7) FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+             / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))
+             AS jaccard
+    FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+    WHERE CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+             / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.5
+"""
+
+
+@query(
+    "dedup_minhash_banded",
+    oracle=_MINHASH_ORACLE,
+    tags=("llm", "dedup", "lsh", "defer-sample"),
+)
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, hash-verified end to end:
+    word 6-gram shingles → one md5 per gram (JVM codegen, no Python) →
+    8 minhash slots as affine permutations of its 31-bit reduction → 2
+    bands of 4 → candidates = docs sharing a band key → exact Jaccard
+    verify >= 0.5 on the full shingle sets.
+
+    The production variant (llm_dedup.dedup_minhash_lsh) is the same
+    shape on xxhash64 + an Arrow-batched numpy min — faster, but
+    engine-native and so only rows-only-checkable. This twin pins the
+    ALGORITHM (band candidate generation, never all-pairs; exact verify
+    on candidates only) to an md5 contract DuckDB replays bit-exactly.
+
+    Scale shape: shingling and hashing are map-side codegen; the slot
+    mins are one partial-aggregated groupBy (8 longs per doc); the band
+    self-join is bounded by band-bucket sizes (the LSH guarantee), and
+    the gram arrays re-join only for the candidate set. No stage ever
+    holds more than (doc_id, 8 longs) per row except the final bounded
+    verify. Jaccard is a single correctly-rounded IEEE division."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", _token_grams(F.col("text"), 6).alias("g")
+    ).persist()
+    inv = sh.select("doc_id", F.explode("g").alias("gr")).select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("gr"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(_P31),
+        ).alias("h"),
+    )
+    sig = inv.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P31))
+            ).alias(f"s{i}")
+            for i, (a, b) in enumerate(_PERMS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.concat_ws("-", "s0", "s1", "s2", "s3"),
+                F.concat_ws("-", "s4", "s5", "s6", "s7"),
+            )
+        ).alias("band_id", "bk"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    xa = sh.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    xb = sh.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    jac = inter / (F.size("ga") + F.size("gb") - inter)
+    return (
+        cand.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# The shared fixed-iteration graph: the symmetric supplier <-> part
+# bipartite graph from lineitem (parts offset by 10^9 so the id spaces
+# never collide). Symmetric edges mean no dangling nodes and no
+# in-degree-zero nodes — every fixed-point identity below is exact.
+# ---------------------------------------------------------------------------
+
+_PART_OFF = 1_000_000_000
+
+_GRAPH_SQL = f"""
+    sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey + {_PART_OFF} AS p
+           FROM lineitem),
+    edges AS (SELECT s AS src, p AS dst FROM sp
+              UNION ALL SELECT p, s FROM sp),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)
+"""
+# mod-class-partitioned variant: suppliers only link parts of their own
+# mod-10 class, so the graph has >= 10 connected components — labelprop
+# then has real communities to find instead of min-flooding one dense
+# graph to a single label within 3 rounds (measured: diameter ~2).
+_GRAPH_MOD10_SQL = _GRAPH_SQL.replace(
+    "FROM lineitem", "FROM lineitem WHERE l_suppkey % 10 = l_partkey % 10"
+)
+
+
+def _graph_edges(
+    spark: SparkSession, sf_dir: str, mod10: bool = False
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    if mod10:
+        li = li.filter(F.col("l_suppkey") % 10 == F.col("l_partkey") % 10)
+    sp = li.select(
+        F.col("l_suppkey").alias("s"),
+        (F.col("l_partkey") + F.lit(_PART_OFF)).alias("p"),
+    ).distinct()
+    return (
+        sp.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+        .unionAll(sp.select(F.col("p").alias("src"), F.col("s").alias("dst")))
+        # feeds deg + one rank join per round — materialize once
+        .localCheckpoint(eager=True)
+    )
+
+
+_PR_SCALE = 1_000_000_000_000  # ranks in units of 1e-12
+_PR_ITERS = 3
+
+
+@query(
+    "graph_pagerank_fixed_point",
+    oracle=f"""
+        WITH {_GRAPH_SQL},
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        r0 AS (SELECT node, {_PR_SCALE} // (SELECT COUNT(*) FROM nodes) AS r
+               FROM nodes),
+        r1 AS (
+            SELECT e.dst AS node,
+                   (15 * {_PR_SCALE} // 100) // (SELECT COUNT(*) FROM nodes)
+                     + 85 * SUM(r.r // d.d) // 100 AS r
+            FROM edges e JOIN r0 r ON r.node = e.src
+                         JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ),
+        r2 AS (
+            SELECT e.dst AS node,
+                   (15 * {_PR_SCALE} // 100) // (SELECT COUNT(*) FROM nodes)
+                     + 85 * SUM(r.r // d.d) // 100 AS r
+            FROM edges e JOIN r1 r ON r.node = e.src
+                         JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ),
+        r3 AS (
+            SELECT e.dst AS node,
+                   (15 * {_PR_SCALE} // 100) // (SELECT COUNT(*) FROM nodes)
+                     + 85 * SUM(r.r // d.d) // 100 AS r
+            FROM edges e JOIN r2 r ON r.node = e.src
+                         JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        )
+        SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_fp
+        FROM r3
+        ORDER BY rank_fp DESC, node ASC LIMIT 20
+    """,
+    tags=("graph", "defer-sample"),
+)
+def graph_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, hash-verified: 3 unrolled iterations over the symmetric
+    supplier<->part graph in FIXED-POINT INTEGER arithmetic — ranks are
+    bigints in units of 1e-12, contributions are integer divisions
+    (r DIV outdeg), and the damping step is (85 * sum) DIV 100 — so both
+    engines compute the identical bit pattern; no float accumulation
+    order can perturb the result. The production variant
+    (operators/pagerank.py) runs double-precision to an L1-early-stop
+    fixpoint; this twin hash-verifies the rank-flow core on a fixed
+    round count.
+
+    Scale shape: per iteration one edges-sized join against the
+    node-sized rank table and one partial-aggregated groupBy(dst) —
+    exactly the production loop's shape; the edge table materializes
+    once (localCheckpoint) and each round's rank table is node-sized.
+    Integer quantization loses < |V| * 1e-12 mass per round (floor), a
+    deterministic contract, not an approximation drift. Top-20 via
+    TakeOrderedAndProject with a total order (rank DESC, node ASC)."""
+    edges = _graph_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # scalar graph-order constant (bounded driver value)
+    if n == 0:  # empty graph: no nodes, no ranks
+        return spark.createDataFrame([], "node bigint, rank_fp bigint")
+    base = (15 * _PR_SCALE // 100) // n
+    r = nodes.select("node", F.lit(_PR_SCALE // n).cast("bigint").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("r DIV d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("csum"))
+        )
+        r = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(base) + F.expr("85 * csum DIV 100"))
+            .cast("bigint")
+            .alias("r"),
+        )
+    return (
+        r.select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("r").cast("bigint").alias("rank_fp"),
+        )
+        .orderBy(F.desc("rank_fp"), F.asc("node"))
+        .limit(20)
+    )
+
+
+@query(
+    "graph_labelprop_min_rounds",
+    oracle=f"""
+        WITH {_GRAPH_MOD10_SQL},
+        l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+        l1 AS (
+            SELECT e.dst AS node, LEAST(MIN(l.lab), e.dst) AS lab
+            FROM edges e JOIN l0 l ON l.node = e.src GROUP BY e.dst
+        ),
+        l2 AS (
+            SELECT e.dst AS node, LEAST(MIN(l.lab), e.dst) AS lab
+            FROM edges e JOIN l1 l ON l.node = e.src GROUP BY e.dst
+        ),
+        l3 AS (
+            SELECT e.dst AS node, LEAST(MIN(l.lab), e.dst) AS lab
+            FROM edges e JOIN l2 l ON l.node = e.src GROUP BY e.dst
+        )
+        SELECT CAST(lab AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM l3 GROUP BY lab
+        ORDER BY n_members DESC, label ASC LIMIT 20
+    """,
+    tags=("graph", "defer-sample"),
+)
+def graph_labelprop_min_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation, hash-verified: labels start as node ids
+    and each of 3 rounds takes LEAST(own id, MIN over in-neighbors of
+    their label) — the deterministic min-flooding core of connected
+    components / community seeding (integer mins, no tie-break
+    ambiguity, so both engines agree bitwise). The production variant
+    (operators/labelprop.py) runs frequency-based label propagation to
+    convergence and is invariant-checked; this twin hash-verifies the
+    per-round neighborhood-reduce on a fixed round count, on the
+    mod-10-partitioned graph whose >= 10 components give the flooding
+    real communities to find (the full graph min-floods to one label
+    within 3 rounds — measured diameter ~2).
+
+    Scale shape: per round one edges-sized join + partial-aggregated
+    MIN groupBy(dst) — O(diameter) rounds of exactly this shape is the
+    checkpointed production loop. Top-20 communities by size with a
+    total order."""
+    edges = _graph_edges(spark, sf_dir, mod10=True)
+    lab = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(3):
+        lab = (
+            edges.join(lab.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.least(F.min("lab"), F.col("dst")).alias("lab"))
+            .select(F.col("dst").alias("node"), "lab")
+        )
+    return (
+        lab.groupBy(F.col("lab").cast("bigint").alias("label"))
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("label"))
+        .limit(20)
+    )
+
+
+_KCORE_K = 40
+
+
+@query(
+    "graph_kcore_peel_rounds",
+    oracle=f"""
+        WITH {_GRAPH_SQL},
+        d0 AS (SELECT src, d FROM deg),
+        keep1 AS (SELECT src FROM d0 WHERE d >= {_KCORE_K}),
+        e1 AS (
+            SELECT e.src, e.dst FROM edges e
+            JOIN keep1 a ON a.src = e.src
+            JOIN keep1 b ON b.src = e.dst
+        ),
+        d1 AS (SELECT src, COUNT(*) AS d FROM e1 GROUP BY src),
+        keep2 AS (SELECT src FROM d1 WHERE d >= {_KCORE_K}),
+        e2 AS (
+            SELECT e.src, e.dst FROM e1 e
+            JOIN keep2 a ON a.src = e.src
+            JOIN keep2 b ON b.src = e.dst
+        )
+        SELECT r.round,
+               CAST(r.n_nodes AS BIGINT) AS n_nodes,
+               CAST(r.n_edges AS BIGINT) AS n_edges
+        FROM (
+            SELECT 0 AS round, (SELECT COUNT(*) FROM d0) AS n_nodes,
+                   (SELECT COUNT(*) FROM edges) AS n_edges
+            UNION ALL
+            SELECT 1, (SELECT COUNT(*) FROM keep1),
+                   (SELECT COUNT(*) FROM e1)
+            UNION ALL
+            SELECT 2, (SELECT COUNT(*) FROM keep2),
+                   (SELECT COUNT(*) FROM e2)
+        ) r
+    """,
+    tags=("graph", "defer-sample"),
+)
+def graph_kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling, hash-verified: two fixed rounds of "drop every
+    node with degree < 30, keep only edges between survivors" on the
+    symmetric supplier<->part graph, reporting (round, nodes, edges)
+    for the original graph and after each peel. Pure integer degree
+    thresholds — both engines agree exactly. The production variant
+    (operators/kcore.py) peels to the fixpoint; this twin hash-verifies
+    the peel step itself (degree recompute on the induced subgraph, the
+    part that goes wrong in distributed k-core).
+
+    Scale shape: each round is one degree groupBy + two semi-join-shaped
+    survivor filters on the edge table — the production loop's exact
+    per-iteration plan. The per-round accounting rows are 1-row
+    aggregates crossJoined (bounded broadcasts), all inside one plan —
+    nothing collects to the driver."""
+    edges = _graph_edges(spark, sf_dir)
+
+    def peel(e: DataFrame) -> "tuple[DataFrame, DataFrame]":
+        d = e.groupBy("src").agg(F.count("*").alias("d"))
+        keep = d.filter(F.col("d") >= _KCORE_K).select("src")
+        e2 = (
+            e.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            # three consumers downstream (node count, edge count, next
+            # round's degree) — materialize the induced subgraph once
+            .localCheckpoint(eager=True)
+        )
+        return keep, e2
+
+    k1, e1 = peel(edges)
+    k2, e2 = peel(e1)
+
+    def acct(round_no: int, nodes: DataFrame, e: DataFrame) -> DataFrame:
+        return (
+            nodes.agg(F.count("*").cast("bigint").alias("n_nodes"))
+            .crossJoin(e.agg(F.count("*").cast("bigint").alias("n_edges")))
+            .select(
+                F.lit(round_no).cast("int").alias("round"),
+                "n_nodes",
+                "n_edges",
+            )
+        )
+
+    return (
+        acct(0, edges.select("src").distinct(), edges)
+        .unionAll(acct(1, k1, e1))
+        .unionAll(acct(2, k2, e2))
+    )

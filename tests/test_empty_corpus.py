@@ -196,6 +196,11 @@ EMPTY_SAFE = [
     "mm_image_histogram_dedup",
     "stat_cuped_adjusted",
     "ts_snaive_backtest",
+    # r8 oracle-checked twins of the engine-native graph/LSH families
+    "dedup_minhash_banded",
+    "graph_pagerank_fixed_point",
+    "graph_labelprop_min_rounds",
+    "graph_kcore_peel_rounds",
 ]
 
 
@@ -224,6 +229,8 @@ _IDENTIFIER_COLS = {
     # the Q-Q grid always emits its 9 decile rows; quantiles are NULL
     # on an empty corpus
     "decile",
+    # k-core peel accounting always emits its 3 round rows
+    "round",
 }
 
 
