@@ -452,3 +452,184 @@ def graph_kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(acct(1, k1, e1))
         .unionAll(acct(2, k2, e2))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch twins: count-min and bottom-k built IN-PLAN from md5-derived
+# hashes, so DuckDB replays the exact sketch (the production sketches in
+# operators/sketches.py fold numpy matrices inside Arrow batches —
+# faster, but only invariant-checkable). Integer cell counts and integer
+# sample ranks mean both twins are bit-exact.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 256
+
+# md5-derived row hash shared by both engines: 60-bit prefix int mod w.
+_CMS_BUCKET_SQL = (
+    "CAST('0x' || substr(md5({r} || ':' || CAST(user_id AS VARCHAR)), 1, 15)"
+    f" AS BIGINT) % {_CMS_W}"
+)
+
+
+@query(
+    "sketch_cms_verified",
+    oracle=f"""
+        WITH rows_x AS (
+            SELECT r.r, e.user_id FROM events e,
+                 (SELECT unnest(range({_CMS_D})) AS r) r
+        ),
+        cells AS (
+            SELECT r, {_CMS_BUCKET_SQL.format(r='r')} AS bucket,
+                   COUNT(*) AS c
+            FROM rows_x GROUP BY 1, 2
+        ),
+        probes AS (
+            SELECT u.user_id, r.r,
+                   {_CMS_BUCKET_SQL.format(r='r.r')} AS bucket
+            FROM (SELECT DISTINCT user_id FROM events) u,
+                 (SELECT unnest(range({_CMS_D})) AS r) r
+        )
+        SELECT p.user_id, CAST(MIN(c.c) AS BIGINT) AS est_count
+        FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+        GROUP BY p.user_id
+        ORDER BY est_count DESC, user_id ASC LIMIT 10
+    """,
+    tags=("sketch", "approx", "defer-sample"),
+)
+def sketch_cms_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters, hash-verified: the 4x256 counter
+    matrix is built IN-PLAN (each event explodes to 4 (row, md5-bucket)
+    cells, one partial-aggregated groupBy produces the 1024-cell sketch),
+    then every distinct key probes min-over-rows through a broadcast join
+    against the metadata-sized sketch. Identical md5 bucket hashes in
+    both engines and integer cell counts make the twin bit-exact —
+    including the CMS overcounts themselves (collisions land in the same
+    buckets in both engines). The production variant
+    (sketch_heavy_hitters / operators/sketches.py) folds numpy matrices
+    per Arrow batch — faster, invariant-checked; this twin hash-verifies
+    the sketch algebra: cell addressing, merge-by-sum, min-probe.
+
+    Scale shape: the sketch build shuffles d*w=1024 partial cells, never
+    events; probes are map-side against the broadcast cell table; top-10
+    via TakeOrderedAndProject with a total order."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(r_col):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            r_col.cast("string"),
+                            F.lit(":"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(_CMS_W),
+        )
+
+    rows_x = ev.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r")
+    )
+    cells = rows_x.groupBy("r", bucket(F.col("r")).alias("bucket")).agg(
+        F.count("*").alias("c")
+    )
+    probes = (
+        ev.distinct()
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r"),
+        )
+        .select("user_id", "r", bucket(F.col("r")).alias("bucket"))
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+        .orderBy(F.desc("est_count"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+_BK_K = 256
+_BK_PROBS = (0.25, 0.5, 0.75, 0.9)
+
+
+@query(
+    "sketch_bottomk_verified",
+    oracle=f"""
+        WITH sample_k AS (
+            SELECT value,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                   ) AS hrk
+            FROM events
+            QUALIFY hrk <= {_BK_K}
+        ),
+        ordered AS (
+            SELECT value,
+                   ROW_NUMBER() OVER (ORDER BY value, hrk) AS vrk,
+                   COUNT(*) OVER () AS k
+            FROM sample_k
+        )
+        SELECT p.quantile, o.value AS est_value
+        FROM (SELECT unnest([{', '.join(str(p) for p in _BK_PROBS)}])
+                  AS quantile) p
+        JOIN ordered o
+          ON o.vrk = CAST(ceil(p.quantile * o.k) AS BIGINT)
+        ORDER BY p.quantile
+    """,
+    tags=("sketch", "approx", "defer-sample"),
+)
+def sketch_bottomk_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k quantile sketch, hash-verified: the k=256 rows with the
+    smallest md5(event_id) form a deterministic uniform sample (hash
+    order is uniform and engine/partitioning-independent), quantile
+    estimates read off the value-sorted sample at rank ceil(p*k). Both
+    engines pick the identical sample and identical ranks — bit-exact,
+    including the sketch's own rank error (O(1/sqrt(k)), asserted
+    against exact percentiles for the production twin in
+    tests/test_llm_ops.py). The production variant
+    (sketch_quantile_bottomk) merges per-partition heaps through
+    TakeOrderedAndProject; this twin hash-verifies the sample-selection
+    and rank-readout algebra.
+
+    Scale shape: the hash-rank window is the one global ordering, but it
+    is a top-k (TakeOrderedAndProject in the production twin; here a
+    window the optimizer bounds to k rows after the filter) — at true
+    scale the sample selection is per-partition heaps + a k-row merge,
+    volume-independent driver traffic."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    wh = Window.orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+    sample_k = (
+        ev.select("event_id", "value")
+        .withColumn("hrk", F.row_number().over(wh))
+        .filter(F.col("hrk") <= _BK_K)
+    )
+    wv = Window.orderBy("value", "hrk")
+    ordered = sample_k.select(
+        "value",
+        F.row_number().over(wv).alias("vrk"),
+        F.count("*").over(Window.partitionBy()).alias("k"),
+    )
+    probs = spark.createDataFrame(
+        [(p,) for p in _BK_PROBS], "quantile double"
+    )
+    return (
+        probs.join(
+            ordered,
+            ordered["vrk"]
+            == F.ceil(probs["quantile"] * ordered["k"]).cast("bigint"),
+        )
+        .select("quantile", F.col("value").alias("est_value"))
+        .orderBy("quantile")
+    )

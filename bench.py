@@ -90,6 +90,16 @@ def _isolated_parent(names: "list[str]") -> int:
             timings[name] = min(runs)
             print(f"isolated {name}: min-of-{len(runs)} = {timings[name]}",
                   file=sys.stderr)
+    out_path = os.path.join(os.path.dirname(script), "BENCH_ISOLATED.json")
+    # merge with prior runs (same sf) so chunked invocations accumulate
+    if os.path.exists(out_path):
+        try:
+            prior = json.load(open(out_path))
+            if prior.get("sf") == sf:
+                timings = {**prior.get("queries", {}), **timings}
+                failures = {**prior.get("failures", {}), **failures}
+        except Exception:
+            pass
     result = {
         "metric": "isolated_min_of_3",
         "value": round(sum(timings.values()), 4),
@@ -99,9 +109,7 @@ def _isolated_parent(names: "list[str]") -> int:
         "failures": failures,
         "queries": timings,
     }
-    with open(
-        os.path.join(os.path.dirname(script), "BENCH_ISOLATED.json"), "w"
-    ) as f:
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print(json.dumps(result))
     return 0 if not failures else 1

@@ -201,6 +201,8 @@ EMPTY_SAFE = [
     "graph_pagerank_fixed_point",
     "graph_labelprop_min_rounds",
     "graph_kcore_peel_rounds",
+    "sketch_cms_verified",
+    "sketch_bottomk_verified",
 ]
 
 
