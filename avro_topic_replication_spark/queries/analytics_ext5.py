@@ -633,3 +633,117 @@ def sketch_bottomk_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("quantile", F.col("value").alias("est_value"))
         .orderBy("quantile")
     )
+
+
+_HLL_M = 1024  # 2^10 buckets; h's low 10 bits address, the top 50 rank
+# alpha_m * m^2 * 2^60 for m=1024 (0.7213/(1+1.079/m)), precomputed once so
+# the only float op in the estimate is ONE division by the exact Z sum.
+_HLL_NUM = 8.710803268202205e23
+
+
+@query(
+    "sketch_hll_verified",
+    oracle=f"""
+        WITH h AS (
+            SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h
+            FROM events
+        ),
+        rho_t AS (
+            SELECT h % {_HLL_M} AS bucket,
+                   CASE WHEN h // {_HLL_M} = 0 THEN 51
+                        ELSE instr(lpad(bin(h // {_HLL_M}), 50, '0'), '1')
+                   END AS rho
+            FROM h
+        ),
+        regs AS (SELECT bucket, MAX(rho) AS r FROM rho_t GROUP BY bucket),
+        spine AS (SELECT unnest(range({_HLL_M})) AS bucket),
+        full_regs AS (
+            SELECT COALESCE(r.r, 0) AS r
+            FROM spine s LEFT JOIN regs r ON r.bucket = s.bucket
+        ),
+        z AS (
+            SELECT CAST(SUM(CAST((1::BIGINT << (60 - r)) AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS z,
+                   CAST(COUNT(*) FILTER (r > 0) AS BIGINT)
+                     AS nonzero_registers
+            FROM full_regs
+        )
+        SELECT z.nonzero_registers,
+               CASE WHEN z.nonzero_registers = 0 THEN NULL
+                    ELSE {_HLL_NUM!r} / CAST(z.z AS DOUBLE) END AS est_raw,
+               x.exact_distinct
+        FROM z, (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                     AS exact_distinct FROM events) x
+    """,
+    tags=("sketch", "approx", "defer-sample"),
+)
+def sketch_hll_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count, hash-verified: md5-derived 60-bit
+    hashes split into a 10-bit bucket address and a 50-bit rank word
+    whose leading-zero count (computed by INTEGER/STRING ops — lpad(bin)
+    + instr — never float log2) feeds per-bucket MAX registers; the
+    harmonic-mean denominator is summed EXACTLY as integer 2^(60-r)
+    terms in decimal(38,0) (max 1024 * 2^60 = 2^70, no float
+    accumulation order anywhere), and the single IEEE division at the
+    end is the only float op. Both engines produce the identical raw
+    estimate AND identical register states — the twin verifies HLL's
+    register algebra (bucket addressing, rank extraction, max-merge,
+    harmonic sum), which the engine-native production variants
+    (agg_approx_count_distinct's HLL++, operators/sketches.py merge)
+    can only invariant-check. Raw estimator by design: the small/large
+    range corrections are presentation, not register algebra — and at
+    the test corpus's n << m the raw value is EXPECTED to overshoot
+    (sf0.01: est_raw 811 vs exact 150 with 887 empty registers; the
+    linear-counting correction m*ln(m/empty) that production HLL
+    applies there needs a transcendental, which the cross-engine
+    numeric discipline (SCALE.md) bans from oracle-checked plans — the
+    exact_distinct and nonzero_registers columns carry the context).
+
+    Scale shape: one map pass computes (bucket, rho); the register table
+    is a 1024-row MAX aggregate (partial map-side); the spine join and
+    harmonic sum run on 1024 rows. Summary size is volume-independent —
+    the HLL property. exact_distinct rides along as one more partial
+    aggregate for the accuracy context."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    rho_t = ev.select(h.alias("h")).select(
+        F.pmod("h", F.lit(_HLL_M)).alias("bucket"),
+        F.expr(f"h DIV {_HLL_M}").alias("w"),
+    ).select(
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(51))
+        .otherwise(F.instr(F.lpad(F.bin("w"), 50, "0"), "1"))
+        .alias("rho"),
+    )
+    regs = rho_t.groupBy("bucket").agg(F.max("rho").alias("r"))
+    spine = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    full_regs = spine.join(regs, "bucket", "left").select(
+        F.coalesce("r", F.lit(0)).alias("r")
+    )
+    z = full_regs.agg(
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 60 - r) AS DECIMAL(38,0))")
+        )
+        .cast("decimal(38,0)")
+        .alias("z"),
+        F.count(F.when(F.col("r") > 0, 1)).cast("bigint").alias(
+            "nonzero_registers"
+        ),
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return z.crossJoin(F.broadcast(exact)).select(
+        "nonzero_registers",
+        # an empty item set has no meaningful raw estimate (all-zero
+        # registers would report alpha*m) — NULL, empty-corpus safe
+        F.when(
+            F.col("nonzero_registers") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(F.lit(_HLL_NUM) / F.col("z").cast("double"))
+        .alias("est_raw"),
+        "exact_distinct",
+    )

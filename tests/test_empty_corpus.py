@@ -203,6 +203,7 @@ EMPTY_SAFE = [
     "graph_kcore_peel_rounds",
     "sketch_cms_verified",
     "sketch_bottomk_verified",
+    "sketch_hll_verified",
 ]
 
 
