@@ -297,3 +297,32 @@ def test_common_neighbors_pairs_are_generated_not_self_joined(spark, sf_dir):
     # the r6 self-join shape planned 7 SortMergeJoins (cp subtree twice
     # plus the e-e pair join); dropping the pair join keeps it <= 5
     assert plan.count("SortMergeJoin") <= 5
+
+
+def test_minhash_banded_signature_agg_is_partial(spark, sf_dir):
+    """dedup_minhash_banded (r8 oracle twin): the 8 minhash slot mins
+    must partial-aggregate map-side (the shuffle carries 8 longs per
+    doc per partition, never the exploded gram rows), and candidate
+    generation is a band-key equi join — no all-pairs product."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_banded")
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_twin_probes_through_broadcast(spark, sf_dir):
+    """sketch_cms_verified (r8 oracle twin): the 1024-cell sketch table
+    must broadcast into the probe join (the whole point of a mergeable
+    summary — probes are map-side), and the cell counts partial-aggregate
+    before their exchange."""
+    plan = _plan(spark, sf_dir, "sketch_cms_verified")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_hll_twin_registers_are_partial_max(spark, sf_dir):
+    """sketch_hll_verified (r8 oracle twin): per-bucket registers must
+    partial-aggregate (map-side MAX, the HLL merge property) so the
+    exchange carries at most 1024 cells per partition, never items."""
+    plan = _plan(spark, sf_dir, "sketch_hll_verified")
+    assert "partial_max" in plan
+    assert "CartesianProduct" not in plan
