@@ -132,17 +132,17 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math",
     oracle="""
         SELECT c_custkey,
-               round(c_acctbal, 1) AS bal_round1,
-               CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
-               CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
-               abs(c_acctbal) AS bal_abs,
-               CAST(sign(c_acctbal) AS DOUBLE) AS bal_sign,
-               sqrt(abs(c_acctbal)) AS bal_sqrt,
-               c_acctbal * c_acctbal AS bal_sq,
+               round(c_acctbal + 0.0, 1) AS bal_round1,
+               CAST(floor(c_acctbal + 0.0) AS BIGINT) AS bal_floor,
+               CAST(ceil(c_acctbal + 0.0) AS BIGINT) AS bal_ceil,
+               abs(c_acctbal + 0.0) AS bal_abs,
+               CAST(sign(c_acctbal + 0.0) AS DOUBLE) AS bal_sign,
+               sqrt(abs(c_acctbal + 0.0)) AS bal_sqrt,
+               (c_acctbal + 0.0) * (c_acctbal + 0.0) AS bal_sq,
                CAST(c_custkey % 7 AS BIGINT) AS key_mod7,
-               round(exp(c_acctbal / 10000.0), 6) AS bal_exp,
-               round(ln(abs(c_acctbal) + 1.0), 6) AS bal_ln,
-               round(log10(abs(c_acctbal) + 1.0), 6) AS bal_log10
+               round(exp((c_acctbal + 0.0) / 10000.0), 6) AS bal_exp,
+               round(ln(abs(c_acctbal + 0.0) + 1.0), 6) AS bal_ln,
+               round(log10(abs(c_acctbal + 0.0) + 1.0), 6) AS bal_log10
         FROM customer WHERE c_custkey < 300
     """,
     tags=("scalar", "math"),
@@ -153,9 +153,16 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle dtype alignment (CORRECTNESS_r01): Spark floor/ceil emit BIGINT
     where DuckDB emits DOUBLE, and Spark signum emits DOUBLE where DuckDB
     sign emits TINYINT — the oracle SQL casts both to Spark's types.
+
+    The input normalizes through ``+ 0.0`` in BOTH engines (IEEE identity
+    for every value except -0.0, which it canonicalizes to +0.0): the
+    engines genuinely disagree on negative zero — Spark round(-0.0) is
+    0.0 where DuckDB keeps -0.0, and Spark signum(-0.0) is -0.0 where
+    DuckDB sign gives 0 — found by r8 fuzzing (test_fuzz_r1_scalars);
+    impossible in the money-valued fixture, latent for any caller.
     """
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
-    bal = F.col("c_acctbal")
+    bal = F.col("c_acctbal") + F.lit(0.0)
     return c.select(
         "c_custkey",
         F.round(bal, 1).alias("bal_round1"),
