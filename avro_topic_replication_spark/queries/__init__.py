@@ -52,11 +52,11 @@ _MODULES = (
 # a fixed-size (50-row) prefix of the registry each round, so the prefix rotates
 # each round to the oracle-bearing queries that have never received a harness
 # CORRECTNESS row. ``_DRIVER_SAMPLED`` is the union of the keys of
-# CORRECTNESS_r01..r06.json (177 names); everything oracle-bearing outside it
-# sorts first, in ``_FAMILY_ORDER`` order. The r6 "defer-sample" tags were
-# deleted in r7 per the documented rotation, so the never-sampled remainder
-# (~119 oracle-bearing queries) drains through the r7 and r8 windows; r7
-# additions are capped (≤15) so the backlog strictly shrinks.
+# CORRECTNESS_r01..r07.json (227 names); everything oracle-bearing outside it
+# sorts first, in ``_FAMILY_ORDER`` order. After the r8 window the
+# never-sampled backlog is 19 rotation entries + 7 r8 "defer-sample"
+# additions (the hash-verified twins in analytics_ext5) = 26, so the r9
+# window clears the registry with slack for the 4 re-enqueues below.
 #
 # r9 ROTATION PROCEDURE (do this first next round): add the 50 keys of
 # CORRECTNESS_r08.json to _DRIVER_SAMPLED; the never-sampled remainder then
