@@ -192,9 +192,22 @@ def main() -> int:
     return 0 if not failures else 1
 
 
+def _isolated_top(n: int) -> int:
+    """--isolated over the N slowest queries of the last full bench
+    (BENCH_FULL.json) — the per-round regression-gate invocation."""
+    full = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    timings = json.load(open(full))["queries"]
+    names = [k for k, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:n]]
+    return _isolated_parent(names)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--isolated-child":
         sys.exit(_isolated_child(sys.argv[2]))
+    if len(sys.argv) > 2 and sys.argv[1] == "--isolated-top":
+        sys.exit(_isolated_top(int(sys.argv[2])))
     if len(sys.argv) > 2 and sys.argv[1] == "--isolated":
         sys.exit(_isolated_parent(sys.argv[2:]))
     sys.exit(main())
