@@ -52,19 +52,20 @@ _MODULES = (
 # a fixed-size (50-row) prefix of the registry each round, so the prefix rotates
 # each round to the oracle-bearing queries that have never received a harness
 # CORRECTNESS row. ``_DRIVER_SAMPLED`` is the union of the keys of
-# CORRECTNESS_r01..r07.json (227 names); everything oracle-bearing outside it
-# sorts first, in ``_FAMILY_ORDER`` order. After the r8 window the
-# never-sampled backlog is 19 rotation entries + 7 r8 "defer-sample"
-# additions (the hash-verified twins in analytics_ext5) = 26, so the r9
-# window clears the registry with slack for the 4 re-enqueues below.
+# CORRECTNESS_r01..r08.json (277 names) MINUS the four r1-era scalar rows
+# ("fn_math", "fn_json_from_json", "fn_array", "fn_map") whose only driver
+# rows are r1 failures fixed long ago — the r9 window re-enqueues them so the
+# project's only red driver history is replaced with green rows (r7 verdict
+# item 2, executed here in r9).
 #
-# r9 ROTATION PROCEDURE (do this first next round): add the 50 keys of
-# CORRECTNESS_r08.json to _DRIVER_SAMPLED; the never-sampled remainder then
-# sorts into the r9 window automatically. ALSO (r7 verdict #2): remove
-# "fn_math", "fn_json_from_json", "fn_array", "fn_map" from _DRIVER_SAMPLED —
-# their only driver rows are r1-era failures fixed long ago; re-enqueueing
-# them in r9 (when the backlog has slack) replaces the only red driver
-# history with green rows.
+# r9 STATE: the r9 window = 19 rotation-backlog entries + the 7 r8
+# hash-verified twins (their "defer-sample" tags removed this round — the
+# rotation moment they were deferred for has arrived) + the 4 re-enqueues
+# = 30 never-sampled / re-enqueued rows, 20 slots of slack. Once
+# CORRECTNESS_r09.json lands green, EVERY oracle-bearing query in the
+# registry has a green driver row. Queries added in r9 or later arrive
+# "defer-sample"-tagged so they cannot displace this final window; from r10
+# on the window naturally holds only fresh additions.
 _DRIVER_SAMPLED = frozenset((
     "agg_approx_count_distinct", "agg_arg_minmax", "agg_collect_sorted",
     "agg_conditional", "agg_corr", "agg_count_distinct", "agg_cube",
@@ -74,8 +75,10 @@ _DRIVER_SAMPLED = frozenset((
     "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
     "dedup_exact_keep_first", "dedup_ngram_jaccard", "dedup_simhash",
     "events_funnel_conversion", "filter_predicates", "flagship_revenue_by_nation",
-    "fn_array", "fn_datetime", "fn_explode_posexplode", "fn_hash",
-    "fn_hash_spark_native", "fn_json", "fn_json_from_json", "fn_map", "fn_math",
+    "fn_datetime", "fn_explode_posexplode", "fn_hash",
+    "fn_hash_spark_native", "fn_json",
+    # ("fn_array", "fn_json_from_json", "fn_map", "fn_math" deliberately
+    #  absent: r9 re-enqueue of the four r1-era rows, r7 verdict item 2.)
     "fn_string_basic", "fn_string_regex_split", "join_anti", "join_asof_click_view",
     "join_bucketed_colocated", "join_cross", "join_full_outer", "join_left_outer",
     "join_range_bands", "join_right_outer", "join_salted_skew", "join_semi",
@@ -141,6 +144,24 @@ _DRIVER_SAMPLED = frozenset((
     "text_gopher_quality_gate", "text_rare_token_ratio", "ts_ewma_per_user",
     "ts_zscore_anomaly", "udf_apply_in_arrow", "udf_map_in_arrow", "vec_lsh_pairs",
     "vec_matryoshka_recall", "vec_quantize_int8", "vec_two_stage_rerank",
+    # --- CORRECTNESS_r08.json (50 keys, all green) ---
+    "agg_approx_top_k", "agg_generalized_means", "agg_incremental_refresh",
+    "agg_listagg_top_names", "agg_multiple_regression", "agg_weighted_median",
+    "events_ab_test_lift", "events_cumulative_users", "events_dow_hour_heatmap",
+    "events_funnel_windowed", "events_inter_arrival_stats", "events_top_paths",
+    "graph_bipartite_copurchase", "graph_common_neighbors",
+    "join_asof_tolerance", "join_interval_overlap", "join_null_safe_eq",
+    "join_scd2_point_in_time", "mm_image_phash_dedup", "sample_weighted_priority",
+    "setop_union_by_name", "source_avro_container", "sql_cache_table",
+    "sql_distribute_sort_by", "sql_not_in_null_aware", "sql_order_by_all",
+    "sql_pivot_clause", "sql_unpivot_clause", "stat_bootstrap_poisson_ci",
+    "stat_chi2_independence", "stat_ks_test", "stat_welch_ttest",
+    "stream_dynamic_session_window", "text_keyword_topk", "text_length_gini",
+    "text_ngram_topk", "text_readability", "text_zipf_fit", "ts_autocorrelation",
+    "ts_cusum_drift", "ts_hampel_outliers", "ts_holt_linear",
+    "ts_linear_interpolate", "ts_mad_anomaly", "ts_max_drawdown",
+    "ts_rolling_median", "ts_seasonal_baseline", "vec_hamming_topk",
+    "vec_pair_distance_histogram", "win_time_range_frame",
 ))
 _FAMILY_ORDER = (
     "replication_pipeline",

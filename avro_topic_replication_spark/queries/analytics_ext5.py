@@ -14,9 +14,10 @@ generation + exact verify, mass-conserving rank flow, min-label
 flooding, and degree-threshold peeling.
 
 All [EXT] surface beyond the reference's replication dataflow
-(``ReplicationApplication.java:71`` is its only transform). Tagged
-"defer-sample" per the r7 rotation discipline: the r8 driver window is
-reserved for the never-sampled backlog; these enter the r9+ windows.
+(``ReplicationApplication.java:71`` is its only transform). These seven
+carried "defer-sample" through r8 per the r7 rotation discipline (the r8
+driver window was reserved for the never-sampled backlog); the tag was
+removed in r9 when they entered the final rotation window.
 """
 
 from __future__ import annotations
@@ -98,7 +99,7 @@ _MINHASH_ORACLE = f"""
 @query(
     "dedup_minhash_banded",
     oracle=_MINHASH_ORACLE,
-    tags=("llm", "dedup", "lsh", "defer-sample"),
+    tags=("llm", "dedup", "lsh"),
 )
 def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, hash-verified end to end:
@@ -120,9 +121,13 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds more than (doc_id, 8 longs) per row except the final bounded
     verify. Jaccard is a single correctly-rounded IEEE division."""
     d = load_table(spark, sf_dir, "documents")
+    # localCheckpoint (repo idiom), not persist(): the shingle arrays are
+    # this query's largest intermediate, and a persist() with no unpersist
+    # would stay pinned in executor memory for the rest of a shared-session
+    # bench; checkpointed blocks are GC-cleaned with the returned plan.
     sh = d.select(
         "doc_id", _token_grams(F.col("text"), 6).alias("g")
-    ).persist()
+    ).localCheckpoint(eager=True)
     inv = sh.select("doc_id", F.explode("g").alias("gr")).select(
         "doc_id",
         F.pmod(
@@ -254,7 +259,7 @@ _PR_ITERS = 3
         FROM r3
         ORDER BY rank_fp DESC, node ASC LIMIT 20
     """,
-    tags=("graph", "defer-sample"),
+    tags=("graph",),
 )
 def graph_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, hash-verified: 3 unrolled iterations over the symmetric
@@ -328,7 +333,7 @@ def graph_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM l3 GROUP BY lab
         ORDER BY n_members DESC, label ASC LIMIT 20
     """,
-    tags=("graph", "defer-sample"),
+    tags=("graph",),
 )
 def graph_labelprop_min_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-label propagation, hash-verified: labels start as node ids
@@ -401,11 +406,11 @@ _KCORE_K = 40
                    (SELECT COUNT(*) FROM e2)
         ) r
     """,
-    tags=("graph", "defer-sample"),
+    tags=("graph",),
 )
 def graph_kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core peeling, hash-verified: two fixed rounds of "drop every
-    node with degree < 30, keep only edges between survivors" on the
+    node with degree < _KCORE_K (= 40), keep only edges between survivors" on the
     symmetric supplier<->part graph, reporting (round, nodes, edges)
     for the original graph and after each peel. Pure integer degree
     thresholds — both engines agree exactly. The production variant
@@ -495,7 +500,7 @@ _CMS_BUCKET_SQL = (
         GROUP BY p.user_id
         ORDER BY est_count DESC, user_id ASC LIMIT 10
     """,
-    tags=("sketch", "approx", "defer-sample"),
+    tags=("sketch", "approx"),
 )
 def sketch_cms_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters, hash-verified: the 4x256 counter
@@ -586,7 +591,7 @@ _BK_PROBS = (0.25, 0.5, 0.75, 0.9)
           ON o.vrk = CAST(ceil(p.quantile * o.k) AS BIGINT)
         ORDER BY p.quantile
     """,
-    tags=("sketch", "approx", "defer-sample"),
+    tags=("sketch", "approx"),
 )
 def sketch_bottomk_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k quantile sketch, hash-verified: the k=256 rows with the
@@ -676,7 +681,7 @@ _HLL_NUM = 8.710803268202205e23
         FROM z, (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
                      AS exact_distinct FROM events) x
     """,
-    tags=("sketch", "approx", "defer-sample"),
+    tags=("sketch", "approx"),
 )
 def sketch_hll_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count, hash-verified: md5-derived 60-bit

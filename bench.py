@@ -91,13 +91,21 @@ def _isolated_parent(names: "list[str]") -> int:
             print(f"isolated {name}: min-of-{len(runs)} = {timings[name]}",
                   file=sys.stderr)
     out_path = os.path.join(os.path.dirname(script), "BENCH_ISOLATED.json")
-    # merge with prior runs (same sf) so chunked invocations accumulate
+    # merge with prior runs (same sf) so chunked invocations accumulate.
+    # A query run THIS invocation fully supersedes its prior entry in BOTH
+    # maps — otherwise a now-green query keeps a phantom prior failure, and
+    # a now-failing query keeps its stale timing counted in the total.
     if os.path.exists(out_path):
         try:
             prior = json.load(open(out_path))
             if prior.get("sf") == sf:
-                timings = {**prior.get("queries", {}), **timings}
-                failures = {**prior.get("failures", {}), **failures}
+                ran = set(names)
+                prior_t = {k: v for k, v in prior.get("queries", {}).items()
+                           if k not in ran}
+                prior_f = {k: v for k, v in prior.get("failures", {}).items()
+                           if k not in ran}
+                timings = {**prior_t, **timings}
+                failures = {**prior_f, **failures}
         except Exception:
             pass
     result = {

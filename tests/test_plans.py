@@ -319,6 +319,23 @@ def test_cms_twin_probes_through_broadcast(spark, sf_dir):
     assert "partial_count" in plan
 
 
+def test_bottomk_twin_sample_is_topk_not_global_sort(spark, sf_dir):
+    """sketch_bottomk_verified (r8 oracle twin): the hash-rank sample
+    (row_number over an unpartitioned orderBy, then ``hrk <= 256``) must
+    compile to a partial per-partition top-k — Spark 4's
+    InferWindowGroupLimit rewrites it to TakeOrderedAndProject(limit=256)
+    (or at minimum a WindowGroupLimit) — never a full single-partition
+    sort of the events table. Pins the optimizer behavior the docstring's
+    scale claim rests on (r8 verdict blemish 2)."""
+    plan = _plan(spark, sf_dir, "sketch_bottomk_verified")
+    assert (
+        "TakeOrderedAndProject(limit=256" in plan
+        or "WindowGroupLimit" in plan
+    )
+    # the events scan must feed the top-k, not an unbounded global Sort
+    assert "Sort [_w0" not in plan
+
+
 def test_hll_twin_registers_are_partial_max(spark, sf_dir):
     """sketch_hll_verified (r8 oracle twin): per-bucket registers must
     partial-aggregate (map-side MAX, the HLL merge property) so the
