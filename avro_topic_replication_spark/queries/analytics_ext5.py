@@ -752,3 +752,246 @@ def sketch_hll_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_raw"),
         "exact_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# ALS, fixed-point: rank-2 matrix factorization, one full alternation
+# (users solved against md5-seeded item factors, then items re-solved
+# against those user factors), entirely in scaled-integer arithmetic.
+#
+# The production ml_als_recommend (analytics_ext.py, pyspark.ml's blocked
+# ALS over the same customer x supplier purchase matrix) is rows-only by
+# necessity: iterative least squares on floats has no SQL twin. This twin
+# pins the algorithm's CORE — the per-entity normal equations
+# (A = F^T F + lambda*I, b = F^T r) and their closed-form 2x2 Cramer
+# solve — to a contract DuckDB replays bit-exactly:
+#
+# - factors are integers in units of 1/_ALS_S (S = 100), seeded from
+#   md5(item) so both engines start identically;
+# - every sum in A and b is exact integer arithmetic (ratings clamped to
+#   _ALS_RCAP keep magnitudes analyzable);
+# - the solve's one division is an EXACT floor division spelled
+#   per-engine: Spark `(num - pmod(num, den)) / den` on DECIMAL(38,0)
+#   (subtracting the non-negative remainder makes the decimal division
+#   exact — Spark's own `div` operator silently wraps >64-bit decimals
+#   through a long, measured this round, so it is unusable here), DuckDB
+#   `(num - ((num % den + den) % den)) // den` on HUGEINT. Same integer
+#   function, verified identical on +/-1.3e21-scale operands;
+# - solved factors clamp to +/-_ALS_CLAMP BEFORE the bigint cast (when
+#   den sits near its lambda^2*S^4 floor the raw quotient can exceed 64
+#   bits), bounding every step-2 and scoring magnitude by construction.
+#
+# den > 0 always: Cauchy-Schwarz gives a11*a22 >= a12^2 even before the
+# lambda*S^2 ridge terms, so den >= lambda^2*S^4 = 1e6 — no zero-division
+# branch needed in either engine. Documented headroom: with |factor| <=
+# 1e5, 1e7 users/items and r <= 20, the largest intermediate (S * Cramer
+# numerator of the item solve) stays < 1e35 < DECIMAL(38,0)/HUGEINT.
+_ALS_S = 100
+_ALS_LAM_S2 = 1_000  # lambda = 0.1 in S^2 fixed-point units
+_ALS_CLAMP = 100_000  # |factor| <= 1000 in real units
+_ALS_RCAP = 20
+
+_ALS_FDIV = (
+    "CAST(GREATEST(-100000, LEAST(100000,"
+    " ({n} - (({n} % den + den) % den)) // den)) AS BIGINT)"
+)
+_ALS_SOLVE_SQL = f"""
+    SELECT {{key}},
+           CAST(a11 AS HUGEINT) * a22 - CAST(a12 AS HUGEINT) * a12 AS den,
+           100 * (CAST(a22 AS HUGEINT) * b1
+                  - CAST(a12 AS HUGEINT) * b2) AS n1,
+           100 * (CAST(a11 AS HUGEINT) * b2
+                  - CAST(a12 AS HUGEINT) * b1) AS n2
+    FROM {{src}}
+"""
+
+
+def _als_hash(col, salt: str):
+    """Deterministic seed factor in [10, 110) — md5's 60-bit prefix
+    reduced mod 100, the engine-shared construction every ext5 twin
+    uses (DuckDB: CAST('0x' || substr(md5(..),1,15) AS BIGINT))."""
+    return F.lit(10) + F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
+
+
+def _als_fdiv_clamp(num, den):
+    """Exact floor(num/den) on DECIMAL(38,0) via remainder subtraction
+    (the decimal division of exactly-divisible operands is exact; no
+    rounding step exists anywhere in the solve), clamped to the factor
+    range BEFORE the bigint cast."""
+    q = ((num - F.pmod(num, den)) / den).cast("decimal(38,0)")
+    return (
+        F.greatest(F.lit(-_ALS_CLAMP), F.least(F.lit(_ALS_CLAMP), q))
+        .cast("bigint")
+    )
+
+
+def _als_solve(side: DataFrame, key: str) -> DataFrame:
+    """One ALS half-sweep: per-`key` normal equations from exact integer
+    sums (partial-aggregated map-side — the shuffle carries 5 longs per
+    key per partition), then the closed-form 2x2 Cramer solve."""
+    ag = side.groupBy(key).agg(
+        (F.lit(_ALS_LAM_S2) + F.sum(F.col("f1") * F.col("f1"))).alias("a11"),
+        F.sum(F.col("f1") * F.col("f2")).alias("a12"),
+        (F.lit(_ALS_LAM_S2) + F.sum(F.col("f2") * F.col("f2"))).alias("a22"),
+        (F.lit(_ALS_S) * F.sum(F.col("r") * F.col("f1"))).alias("b1"),
+        (F.lit(_ALS_S) * F.sum(F.col("r") * F.col("f2"))).alias("b2"),
+    )
+
+    def d(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    s = F.lit(_ALS_S).cast("decimal(38,0)")
+    den = d("a11") * d("a22") - d("a12") * d("a12")
+    n1 = s * (d("a22") * d("b1") - d("a12") * d("b2"))
+    n2 = s * (d("a11") * d("b2") - d("a12") * d("b1"))
+    return ag.select(
+        key,
+        _als_fdiv_clamp(n1, den).alias("x1"),
+        _als_fdiv_clamp(n2, den).alias("x2"),
+    )
+
+
+@query(
+    "ml_als_fixed_point",
+    oracle=f"""
+        WITH ratings AS (
+            SELECT o.o_custkey AS u, l.l_suppkey AS it,
+                   LEAST(COUNT(*), {_ALS_RCAP}) AS r
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey, l.l_suppkey
+        ), vinit AS (
+            SELECT it,
+                   10 + CAST('0x' || substr(md5(CAST(it AS VARCHAR) || ':v1'),
+                                            1, 15) AS BIGINT) % 100 AS f1,
+                   10 + CAST('0x' || substr(md5(CAST(it AS VARCHAR) || ':v2'),
+                                            1, 15) AS BIGINT) % 100 AS f2
+            FROM (SELECT DISTINCT it FROM ratings)
+        ), ua AS (
+            SELECT u,
+                   {_ALS_LAM_S2} + SUM(f1 * f1) AS a11,
+                   SUM(f1 * f2) AS a12,
+                   {_ALS_LAM_S2} + SUM(f2 * f2) AS a22,
+                   {_ALS_S} * SUM(r * f1) AS b1,
+                   {_ALS_S} * SUM(r * f2) AS b2
+            FROM ratings JOIN vinit USING (it) GROUP BY u
+        ), usol AS ({_ALS_SOLVE_SQL.format(key="u", src="ua")}
+        ), ufac AS (
+            SELECT u, {_ALS_FDIV.format(n="n1")} AS u1,
+                      {_ALS_FDIV.format(n="n2")} AS u2
+            FROM usol
+        ), ib AS (
+            SELECT it,
+                   {_ALS_LAM_S2} + SUM(u1 * u1) AS a11,
+                   SUM(u1 * u2) AS a12,
+                   {_ALS_LAM_S2} + SUM(u2 * u2) AS a22,
+                   {_ALS_S} * SUM(r * u1) AS b1,
+                   {_ALS_S} * SUM(r * u2) AS b2
+            FROM ratings JOIN ufac USING (u) GROUP BY it
+        ), isol AS ({_ALS_SOLVE_SQL.format(key="it", src="ib")}
+        ), ifac AS (
+            SELECT it, {_ALS_FDIV.format(n="n1")} AS w1,
+                       {_ALS_FDIV.format(n="n2")} AS w2
+            FROM isol
+        ), cand AS (
+            SELECT f.u, g.it, f.u1 * g.w1 + f.u2 * g.w2 AS s
+            FROM ufac f CROSS JOIN ifac g
+            WHERE f.u % 50 = 0
+              AND NOT EXISTS (SELECT 1 FROM ratings x
+                              WHERE x.u = f.u AND x.it = g.it)
+        ), ranked AS (
+            SELECT u, it, s,
+                   ROW_NUMBER() OVER (PARTITION BY u
+                                      ORDER BY s DESC, it) AS rk
+            FROM cand
+        )
+        SELECT u AS custkey, CAST(rk AS INT) AS rk, it AS suppkey,
+               CAST(s AS BIGINT) AS score_s2
+        FROM ranked WHERE rk <= 5
+    """,
+    tags=("ml", "iterative", "defer-sample"),
+)
+def ml_als_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS, hash-verified: rank-2 factorization of the customer x
+    supplier purchase matrix — one full alternation (users solved
+    against md5-seeded item factors, items re-solved against the user
+    factors) in 1/100-fixed-point integers, then the production query's
+    recommend step: top-5 UNSEEN suppliers per every-50th customer by
+    exact integer score u . w, ties broken by suppkey.
+
+    The production ml_als_recommend (pyspark.ml blocked ALS, rows-only
+    by necessity) keeps its float solver and convergence loop; this twin
+    hash-verifies the normal-equations core in BOTH directions — the
+    per-entity (F^T F + lambda I, F^T r) accumulation and the 2x2 Cramer
+    solve, the parts a distributed ALS gets wrong (partial aggregation
+    of the Gram sums, the ridge term, the solve's division) — plus the
+    unseen-filter and deterministic-ranking of the recommend step.
+
+    Scale shape: each half-sweep is ONE key-partitioned join (items:
+    broadcast, dimension-sized; users: shuffle on u — the exact shape of
+    a blocked-ALS sweep) + one partial-aggregated groupBy carrying 5
+    longs per entity; the recommend step broadcasts the item-factor
+    table under the sampled users and anti-joins the seen pairs —
+    candidate volume is sampled-users x items, the honest recommend-all
+    cost. Driver traffic: zero (no collect anywhere). Ratings are
+    localCheckpointed once (used by both sweeps and the anti-join)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_suppkey").alias("it"))
+        .agg(F.least(F.count("*"), F.lit(_ALS_RCAP)).alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    vinit = (
+        ratings.select("it")
+        .distinct()
+        .select(
+            "it",
+            _als_hash(F.col("it"), ":v1").alias("f1"),
+            _als_hash(F.col("it"), ":v2").alias("f2"),
+        )
+    )
+    ufac = _als_solve(
+        ratings.join(F.broadcast(vinit), "it").select("u", "r", "f1", "f2"),
+        "u",
+    ).withColumnsRenamed({"x1": "u1", "x2": "u2"})
+    ifac = _als_solve(
+        ratings.join(ufac, "u").select(
+            "it", "r", F.col("u1").alias("f1"), F.col("u2").alias("f2")
+        ),
+        "it",
+    ).withColumnsRenamed({"x1": "w1", "x2": "w2"})
+    cand = (
+        ufac.filter(F.col("u") % 50 == 0)
+        .crossJoin(F.broadcast(ifac))
+        .join(ratings.select("u", "it"), ["u", "it"], "left_anti")
+        .select(
+            "u",
+            "it",
+            (F.col("u1") * F.col("w1") + F.col("u2") * F.col("w2")).alias("s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u").orderBy(F.col("s").desc(), F.col("it").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("u").alias("custkey"),
+            F.col("rk").cast("int").alias("rk"),
+            F.col("it").alias("suppkey"),
+            F.col("s").cast("bigint").alias("score_s2"),
+        )
+    )

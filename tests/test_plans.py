@@ -336,6 +336,21 @@ def test_bottomk_twin_sample_is_topk_not_global_sort(spark, sf_dir):
     assert "Sort [_w0" not in plan
 
 
+def test_als_twin_gram_sums_partial_and_factors_broadcast(spark, sf_dir):
+    """ml_als_fixed_point (r9 oracle twin): the normal-equation Gram
+    sums must partial-aggregate map-side (each half-sweep's shuffle
+    carries 5 longs per entity per partition, never the rating rows),
+    the seed item-factor table must broadcast into the first sweep, the
+    recommend-all step must be a broadcast of the item factors (never a
+    CartesianProduct), and the final top-5 window must compile to a
+    partial per-partition WindowGroupLimit."""
+    plan = _plan(spark, sf_dir, "ml_als_fixed_point")
+    assert plan.count("partial_sum") >= 10
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_hll_twin_registers_are_partial_max(spark, sf_dir):
     """sketch_hll_verified (r8 oracle twin): per-bucket registers must
     partial-aggregate (map-side MAX, the HLL merge property) so the
