@@ -995,3 +995,571 @@ def ml_als_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("bigint").alias("score_s2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means, fixed-point: 2 unrolled Lloyd rounds, k=4, over embeddings
+# quantized to integers (q = floor(x * 1000) — one IEEE multiply of the
+# exactly-widened float32 and a floor, both correctly rounded, so the
+# engines agree bit-for-bit before any clustering math starts). Seeds
+# are the 4 vectors with the smallest (md5(vec_id), vec_id) — the
+# bottom-k twin's deterministic hash-rank sample. Assignment distance is
+# exact integer SSE; ties break toward the lower centroid id; the
+# centroid update is an exact per-dim floor division (remainder
+# subtraction, the ALS twin's spelling), and an EMPTY cluster keeps its
+# previous centroid (both engines, same CASE). The production variant
+# (operators/kmeans.py: BLAS per Arrow batch, k-means++ init,
+# run-to-convergence) stays the fast path; this twin hash-verifies the
+# Lloyd core — assign, recompute, re-assign — including the
+# empty-cluster branch.
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_Q = 1000  # quantization scale for the float32 dims
+_KM_DIST_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+)
+
+
+def _km_quant(col):
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * _KM_Q).cast("bigint")
+    )
+
+
+def _km_dist(qv, cv):
+    return F.aggregate(
+        F.zip_with(qv, cv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _km_assign(vectors: DataFrame, cents: DataFrame, cid_out: str) -> DataFrame:
+    """Map-side Lloyd assignment: the k=4 centroid table collapses to a
+    ONE-ROW array of (cid, cv) structs, broadcast under the vectors, and
+    argmin is array_min over per-centroid (dist, cid) structs — zero
+    shuffle, the plan-native analog of the production kernel's BLAS
+    scoring against driver-broadcast centroids."""
+    one = cents.groupBy().agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("cs")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                _km_dist(F.col("qv"), c["cv"]).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return vectors.crossJoin(F.broadcast(one)).select(
+        "vec_id",
+        "qv",
+        best["cid"].alias(cid_out),
+        best["dist"].alias("dist"),
+    )
+
+
+@query(
+    "ml_kmeans_fixed_point",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT))
+                       AS qv
+            FROM embeddings
+        ), seeds AS (
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                       AS INT) - 1 AS cid,
+                   qv AS cv
+            FROM q
+            QUALIFY ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {_KM_K}
+        ), a1 AS (
+            SELECT vec_id, qv, cid,
+                   {_KM_DIST_SQL.format(a="qv", b="cv")} AS dist
+            FROM q CROSS JOIN seeds
+        ), b1 AS (
+            SELECT vec_id, qv, cid AS cid1
+            FROM a1
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) = 1
+        ), upd AS (
+            SELECT cid1 AS cid, di.i AS di,
+                   COUNT(*) AS n, SUM(qv[di.i]) AS s
+            FROM b1, LATERAL (SELECT unnest(range(1, 65)) AS i) di
+            GROUP BY cid1, di.i
+        ), newc AS (
+            SELECT s.cid,
+                   CASE WHEN NOT EXISTS (SELECT 1 FROM upd u
+                                         WHERE u.cid = s.cid)
+                        THEN s.cv
+                        ELSE (SELECT list(CAST(
+                                  (u.s - ((u.s % u.n + u.n) % u.n)) // u.n
+                                  AS BIGINT) ORDER BY u.di)
+                              FROM upd u WHERE u.cid = s.cid)
+                   END AS cv
+            FROM seeds s
+        ), a2 AS (
+            SELECT vec_id, cid,
+                   {_KM_DIST_SQL.format(a="qv", b="cv")} AS dist
+            FROM q CROSS JOIN newc
+        ), b2 AS (
+            SELECT vec_id, cid AS cid2, dist
+            FROM a2
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) = 1
+        ), stats AS (
+            SELECT cid2 AS cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(dist) AS BIGINT) AS wcss
+            FROM b2 GROUP BY cid2
+        )
+        SELECT n.cid, COALESCE(st.n_members, 0) AS n_members,
+               COALESCE(st.wcss, 0) AS wcss,
+               CAST(list_reduce(list_transform(n.cv, x -> abs(x)),
+                                (x, y) -> x + y) AS BIGINT) AS centroid_l1
+        FROM newc n LEFT JOIN stats st USING (cid)
+    """,
+    tags=("ml", "iterative", "defer-sample"),
+)
+def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means, hash-verified: two unrolled Lloyd rounds (assign →
+    recompute → re-assign) with k=4 over the embeddings table, entirely
+    in quantized-integer arithmetic — exact SSE distances, ties to the
+    lower centroid id, exact floor-division centroid means, empty
+    clusters keeping their previous centroid. Emits per centroid the
+    round-2 membership count, the exact integer within-cluster SSE
+    (which pins BOTH assignments and the recomputed centroids — any
+    divergence anywhere changes it) and the updated centroid's L1 norm.
+
+    The production k-means (operators/kmeans.py) keeps BLAS scoring and
+    k-means++ init; this twin hash-verifies the Lloyd core the same way
+    ml_als_fixed_point verifies the ALS normal equations.
+
+    Scale shape: each assignment is a MAP-SIDE pass — the k-centroid
+    table collapses to one broadcast row of (cid, cv) structs and argmin
+    is array_min over a per-row struct array, zero shuffle, exactly the
+    production kernel's broadcast-centroids shape. The update is one
+    partial-aggregated groupBy carrying 64 longs + a count per cluster
+    per partition. Driver traffic: zero (centroids move plan-to-plan as
+    one-row DataFrames, never collected)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _km_quant(F.col("embedding")).alias("qv"))
+    from pyspark.sql import Window
+
+    wh = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    seeds = (
+        q.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") <= _KM_K)
+        .select((F.col("rn") - 1).cast("int").alias("cid"), F.col("qv").alias("cv"))
+    )
+    b1 = _km_assign(q, seeds, "cid1")
+    upd = b1.groupBy("cid1").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.element_at("qv", d + 1)).alias(f"s{d}")
+            for d in range(64)
+        ],
+    )
+    sumarr = F.array(*[F.col(f"s{d}") for d in range(64)])
+    n = F.col("n")
+    newc = (
+        seeds.join(upd, seeds["cid"] == upd["cid1"], "left")
+        .select(
+            "cid",
+            F.when(n.isNull(), F.col("cv"))
+            .otherwise(
+                F.transform(
+                    sumarr,
+                    lambda s: ((s - F.pmod(s, n)) / n).cast("bigint"),
+                )
+            )
+            .alias("cv"),
+        )
+        .localCheckpoint(eager=True)  # round boundary: used by assign AND output
+    )
+    b2 = _km_assign(q, newc, "cid2")
+    stats = b2.groupBy("cid2").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("dist").cast("bigint").alias("wcss"),
+    )
+    return (
+        newc.join(stats, newc["cid"] == stats["cid2"], "left")
+        .select(
+            "cid",
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            F.coalesce("wcss", F.lit(0)).alias("wcss"),
+            F.aggregate(
+                F.transform(F.col("cv"), lambda x: F.abs(x)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("centroid_l1"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ-ADC, hash-verified: the asymmetric-distance-computation mechanics
+# of product quantization — 8 subspaces x 16 codewords over the 64-dim
+# quantized embeddings, codewords md5-derived integers in [-300, 300]
+# (the quantized data's own range) so BOTH engines hold the identical
+# codebook without training. The production vec_pq_adc_search
+# (llm_vectors.py) k-means-trains its codebooks and is rows-only +
+# recall-floor-checked; this twin pins what a broken ADC silently gets
+# wrong — the per-subspace argmin ENCODE (ties to the lower code), the
+# probe's 8x16 LOOKUP TABLE, and the table-sum SCAN — to exact integer
+# arithmetic.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_C = 16  # codewords per subspace
+_PQ_D = 8  # dims per subspace
+
+_PQ_CW_SQL = (
+    "((CAST('0x' || substr(md5(CAST({m} AS VARCHAR) || ':' ||"
+    " CAST({c} AS VARCHAR) || ':' || CAST({d} AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 601) - 300)"
+)
+_PQ_SUBDIST_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+)
+
+
+def _pq_codeword(m, c, d):
+    return (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            m.cast("string"),
+                            F.lit(":"),
+                            c.cast("string"),
+                            F.lit(":"),
+                            d.cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(601),
+        )
+        - 300
+    )
+
+
+@query(
+    "vec_pq_adc_verified",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT))
+                       AS qv
+            FROM embeddings
+        ), cb AS (
+            SELECT m.m, c.c,
+                   list({_PQ_CW_SQL.format(m="m.m", c="c.c", d="d.d")}
+                        ORDER BY d.d) AS w
+            FROM (SELECT unnest(range({_PQ_M})) AS m) m,
+                 (SELECT unnest(range({_PQ_C})) AS c) c,
+                 (SELECT unnest(range({_PQ_D})) AS d) d
+            GROUP BY m.m, c.c
+        ), sub AS (
+            SELECT vec_id, m.m,
+                   list_slice(qv, m.m * {_PQ_D} + 1,
+                              m.m * {_PQ_D} + {_PQ_D}) AS sv
+            FROM q, (SELECT unnest(range({_PQ_M})) AS m) m
+        ), enc AS (
+            SELECT vec_id, m, c AS code
+            FROM (
+                SELECT s.vec_id, s.m, cb.c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY {_PQ_SUBDIST_SQL.format(a="s.sv", b="cb.w")},
+                                    cb.c) AS rn
+                FROM sub s JOIN cb ON cb.m = s.m
+            ) WHERE rn = 1
+        ), probe AS (
+            SELECT vec_id FROM q
+            QUALIFY ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1
+        ), tbl AS (
+            SELECT s.m, cb.c,
+                   {_PQ_SUBDIST_SQL.format(a="s.sv", b="cb.w")} AS t
+            FROM sub s JOIN probe p ON s.vec_id = p.vec_id
+            JOIN cb ON cb.m = s.m
+        ), adc AS (
+            SELECT e.vec_id, CAST(SUM(t.t) AS BIGINT) AS adc_dist
+            FROM enc e JOIN tbl t ON t.m = e.m AND t.c = e.code
+            WHERE e.vec_id != (SELECT vec_id FROM probe)
+            GROUP BY e.vec_id
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) AS INT)
+                   AS rk,
+               vec_id, adc_dist
+        FROM adc
+        QUALIFY rk <= 10
+    """,
+    tags=("vectors", "ann", "defer-sample"),
+)
+def vec_pq_adc_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC nearest neighbors, hash-verified: every vector encodes to
+    8 4-bit codes (per-subspace argmin against a fixed md5-derived
+    16-codeword book, ties to the lower code), the hash-rank-1 probe
+    builds its 8x16 ADC lookup table, and candidates score as the exact
+    integer table-sum over their codes — top-10 by (adc_dist, vec_id).
+    All integers end to end: the codebook, the quantized dims, the
+    subspace SSEs and the ADC sums replay bit-exactly in DuckDB,
+    including PQ's own quantization error (the adc_dist VALUES are part
+    of the checked hash, not just the neighbor ids).
+
+    The production vec_pq_adc_search (llm_vectors.py:718) trains its
+    codebooks with k-means and is rows-only + recall-floor-checked; this
+    twin hash-verifies the ADC machinery itself.
+
+    Scale shape: encode is a broadcast join against the 128-row codebook
+    + one partial min-struct aggregate per (vector, subspace); the probe
+    table is 128 rows broadcast into the scan-side lookup join; the
+    top-10 is a TakeOrdered-style bounded sort. 8 codes per vector on
+    the shuffle — the 8-byte-codes property that makes PQ the honest
+    disk-scale ANN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _km_quant(F.col("embedding")).alias("qv"))
+    ms = spark.range(_PQ_M).select(F.col("id").alias("m"))
+    cb = (
+        spark.range(_PQ_M * _PQ_C)
+        .select(
+            (F.col("id") / _PQ_C).cast("bigint").alias("m"),
+            F.pmod(F.col("id"), F.lit(_PQ_C)).alias("c"),
+        )
+        .select(
+            "m",
+            "c",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_D - 1)),
+                lambda d: _pq_codeword(F.col("m"), F.col("c"), d),
+            ).alias("w"),
+        )
+    )
+    sub = q.crossJoin(F.broadcast(ms)).select(
+        "vec_id",
+        "m",
+        F.slice(
+            F.col("qv"), F.col("m").cast("int") * _PQ_D + 1, _PQ_D
+        ).alias("sv"),
+    )
+    subdist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("w"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    enc = (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "c", subdist.alias("sd"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("sd", "c")).alias("best"))
+        .select("vec_id", "m", F.col("best.c").alias("code"))
+    )
+    from pyspark.sql import Window
+
+    wh = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    probe = (
+        q.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("probe_id"), "qv")
+    )
+    tbl = (
+        probe.crossJoin(F.broadcast(ms))
+        .select(
+            "probe_id",
+            "m",
+            F.slice(
+                F.col("qv"), F.col("m").cast("int") * _PQ_D + 1, _PQ_D
+            ).alias("sv"),
+        )
+        .join(F.broadcast(cb), "m")
+        .select("probe_id", "m", "c", subdist.alias("t"))
+    )
+    adc = (
+        enc.join(
+            F.broadcast(tbl),
+            (enc["m"] == tbl["m"]) & (enc["code"] == tbl["c"]),
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("vec_id")
+        .agg(F.sum("t").cast("bigint").alias("adc_dist"))
+    )
+    wr = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 10)
+        .select(F.col("rk").cast("int").alias("rk"), "vec_id", "adc_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR, hash-verified: three unrolled greedy selections over a bounded
+# hash-deterministic candidate pool. The production vec_mmr_diversify
+# (analytics_ext.py) runs the greedy loop driver-side over its bounded
+# 50 x dim candidate block on float cosines and is rows-only +
+# independent-MMR-pytest checked; this twin pins the greedy CORE — the
+# selected-set diversity penalty (distance to the NEAREST selected
+# item), the relevance/diversity trade in the score, and the
+# (score desc, vec_id) argmax tiebreak — to exact integer arithmetic on
+# the quantized embeddings. Relevance is -d2(i, probe) and the penalty
+# min_{j in S} d2(i, j), i.e. lambda = 1/2 MMR up to the positive scale
+# both engines share.
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 6
+
+
+def _mmr_d2_sql(a: str, b: str) -> str:
+    return _KM_DIST_SQL.format(a=a, b=b)
+
+
+@query(
+    "vec_mmr_fixed_steps",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT))
+                       AS qv
+            FROM embeddings
+        ), probe AS (
+            SELECT vec_id, qv FROM q
+            QUALIFY ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1
+        ), pool AS (
+            SELECT c.vec_id, c.qv,
+                   {_mmr_d2_sql("c.qv", "p.qv")} AS d2p
+            FROM q c, probe p
+            WHERE c.vec_id != p.vec_id
+            QUALIFY ROW_NUMBER() OVER (
+                ORDER BY {_mmr_d2_sql("c.qv", "p.qv")}, c.vec_id)
+                <= {_MMR_POOL}
+        ), s1 AS (
+            SELECT vec_id, qv, d2p FROM pool
+            QUALIFY ROW_NUMBER() OVER (ORDER BY d2p, vec_id) = 1
+        ), r2 AS (
+            SELECT c.vec_id, c.qv, c.d2p,
+                   {_mmr_d2_sql("c.qv", "s.qv")} - c.d2p AS score
+            FROM pool c, s1 s WHERE c.vec_id != s.vec_id
+        ), s2 AS (
+            SELECT vec_id, qv, d2p, score FROM r2
+            QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) = 1
+        ), r3 AS (
+            SELECT c.vec_id,
+                   LEAST({_mmr_d2_sql("c.qv", "a.qv")},
+                         {_mmr_d2_sql("c.qv", "b.qv")}) - c.d2p AS score
+            FROM pool c, s1 a, s2 b
+            WHERE c.vec_id != a.vec_id AND c.vec_id != b.vec_id
+        ), s3 AS (
+            SELECT vec_id, score FROM r3
+            QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) = 1
+        )
+        SELECT 1 AS step, vec_id, -d2p AS mmr_score FROM s1
+        UNION ALL SELECT 2, vec_id, score FROM s2
+        UNION ALL SELECT 3, vec_id, score FROM s3
+    """,
+    tags=("vectors", "rerank", "defer-sample"),
+)
+def vec_mmr_fixed_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-ranking, hash-verified: probe = the hash-rank-1 vector;
+    pool = its {_MMR_POOL} nearest candidates by exact integer SSE
+    (TakeOrderedAndProject); then THREE unrolled greedy picks — step 1
+    pure relevance (min d2 to probe), steps 2-3 maximize
+    (distance to the nearest already-selected item) - (distance to the
+    probe), ties toward the lower vec_id. Emits (step, vec_id,
+    mmr_score) with scores part of the checked hash.
+
+    Scale shape: the only data-sized work is the pool selection (one
+    map-side distance column + a bounded top-k); every greedy step is a
+    join between the <= {_MMR_POOL}-row pool and 1-row selection frames
+    (broadcast). The production variant keeps its driver-side numpy
+    greedy over the same bounded-block shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _km_quant(F.col("embedding")).alias("qv"))
+    from pyspark.sql import Window
+
+    wh = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    probe = (
+        q.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("pid"), F.col("qv").alias("pqv"))
+    )
+    pool = (
+        q.crossJoin(F.broadcast(probe))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            "vec_id", "qv", _km_dist(F.col("qv"), F.col("pqv")).alias("d2p")
+        )
+        .orderBy(F.col("d2p").asc(), F.col("vec_id").asc())
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=True)  # <= 6 rows, reused by all 3 steps
+    )
+    s1 = pool.orderBy(F.col("d2p").asc(), F.col("vec_id").asc()).limit(1)
+    sel1 = s1.select(
+        F.col("vec_id").alias("v1"), F.col("qv").alias("qv1")
+    )
+    r2 = (
+        pool.crossJoin(F.broadcast(sel1))
+        .filter(F.col("vec_id") != F.col("v1"))
+        .select(
+            "vec_id",
+            "qv",
+            "d2p",
+            (_km_dist(F.col("qv"), F.col("qv1")) - F.col("d2p")).alias(
+                "score"
+            ),
+        )
+    )
+    s2 = r2.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(1)
+    sel2 = s2.select(
+        F.col("vec_id").alias("v2"), F.col("qv").alias("qv2")
+    )
+    r3 = (
+        pool.crossJoin(F.broadcast(sel1))
+        .crossJoin(F.broadcast(sel2))
+        .filter(
+            (F.col("vec_id") != F.col("v1"))
+            & (F.col("vec_id") != F.col("v2"))
+        )
+        .select(
+            "vec_id",
+            (
+                F.least(
+                    _km_dist(F.col("qv"), F.col("qv1")),
+                    _km_dist(F.col("qv"), F.col("qv2")),
+                )
+                - F.col("d2p")
+            ).alias("score"),
+        )
+    )
+    s3 = r3.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(1)
+    one = F.lit(1).cast("int")
+    return (
+        s1.select(one.alias("step"), "vec_id", (-F.col("d2p")).alias("mmr_score"))
+        .unionByName(
+            s2.select(
+                F.lit(2).cast("int").alias("step"), "vec_id",
+                F.col("score").alias("mmr_score"),
+            )
+        )
+        .unionByName(
+            s3.select(
+                F.lit(3).cast("int").alias("step"), "vec_id",
+                F.col("score").alias("mmr_score"),
+            )
+        )
+    )

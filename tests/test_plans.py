@@ -351,6 +351,46 @@ def test_als_twin_gram_sums_partial_and_factors_broadcast(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_kmeans_twin_assignment_is_mapside_broadcast(spark, sf_dir):
+    """ml_kmeans_fixed_point (r9 oracle twin): Lloyd assignment must be
+    a map-side pass — the k-centroid table collapses to ONE broadcast
+    row of structs (BroadcastNestedLoopJoin, never a CartesianProduct or
+    a per-(vector, centroid) shuffle join), and the membership stats
+    partial-aggregate. Round 1 sits behind the eager round-boundary
+    checkpoint; both rounds share _km_assign, so pinning round 2's shape
+    pins the helper."""
+    plan = _plan(spark, sf_dir, "ml_kmeans_fixed_point")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_pq_twin_encode_partial_and_all_broadcast(spark, sf_dir):
+    """vec_pq_adc_verified (r9 oracle twin): the per-(vector, subspace)
+    encode argmin must partial-aggregate (min-struct map-side), every
+    codebook/probe-table join must broadcast (128-row sides), the global
+    orderings (probe pick, top-10) must compile to TakeOrderedAndProject
+    — and nothing may shuffle-join or product."""
+    plan = _plan(spark, sf_dir, "vec_pq_adc_verified")
+    assert "partial_min" in plan and "partial_sum" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mmr_twin_pool_is_topk_steps_broadcast(spark, sf_dir):
+    """vec_mmr_fixed_steps (r9 oracle twin): the candidate pool — the
+    only data-sized stage — must compile to TakeOrderedAndProject (a
+    bounded top-k, never a global sort), and the unrolled greedy steps
+    must all run as broadcast joins over the <= 6-row pool."""
+    plan = _plan(spark, sf_dir, "vec_mmr_fixed_steps")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_hll_twin_registers_are_partial_max(spark, sf_dir):
     """sketch_hll_verified (r8 oracle twin): per-bucket registers must
     partial-aggregate (map-side MAX, the HLL merge property) so the
