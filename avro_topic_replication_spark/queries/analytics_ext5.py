@@ -1563,3 +1563,128 @@ def vec_mmr_fixed_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF, hash-verified: inverted-file ANN over the quantized embeddings —
+# 4 hash-rank coarse cells, nprobe=2, exact integer rerank inside the
+# probed cells. The production sign-LSH / IVF / ML-LSH searchers
+# (llm_vectors.py) are recall-checked; this twin pins the IVF CONTRACT
+# itself — cell assignment, the probe's nearest-cells choice, and the
+# cell-bounded candidate set (a vector OUTSIDE the probed cells must
+# never appear, even if it is the true nearest neighbor: the recall
+# trade is part of the checked hash, exactly like the CMS overcounts).
+# ---------------------------------------------------------------------------
+
+_IVF_NPROBE = 2
+_IVF_TOPK = 5
+
+
+@query(
+    "vec_ivf_verified",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT))
+                       AS qv
+            FROM embeddings
+        ), cents AS (
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                       AS INT) - 1 AS cid,
+                   qv AS cv
+            FROM q
+            QUALIFY ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {_KM_K}
+        ), assign AS (
+            SELECT vec_id, qv, cid AS cell
+            FROM (
+                SELECT c.vec_id, c.qv, k.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY {_KM_DIST_SQL.format(a="c.qv", b="k.cv")},
+                                    k.cid) AS rn
+                FROM q c CROSS JOIN cents k
+            ) WHERE rn = 1
+        ), probe AS (
+            SELECT vec_id, qv FROM q
+            QUALIFY ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1
+        ), probe_cells AS (
+            SELECT k.cid
+            FROM cents k, probe p
+            QUALIFY ROW_NUMBER() OVER (
+                ORDER BY {_KM_DIST_SQL.format(a="p.qv", b="k.cv")}, k.cid)
+                <= {_IVF_NPROBE}
+        ), cand AS (
+            SELECT a.vec_id, a.cell,
+                   {_KM_DIST_SQL.format(a="a.qv", b="p.qv")} AS d2
+            FROM assign a
+            JOIN probe_cells pc ON a.cell = pc.cid
+            CROSS JOIN probe p
+            WHERE a.vec_id != p.vec_id
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY d2, vec_id) AS INT) AS rk,
+               vec_id, cell, d2
+        FROM cand
+        QUALIFY rk <= {_IVF_TOPK}
+    """,
+    tags=("vectors", "ann", "defer-sample"),
+)
+def vec_ivf_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nearest neighbors, hash-verified: every vector assigns to its
+    nearest of 4 hash-rank coarse cells (exact integer SSE, ties to the
+    lower cell id); the hash-rank-1 probe searches only its nprobe=2
+    nearest cells; candidates rerank by exact integer distance, top-5 by
+    (d2, vec_id). The emitted rows carry the cell id and the exact d2,
+    so the checked hash pins assignment, cell choice, the cell-bounded
+    candidate set (missing a cross-cell true neighbor is CORRECT IVF
+    behavior and part of the contract) and the rerank order.
+
+    The production IVF searcher (llm_vectors.py:171) k-means-trains its
+    cells and is recall-floor-checked; this twin hash-verifies the
+    inverted-file mechanics. Scale shape: assignment is the k-means
+    twin's map-side broadcast-centroid pass; the probed-cell filter is a
+    broadcast semi-join on a 2-row cell list — candidate volume is
+    cell-bounded (the IVF point); the top-5 is a bounded TakeOrdered."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _km_quant(F.col("embedding")).alias("qv"))
+    from pyspark.sql import Window
+
+    wh = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    cents = (
+        q.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") <= _KM_K)
+        .select(
+            (F.col("rn") - 1).cast("int").alias("cid"),
+            F.col("qv").alias("cv"),
+        )
+    )
+    assign = _km_assign(q, cents, "cell").select("vec_id", "qv", "cell")
+    probe = (
+        q.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("pid"), F.col("qv").alias("pqv"))
+    )
+    probe_cells = (
+        cents.crossJoin(F.broadcast(probe))
+        .select("cid", _km_dist(F.col("pqv"), F.col("cv")).alias("cd2"))
+        .orderBy(F.col("cd2").asc(), F.col("cid").asc())
+        .limit(_IVF_NPROBE)
+        .select(F.col("cid").alias("cell"))
+    )
+    cand = (
+        assign.join(F.broadcast(probe_cells), "cell")
+        .crossJoin(F.broadcast(probe))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            "vec_id", "cell", _km_dist(F.col("qv"), F.col("pqv")).alias("d2")
+        )
+    )
+    wr = Window.orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _IVF_TOPK)
+        .select(F.col("rk").cast("int").alias("rk"), "vec_id", "cell", "d2")
+    )

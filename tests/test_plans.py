@@ -391,6 +391,19 @@ def test_mmr_twin_pool_is_topk_steps_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_ivf_twin_cell_filter_broadcast_topk_bounded(spark, sf_dir):
+    """vec_ivf_verified (r9 oracle twin): the probed-cell filter must be
+    a broadcast join on the 2-row cell list (candidate volume stays
+    cell-bounded — the IVF point), cell assignment reuses the map-side
+    broadcast-centroid pass, and every global ordering compiles to
+    TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "vec_ivf_verified")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_hll_twin_registers_are_partial_max(spark, sf_dir):
     """sketch_hll_verified (r8 oracle twin): per-bucket registers must
     partial-aggregate (map-side MAX, the HLL merge property) so the
