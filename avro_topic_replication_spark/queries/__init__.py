@@ -52,20 +52,17 @@ _MODULES = (
 # a fixed-size (50-row) prefix of the registry each round, so the prefix rotates
 # each round to the oracle-bearing queries that have never received a harness
 # CORRECTNESS row. ``_DRIVER_SAMPLED`` is the union of the keys of
-# CORRECTNESS_r01..r08.json (277 names) MINUS the four r1-era scalar rows
-# ("fn_math", "fn_json_from_json", "fn_array", "fn_map") whose only driver
-# rows are r1 failures fixed long ago — the r9 window re-enqueues them so the
-# project's only red driver history is replaced with green rows (r7 verdict
-# item 2, executed here in r9).
+# CORRECTNESS_r01..r09.json (299 names): every oracle-bearing query in the
+# registry except the five r9 twins below has a green driver row.
 #
-# r9 STATE: the r9 window = 19 rotation-backlog entries + the 7 r8
-# hash-verified twins (their "defer-sample" tags removed this round — the
-# rotation moment they were deferred for has arrived) + the 4 re-enqueues
-# = 30 never-sampled / re-enqueued rows, 20 slots of slack. Once
-# CORRECTNESS_r09.json lands green, EVERY oracle-bearing query in the
-# registry has a green driver row. Queries added in r9 or later arrive
-# "defer-sample"-tagged so they cannot displace this final window; from r10
-# on the window naturally holds only fresh additions.
+# r10 STATE: CORRECTNESS_r09.json landed 50/50 green (rows+schema+hash); its
+# keys are folded in below, and the five r9 hash-verified twins
+# (ml_als_fixed_point, ml_kmeans_fixed_point, vec_pq_adc_verified,
+# vec_mmr_fixed_steps, vec_ivf_verified) had their "defer-sample" tags
+# removed this round, so the r10 window samples them — the project's final
+# never-sampled rows. Once CORRECTNESS_r10.json lands green the registry is
+# 304/304 oracle-bearing queries driver-green. Queries added in r10 or later
+# arrive "defer-sample"-tagged so they cannot displace this window.
 _DRIVER_SAMPLED = frozenset((
     "agg_approx_count_distinct", "agg_arg_minmax", "agg_collect_sorted",
     "agg_conditional", "agg_corr", "agg_count_distinct", "agg_cube",
@@ -77,8 +74,9 @@ _DRIVER_SAMPLED = frozenset((
     "events_funnel_conversion", "filter_predicates", "flagship_revenue_by_nation",
     "fn_datetime", "fn_explode_posexplode", "fn_hash",
     "fn_hash_spark_native", "fn_json",
-    # ("fn_array", "fn_json_from_json", "fn_map", "fn_math" deliberately
-    #  absent: r9 re-enqueue of the four r1-era rows, r7 verdict item 2.)
+    # (fn_array / fn_json_from_json / fn_map / fn_math were held out of the
+    #  r1-r8 blocks for the r9 re-enqueue; they are listed in the r9 block
+    #  below with their green rows.)
     "fn_string_basic", "fn_string_regex_split", "join_anti", "join_asof_click_view",
     "join_bucketed_colocated", "join_cross", "join_full_outer", "join_left_outer",
     "join_range_bands", "join_right_outer", "join_salted_skew", "join_semi",
@@ -162,6 +160,27 @@ _DRIVER_SAMPLED = frozenset((
     "ts_linear_interpolate", "ts_mad_anomaly", "ts_max_drawdown",
     "ts_rolling_median", "ts_seasonal_baseline", "vec_hamming_topk",
     "vec_pair_distance_histogram", "win_time_range_frame",
+    # --- CORRECTNESS_r09.json (50 keys, all green) ---
+    "cdc_snapshot_diff", "dedup_minhash_banded", "dq_expectations",
+    "dq_k_anonymity", "events_survival_km", "fn_array", "fn_json_from_json",
+    "fn_map", "fn_math", "graph_kcore_peel_rounds",
+    "graph_labelprop_min_rounds", "graph_pagerank_fixed_point",
+    "mba_association_rules", "mm_audio_vad_segments",
+    "mm_image_histogram_dedup", "pareto_frontier_parts",
+    "profile_table_columns", "sample_weighted_reservoir",
+    "sketch_bottomk_verified", "sketch_cms_verified", "sketch_hll_verified",
+    "source_time_travel", "stat_benford_law", "stat_cuped_adjusted",
+    "stat_diff_in_diff", "stat_mannwhitney_u", "stat_psi_drift",
+    "stat_qq_deciles", "stat_theil_sen_trend", "ts_snaive_backtest",
+    # (The other 20 r9 keys — dedup_contamination_check,
+    #  dedup_incremental_batch, dedup_span_rewrite, dedup_url_canonical,
+    #  pack_sequences_chunks, pipeline_filter_funnel,
+    #  pipeline_pretraining_batch, replication_* ×4, sample_language_
+    #  temperature, sample_token_budget, shuffle_shard_assign,
+    #  sql_recursive_month_series, text_boilerplate_coverage,
+    #  text_lm_perplexity, text_repetition_metrics,
+    #  vec_label_centroid_classify, vec_random_projection — were re-sample
+    #  slack already present in the r6-r8 blocks above.)
 ))
 _FAMILY_ORDER = (
     "replication_pipeline",

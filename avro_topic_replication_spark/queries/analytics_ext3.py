@@ -630,9 +630,9 @@ def _ocf_fixture(spark: SparkSession, sf_dir: str) -> str:
     import glob as _glob
     import os as _os
 
-    from ..streaming.replay import SCRATCH
+    from ..streaming.replay import SCRATCH, scratch_tag
 
-    sf_tag = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    sf_tag = scratch_tag(sf_dir, ("customer",))
     out_dir = _os.path.join(SCRATCH, "io", sf_tag, "avro_ocf")
     done = _os.path.join(out_dir, "_done")
     if _os.path.exists(done) and len(_glob.glob(_os.path.join(out_dir, "*.avro"))) == 4:

@@ -1182,9 +1182,12 @@ def _time_travel_fixture(spark: SparkSession, sf_dir: str) -> str:
     import json as _json
     import os as _os
 
-    from ..streaming.replay import SCRATCH
+    from ..streaming.replay import SCRATCH, scratch_tag
 
-    sf_tag = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    # Content-keyed tag (r9 judge finding): the fixture derives from
+    # `orders`, and pytest tmp basenames repeat across sessions with
+    # different random tables — a basename-only key served stale fixtures.
+    sf_tag = scratch_tag(sf_dir, ("orders",))
     base = _os.path.join(SCRATCH, "io", sf_tag, "time_travel")
     done = _os.path.join(base, "_done")
     if _os.path.exists(done):

@@ -14,10 +14,11 @@ generation + exact verify, mass-conserving rank flow, min-label
 flooding, and degree-threshold peeling.
 
 All [EXT] surface beyond the reference's replication dataflow
-(``ReplicationApplication.java:71`` is its only transform). These seven
-carried "defer-sample" through r8 per the r7 rotation discipline (the r8
-driver window was reserved for the never-sampled backlog); the tag was
-removed in r9 when they entered the final rotation window.
+(``ReplicationApplication.java:71`` is its only transform). The r8 twins
+entered the driver window in r9 (all green); the five r9 twins
+(ml_als_fixed_point, ml_kmeans_fixed_point, vec_pq_adc_verified,
+vec_mmr_fixed_steps, vec_ivf_verified) had their "defer-sample" tags
+removed in r10 and enter the final rotation window there.
 """
 
 from __future__ import annotations
@@ -917,7 +918,7 @@ def _als_solve(side: DataFrame, key: str) -> DataFrame:
                CAST(s AS BIGINT) AS score_s2
         FROM ranked WHERE rk <= 5
     """,
-    tags=("ml", "iterative", "defer-sample"),
+    tags=("ml", "iterative"),
 )
 def ml_als_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS, hash-verified: rank-2 factorization of the customer x
@@ -1124,7 +1125,7 @@ def _km_assign(vectors: DataFrame, cents: DataFrame, cid_out: str) -> DataFrame:
                                 (x, y) -> x + y) AS BIGINT) AS centroid_l1
         FROM newc n LEFT JOIN stats st USING (cid)
     """,
-    tags=("ml", "iterative", "defer-sample"),
+    tags=("ml", "iterative"),
 )
 def ml_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means, hash-verified: two unrolled Lloyd rounds (assign →
@@ -1309,7 +1310,7 @@ def _pq_codeword(m, c, d):
         FROM adc
         QUALIFY rk <= 10
     """,
-    tags=("vectors", "ann", "defer-sample"),
+    tags=("vectors", "ann"),
 )
 def vec_pq_adc_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC nearest neighbors, hash-verified: every vector encodes to
@@ -1472,7 +1473,7 @@ def _mmr_d2_sql(a: str, b: str) -> str:
         UNION ALL SELECT 2, vec_id, score FROM s2
         UNION ALL SELECT 3, vec_id, score FROM s3
     """,
-    tags=("vectors", "rerank", "defer-sample"),
+    tags=("vectors", "rerank"),
 )
 def vec_mmr_fixed_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR re-ranking, hash-verified: probe = the hash-rank-1 vector;
@@ -1630,7 +1631,7 @@ _IVF_TOPK = 5
         FROM cand
         QUALIFY rk <= {_IVF_TOPK}
     """,
-    tags=("vectors", "ann", "defer-sample"),
+    tags=("vectors", "ann"),
 )
 def vec_ivf_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF nearest neighbors, hash-verified: every vector assigns to its

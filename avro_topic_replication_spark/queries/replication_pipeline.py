@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators import replication as R
 from ..sources.registry import MockSchemaRegistry
-from ..streaming.replay import SCRATCH
+from ..streaming.replay import SCRATCH, scratch_tag
 from . import query
 
 
@@ -34,7 +34,7 @@ def _staged_source(spark: SparkSession, sf_dir: str, registry: MockSchemaRegistr
     """Deterministic source-topic fixture, written once per sf and reused
     (content depends only on nation + FOO_SCHEMA; a fresh registry scope
     always assigns the same first schema id, so the frames are stable)."""
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    sf_tag = scratch_tag(sf_dir, ("nation",))
     src_dir = os.path.join(SCRATCH, "replq", sf_tag, "source-topic-a")
     if os.path.exists(os.path.join(src_dir, "_SUCCESS")):
         registry.register("source-topic-a-value", R.FOO_SCHEMA)  # same id 1
@@ -90,7 +90,7 @@ def replication_stream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_reg = MockSchemaRegistry.get_scope(f"src-{scope}")
     tgt_reg = MockSchemaRegistry.get_scope(f"tgt-{scope}")
     try:
-        sf_tag = os.path.basename(os.path.normpath(sf_dir))
+        sf_tag = scratch_tag(sf_dir, ("nation",))
         base = os.path.join(SCRATCH, "replq-live", sf_tag, scope)
         src_dir = _staged_source(spark, sf_dir, src_reg)
         tgt_dir = os.path.join(base, "target-topic-b")
@@ -133,7 +133,7 @@ def replication_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_reg = MockSchemaRegistry.get_scope(f"src-{scope}")
     tgt_reg = MockSchemaRegistry.get_scope(f"tgt-{scope}")
     try:
-        sf_tag = os.path.basename(os.path.normpath(sf_dir))
+        sf_tag = scratch_tag(sf_dir, ("nation",))
         base = os.path.join(SCRATCH, "replq-rt", sf_tag, scope)
         src_dir = _staged_source(spark, sf_dir, src_reg)
         tgt_dir = os.path.join(base, "target-topic-b")
@@ -354,7 +354,7 @@ def replication_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_reg = MockSchemaRegistry.get_scope(f"src-{scope}")
     tgt_reg = MockSchemaRegistry.get_scope(f"tgt-{scope}")
     try:
-        sf_tag = os.path.basename(os.path.normpath(sf_dir))
+        sf_tag = scratch_tag(sf_dir, ("nation",))
         base = os.path.join(SCRATCH, "replq-dlq", sf_tag, scope)
         src_dir = _staged_source(spark, sf_dir, src_reg)
         main_dir = os.path.join(base, "target-topic-b")

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.numeric import dec_sum, dec_sum_sql
-from ..streaming.replay import SCRATCH
+from ..streaming.replay import SCRATCH, scratch_tag
 from . import query
 
 _SLICE_SQL = """
@@ -51,9 +51,15 @@ def _slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _scratch(sf_dir: str, name: str) -> str:
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(SCRATCH, "io", sf_tag, name)
+def _scratch(
+    sf_dir: str, name: str, tables: "tuple[str, ...]" = ("lineitem",)
+) -> str:
+    """Per-sf scratch path, content-keyed on the source tables the artifact
+    derives from (see ``scratch_tag`` — basename-only keys served stale
+    fixtures when tmp-dir basenames repeated across pytest sessions). Most
+    artifacts here rewrite with mode=overwrite anyway; the content key
+    matters for the cached ones (bucketed layout's ``_SUCCESS`` check)."""
+    return os.path.join(SCRATCH, "io", scratch_tag(sf_dir, tables), name)
 
 
 @query("source_csv_roundtrip", oracle=_SLICE_SQL, tags=("source", "csv"))
@@ -198,7 +204,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-time bucketed write amortizes over every subsequent join on
     the key; bucket count would be sized to cluster cores (e.g. 4096),
     not 8."""
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    sf_tag = scratch_tag(sf_dir, ("orders", "lineitem"))
     specs = {
         "orders": ("o_orderkey", ["o_orderkey"], "o_orderkey BIGINT"),
         "lineitem": (
@@ -209,7 +215,9 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     for tbl, (key, cols, ddl) in specs.items():
         name = f"b_{tbl}_{sf_tag}"
-        path = _scratch(sf_dir, f"bucketed_{tbl}")
+        # path keyed on BOTH sources, same as the table name — a split key
+        # could reattach a stale layout for one side.
+        path = _scratch(sf_dir, f"bucketed_{tbl}", ("orders", "lineitem"))
         if os.path.exists(os.path.join(path, "_SUCCESS")):
             # layout already on disk: reattach it (a fresh session has an
             # empty in-memory catalog) — this is the amortization story:

@@ -628,13 +628,13 @@ def stream_live_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import uuid as _uuid
 
-    from ..streaming.replay import SCRATCH, run_to_memory
+    from ..streaming.replay import SCRATCH, run_to_memory, scratch_tag
 
     from ..catalog import load_table
     from ..session import ensure_runtime_conf
 
     ensure_runtime_conf(spark)
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    sf_tag = scratch_tag(sf_dir, ("events",))
     stage_dir = os.path.join(SCRATCH, "replay_multi", sf_tag)
     if not os.path.exists(os.path.join(stage_dir, "_done")):
         shutil.rmtree(stage_dir, ignore_errors=True)
@@ -734,10 +734,10 @@ def stream_live_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..catalog import load_table
     from ..session import ensure_runtime_conf
-    from ..streaming.replay import SCRATCH
+    from ..streaming.replay import SCRATCH, scratch_tag
 
     ensure_runtime_conf(spark)
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    sf_tag = scratch_tag(sf_dir, ("events",))
     stage_dir = os.path.join(SCRATCH, "replay_multi", sf_tag)
     if not os.path.exists(os.path.join(stage_dir, "_done")):
         shutil.rmtree(stage_dir, ignore_errors=True)
