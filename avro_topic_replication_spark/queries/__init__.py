@@ -63,6 +63,11 @@ _MODULES = (
 # never-sampled rows. Once CORRECTNESS_r10.json lands green the registry is
 # 304/304 oracle-bearing queries driver-green. Queries added in r10 or later
 # arrive "defer-sample"-tagged so they cannot displace this window.
+#
+# r10 additions (both "defer-sample"-tagged, queued for the r11 window):
+# text_bpe_encode_verified (fixed-merge-table BPE encode twin) and
+# vec_ann_recall_verified (derandomized-IVF recall@10 eval twin) — the two
+# twin-able families the r9 verdict listed as the remaining stretch.
 _DRIVER_SAMPLED = frozenset((
     "agg_approx_count_distinct", "agg_arg_minmax", "agg_collect_sorted",
     "agg_conditional", "agg_corr", "agg_count_distinct", "agg_cube",

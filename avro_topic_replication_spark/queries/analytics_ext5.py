@@ -793,15 +793,15 @@ _ALS_CLAMP = 100_000  # |factor| <= 1000 in real units
 _ALS_RCAP = 20
 
 _ALS_FDIV = (
-    "CAST(GREATEST(-100000, LEAST(100000,"
+    f"CAST(GREATEST(-{_ALS_CLAMP}, LEAST({_ALS_CLAMP},"
     " ({n} - (({n} % den + den) % den)) // den)) AS BIGINT)"
 )
 _ALS_SOLVE_SQL = f"""
     SELECT {{key}},
            CAST(a11 AS HUGEINT) * a22 - CAST(a12 AS HUGEINT) * a12 AS den,
-           100 * (CAST(a22 AS HUGEINT) * b1
+           {_ALS_S} * (CAST(a22 AS HUGEINT) * b1
                   - CAST(a12 AS HUGEINT) * b2) AS n1,
-           100 * (CAST(a11 AS HUGEINT) * b2
+           {_ALS_S} * (CAST(a11 AS HUGEINT) * b2
                   - CAST(a12 AS HUGEINT) * b1) AS n2
     FROM {{src}}
 """
@@ -1388,12 +1388,22 @@ def vec_pq_adc_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sv"),
         )
         .join(F.broadcast(cb), "m")
-        .select("probe_id", "m", "c", subdist.alias("t"))
+        # tm/tc: distinct names on the lookup-table side — enc and tbl
+        # both descend from `ms`, and joining same-named columns that
+        # trace to one DataFrame leans on Spark's self-join dataset-id
+        # disambiguation (fragile across versions; triggers the
+        # "trivially true predicate" warning).
+        .select(
+            "probe_id",
+            F.col("m").alias("tm"),
+            F.col("c").alias("tc"),
+            subdist.alias("t"),
+        )
     )
     adc = (
         enc.join(
             F.broadcast(tbl),
-            (enc["m"] == tbl["m"]) & (enc["code"] == tbl["c"]),
+            (F.col("m") == F.col("tm")) & (F.col("code") == F.col("tc")),
         )
         .filter(F.col("vec_id") != F.col("probe_id"))
         .groupBy("vec_id")
@@ -1688,4 +1698,193 @@ def vec_ivf_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= _IVF_TOPK)
         .select(F.col("rk").cast("int").alias("rk"), "vec_id", "cell", "d2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation, hash-verified: recall@10 of the derandomized IVF
+# search against exact integer brute force, at 1 and 2 probes, for the 3
+# hash-rank probe queries. The production vec_ann_recall (llm_vectors.py)
+# evaluates the k-means-trained IVF on float cosines and is rows-only +
+# recall-floor/monotonicity-pytest checked; this twin (VERDICT r9 task 7)
+# pins the EVAL harness itself — the exact top-10 ground truth, the
+# probe-prefix fanout, the cell-bounded approximate top-10, and the
+# hit-set intersection — to integers both engines replay bit-exactly,
+# including the recall loss (a cross-cell true neighbor missing from the
+# 1-probe arm is part of the checked hash, the vec_ivf_verified idiom).
+# ---------------------------------------------------------------------------
+
+_ANNR_QUERIES = 3
+_ANNR_K = 10
+_ANNR_PROBES = (1, 2)
+
+
+@query(
+    "vec_ann_recall_verified",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT))
+                       AS qv
+            FROM embeddings
+        ), cents AS (
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                       AS INT) - 1 AS cid,
+                   qv AS cv
+            FROM q
+            QUALIFY ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {_KM_K}
+        ), assign AS (
+            SELECT vec_id, qv, cid AS cell
+            FROM (
+                SELECT c.vec_id, c.qv, k.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY {_KM_DIST_SQL.format(a="c.qv", b="k.cv")},
+                                    k.cid) AS rn
+                FROM q c CROSS JOIN cents k
+            ) WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS qid, qv AS pqv FROM q
+            QUALIFY ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                <= {_ANNR_QUERIES}
+        ), exact AS (
+            SELECT p.qid, a.vec_id
+            FROM assign a CROSS JOIN probes p
+            WHERE a.vec_id != p.qid
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY p.qid
+                ORDER BY {_KM_DIST_SQL.format(a="a.qv", b="p.pqv")},
+                         a.vec_id) <= {_ANNR_K}
+        ), pcells AS (
+            SELECT p.qid, k.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.qid
+                       ORDER BY {_KM_DIST_SQL.format(a="p.pqv", b="k.cv")},
+                                k.cid) AS crn
+            FROM cents k CROSS JOIN probes p
+        ), fan AS (
+            SELECT qid, np.n AS n_probes, cid
+            FROM pcells, (SELECT unnest([{", ".join(map(str, _ANNR_PROBES))}])
+                          AS n) np
+            WHERE crn <= np.n
+        ), approx AS (
+            SELECT f.qid, f.n_probes, a.vec_id
+            FROM assign a
+            JOIN fan f ON a.cell = f.cid
+            JOIN probes p ON p.qid = f.qid
+            WHERE a.vec_id != f.qid
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY f.qid, f.n_probes
+                ORDER BY {_KM_DIST_SQL.format(a="a.qv", b="p.pqv")},
+                         a.vec_id) <= {_ANNR_K}
+        ), base AS (
+            SELECT p.qid, np.n AS n_probes
+            FROM probes p, (SELECT unnest([{", ".join(map(str, _ANNR_PROBES))}])
+                            AS n) np
+        ), ec AS (
+            SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY qid
+        ), hits AS (
+            SELECT ap.qid, ap.n_probes, COUNT(*) AS n_hit
+            FROM approx ap
+            JOIN exact e ON e.qid = ap.qid AND e.vec_id = ap.vec_id
+            GROUP BY ap.qid, ap.n_probes
+        )
+        SELECT b.qid, CAST(b.n_probes AS INT) AS n_probes,
+               COALESCE(ec.n_exact, 0) AS n_exact,
+               COALESCE(h.n_hit, 0) AS n_hit
+        FROM base b
+        LEFT JOIN ec ON ec.qid = b.qid
+        LEFT JOIN hits h ON h.qid = b.qid AND h.n_probes = b.n_probes
+    """,
+    tags=("vectors", "ann", "eval", "defer-sample"),
+)
+def vec_ann_recall_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@10 evaluation, hash-verified: for each of the 3
+    hash-rank probe queries, the EXACT integer top-10 (brute force over
+    the quantized embeddings) is intersected with the derandomized-IVF
+    top-10 at nprobe=1 and nprobe=2 (hash-rank coarse cells, ties to the
+    lower cid — vec_ivf_verified's contract), emitting (qid, n_probes,
+    n_exact, n_hit). All integers: the checked hash pins the ground
+    truth, the probe-prefix fanout, the cell-bounded candidate set AND
+    the measured recall loss itself — more probes can only add
+    candidates, so n_hit is monotone in n_probes by construction in both
+    engines.
+
+    Scale shape: assignment is the map-side broadcast-centroid pass
+    (k=4 rows); the exact arm broadcasts 3 probe rows under the corpus
+    scan (linear, the cost any recall eval must pay once per corpus);
+    the approx arm joins a broadcast <=2-cell-per-(probe, arm) fanout;
+    both top-10s are bounded window ranks; the final join is
+    probe-count-sized. Zero driver traffic, no data-sized product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _km_quant(F.col("embedding")).alias("qv"))
+    from pyspark.sql import Window
+
+    wh = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    ranked = q.withColumn("rn", F.row_number().over(wh))
+    cents = ranked.filter(F.col("rn") <= _KM_K).select(
+        (F.col("rn") - 1).cast("int").alias("cid"), F.col("qv").alias("cv")
+    )
+    assign = _km_assign(q, cents, "cell").select("vec_id", "qv", "cell")
+    probes = ranked.filter(F.col("rn") <= _ANNR_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("pqv")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    exact = (
+        assign.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _km_dist(F.col("qv"), F.col("pqv")).alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _ANNR_K)
+        .select("qid", "vec_id")
+    )
+    wc = Window.partitionBy("qid").orderBy(F.col("cd2").asc(), F.col("cid").asc())
+    pcells = (
+        cents.crossJoin(F.broadcast(probes))
+        .select("qid", "cid", _km_dist(F.col("pqv"), F.col("cv")).alias("cd2"))
+        .withColumn("crn", F.row_number().over(wc))
+    )
+    nps = F.explode(F.array(*[F.lit(n) for n in _ANNR_PROBES])).alias("n_probes")
+    fan = (
+        pcells.select("qid", "cid", "crn")
+        .select("qid", "cid", "crn", nps)
+        .filter(F.col("crn") <= F.col("n_probes"))
+        .select("qid", "n_probes", F.col("cid").alias("cell"))
+    )
+    wa = Window.partitionBy("qid", "n_probes").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    approx = (
+        assign.join(F.broadcast(fan), "cell")
+        .join(F.broadcast(probes), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "n_probes", "vec_id",
+            _km_dist(F.col("qv"), F.col("pqv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= _ANNR_K)
+        .select("qid", "n_probes", "vec_id")
+    )
+    base = probes.select("qid").select("qid", nps)
+    ec = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
+    hits = (
+        approx.join(exact, ["qid", "vec_id"])
+        .groupBy("qid", "n_probes")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        base.join(F.broadcast(ec), "qid", "left")
+        .join(F.broadcast(hits), ["qid", "n_probes"], "left")
+        .select(
+            "qid",
+            F.col("n_probes").cast("int").alias("n_probes"),
+            F.coalesce("n_exact", zero).alias("n_exact"),
+            F.coalesce("n_hit", zero).alias("n_hit"),
+        )
     )

@@ -642,6 +642,109 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE encode, hash-verified: the greedy merge-application loop against a
+# FIXED merge table. text_bpe_encode is rows-only because its merges come
+# out of the iterative learner; with the table pinned, the encode itself
+# is deterministic and twin-able (VERDICT r9 task 7). The DuckDB side
+# replays the same greedy left-to-right single-pass merge through a
+# double-delimiter string encoding: a symbol sequence [s1, s2, ...] is
+# the string '||s1||s2||...||' (symbols never contain '|'), and merging
+# (a, b) -> ab is replace('|a||b|', '|ab|') — the match consumes only the
+# INNER delimiter of each boundary, so after a merge the shared boundary
+# survives and the very next symbol can still open a new pair, exactly
+# like the fold's lookback-1 accumulator ("a a a a" -> [aa, aa], not
+# [aa, a, a]). Both engines' plain `replace` scans left-to-right
+# non-overlapping, so fold == replace; the twin's cross-engine hash pins
+# the production `_merge_pair` expression against that independent
+# spelling, merge order included.
+# ---------------------------------------------------------------------------
+
+_BPEV_MERGES = (
+    ("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"),
+    ("e", "r"), ("o", "n"), ("an", "d"), ("r", "e"),
+    # the self-pair is the hardest equivalence case: on "eeee" a greedy
+    # non-overlapping scan yields [ee, ee] while any rescan-after-merge
+    # variant would differ — both engines must agree it's exactly 2.
+    ("e", "e"),
+)
+
+
+def _bpev_word_sql() -> str:
+    """DuckDB: n_subwords of one `word` under the fixed merges."""
+    s = "'||' || regexp_replace(word, '(.)', '\\1||', 'g')"
+    for a, b in _BPEV_MERGES:
+        s = f"replace({s}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"len(list_filter(str_split({s}, '|'), x -> x <> ''))"
+
+
+@query(
+    "text_bpe_encode_verified",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_TOKENS_SQL}) AS word
+            FROM documents WHERE doc_id < {_BPE_DOC_BOUND}
+        ), vocab AS (
+            SELECT word, {_bpev_word_sql()} AS n_subwords
+            FROM (SELECT DISTINCT word FROM words
+                  WHERE regexp_matches(word, '^[a-z]{{2,}}$'))
+        )
+        SELECT w.doc_id,
+               COUNT(*) AS n_words,
+               CAST(SUM(COALESCE(v.n_subwords, 1)) AS BIGINT)
+                   AS n_bpe_tokens,
+               round(CAST(SUM(COALESCE(v.n_subwords, 1)) AS DOUBLE)
+                     / COUNT(*), 6) AS fertility
+        FROM words w LEFT JOIN vocab v ON w.word = v.word
+        GROUP BY w.doc_id
+    """,
+    tags=("llm", "scoring", "defer-sample"),
+)
+def text_bpe_encode_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode against a FIXED 9-merge table, hash-verified: every
+    distinct in-alphabet word char-splits and runs the production
+    greedy-merge fold (`_merge_pair`, the exact expression
+    text_bpe_encode's learner leaves applied) once per fixed merge in
+    table order; per-document totals (word count, subword count,
+    fertility) aggregate over a broadcast word->subwords join with
+    out-of-alphabet tokens passing through as single opaque tokens —
+    identical to the production encode's unknown handling.
+
+    The twin pins what rows-only text_bpe_encode cannot: the greedy
+    left-to-right lookback-1 merge semantics, the merge ORDER (merge 3
+    creates the 'an' that merge 7 consumes), and the encode aggregation,
+    cross-checked against DuckDB's independent delimiter-string replay.
+
+    Scale shape (same as production): the fold runs once per DISTINCT
+    word — vocab-bounded, not corpus-bounded; the corpus-sized work is
+    one explode + one broadcast join against the vocab map + one
+    per-doc hash aggregate. Zero driver traffic (the merge table is a
+    literal), zero Python rows."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _BPE_DOC_BOUND
+    )
+    words = d.select("doc_id", F.explode(_tokens_col()).alias("word"))
+    syms = F.split("word", "")
+    for a, b in _BPEV_MERGES:
+        syms = _merge_pair(syms, a, b)
+    vmap = (
+        words.filter(F.col("word").rlike("^[a-z]{2,}$"))
+        .select("word")
+        .distinct()
+        .select("word", F.size(syms).alias("n_subwords"))
+    )
+    joined = words.join(F.broadcast(vmap), "word", "left").select(
+        "doc_id", F.coalesce("n_subwords", F.lit(1)).alias("n_subwords")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_subwords").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("n_subwords").cast("double") / F.count("*"), 6
+        ).alias("fertility"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Global token-budget selection
 # ---------------------------------------------------------------------------
 

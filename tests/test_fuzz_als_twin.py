@@ -83,3 +83,40 @@ def test_als_fixed_point_degenerate_matrices_fuzz(
         q.fn(spark, base), _con(base, "orders", "lineitem"), q.oracle
     )
     assert not problems, (orders, lines[:15], problems)
+
+@given(
+    n_items=st.integers(min_value=1, max_value=4),
+    extra=st.lists(
+        # custkeys 1/2/3 are unsampled, 100 IS sampled (100 % 50 == 0)
+        st.sampled_from([1, 2, 3, 100]),
+        max_size=6,
+    ),
+)
+@settings(**_SETTINGS)
+def test_als_sampled_user_rated_everything_fuzz(
+    spark, tmp_path_factory, n_items, extra
+):
+    """The r10-window degenerate end: custkey 0 (always %50-sampled)
+    holds orderkey 0, which carries a lineitem for EVERY item in the
+    table — user 0's unseen set is EMPTY, so it must produce zero
+    recommendation rows (vanish, not error, not null-recommend) in both
+    engines, while other sampled users (custkey 50 via orderkey 1, and
+    any custkey-100 extras) still recommend from their real unseen
+    sets. Extras rate only items inside user 0's set so the full-
+    coverage property survives the randomization."""
+    q = QS["ml_als_fixed_point"]
+    base = str(tmp_path_factory.mktemp("alsfull"))
+    orders = [(0, 0), (1, 50)] + [
+        (2 + i, c) for i, c in enumerate(extra)
+    ]
+    lines = (
+        [(0, s) for s in range(1, n_items + 1)]  # user 0 rates everything
+        + [(1, 1)]                               # user 50 rates item 1 only
+        + [(2 + i, 1 + (i % n_items)) for i in range(len(extra))]
+    )
+    _write(spark, base, "orders", orders, "o_orderkey long, o_custkey long")
+    _write(spark, base, "lineitem", lines, "l_orderkey long, l_suppkey long")
+    problems = compare(
+        q.fn(spark, base), _con(base, "orders", "lineitem"), q.oracle
+    )
+    assert not problems, (orders, lines, problems)

@@ -59,3 +59,26 @@ def test_ivf_short_cells_and_tie_fuzz(spark, tmp_path_factory, vecs):
     )
     problems = compare(q.fn(spark, base), _con(base), q.oracle)
     assert not problems, (len(vecs), problems)
+
+@given(
+    val=st.sampled_from(_VALS),
+    n=st.integers(min_value=2, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_ivf_empty_probed_cell_fuzz(spark, tmp_path_factory, val, n):
+    """The r10-window degenerate end: all embeddings identical, so the
+    seed centroids coincide, every vector ties to every cell and
+    assigns to cell 0 — probed cell 1 (nprobe=2, ties toward the lower
+    cid) is EMPTY by construction. The candidate set must come entirely
+    from cell 0, with no error and no phantom rows for the empty cell,
+    identically in both engines."""
+    q = QS["vec_ivf_verified"]
+    base = str(tmp_path_factory.mktemp("ivfempty"))
+    rows = [(i, [val] * 64, 0) for i in range(n)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "embeddings.parquet")
+    )
+    problems = compare(q.fn(spark, base), _con(base), q.oracle)
+    assert not problems, (val, n, problems)

@@ -65,3 +65,28 @@ def test_kmeans_fixed_point_empty_cluster_fuzz(
     )
     problems = compare(q.fn(spark, base), _con(base), q.oracle)
     assert not problems, (len(vecs), problems)
+
+@given(
+    val=st.sampled_from(_VALS),
+    n=st.integers(min_value=1, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_kmeans_all_points_identical_collapse_fuzz(
+    spark, tmp_path_factory, val, n
+):
+    """The r10-window degenerate end: every embedding is the SAME
+    vector, so all seed centroids coincide, every point ties to all of
+    them and assignment must collapse to cid 0 in BOTH Lloyd rounds —
+    clusters 1..k-1 are empty twice over and must keep their seed
+    centroids via the keep-previous branch identically in both
+    engines."""
+    q = QS["ml_kmeans_fixed_point"]
+    base = str(tmp_path_factory.mktemp("kmcollapse"))
+    rows = [(i, [val] * 64, i % 3) for i in range(n)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "embeddings.parquet")
+    )
+    problems = compare(q.fn(spark, base), _con(base), q.oracle)
+    assert not problems, (val, n, problems)

@@ -58,3 +58,28 @@ def test_mmr_fixed_steps_small_pool_tie_fuzz(spark, tmp_path_factory, vecs):
     )
     problems = compare(q.fn(spark, base), _con(base), q.oracle)
     assert not problems, (len(vecs), problems)
+
+@given(
+    vecs=st.lists(
+        st.lists(st.sampled_from(_VALS), min_size=64, max_size=64),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(**_SETTINGS)
+def test_mmr_pool_smaller_than_steps_fuzz(spark, tmp_path_factory, vecs):
+    """The r10-window degenerate end: at most 3 total vectors = probe
+    plus at most 2 candidates for the 3 greedy steps — the steps past
+    the pool size must be ABSENT (not null-padded, not errored) in both
+    engines, including the 1-vector probe-only pool where every step
+    vanishes."""
+    q = QS["vec_mmr_fixed_steps"]
+    base = str(tmp_path_factory.mktemp("mmrtiny"))
+    rows = [(i, v, 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "embeddings.parquet")
+    )
+    problems = compare(q.fn(spark, base), _con(base), q.oracle)
+    assert not problems, (len(vecs), problems)

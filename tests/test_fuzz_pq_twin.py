@@ -59,3 +59,30 @@ def test_pq_adc_tie_and_small_table_fuzz(spark, tmp_path_factory, vecs):
     )
     problems = compare(q.fn(spark, base), _con(base), q.oracle)
     assert not problems, (len(vecs), problems)
+
+@given(
+    subs=st.lists(
+        st.lists(st.sampled_from(_VALS), min_size=8, max_size=8),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_pq_adc_all_equal_subvectors_fuzz(spark, tmp_path_factory, subs):
+    """The r10-window degenerate end: each vector tiles ONE 8-dim
+    subvector across all 8 subspaces, so a vector's 8 per-subspace
+    encodes face identical distance profiles and any per-subspace
+    argmin-tiebreak drift between the engines multiplies 8x into the
+    ADC sum instead of averaging out (the codebooks differ per
+    subspace, so codes still vary by m — only the INPUT side
+    degenerates)."""
+    q = QS["vec_pq_adc_verified"]
+    base = str(tmp_path_factory.mktemp("pqtile"))
+    rows = [(i, sub * 8, i % 2) for i, sub in enumerate(subs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "embeddings.parquet")
+    )
+    problems = compare(q.fn(spark, base), _con(base), q.oracle)
+    assert not problems, (len(subs), problems)

@@ -411,3 +411,31 @@ def test_hll_twin_registers_are_partial_max(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sketch_hll_verified")
     assert "partial_max" in plan
     assert "CartesianProduct" not in plan
+
+def test_bpe_encode_twin_vocab_broadcast_no_python(spark, sf_dir):
+    """text_bpe_encode_verified (r10 oracle twin): the fixed-merge fold
+    must run entirely in codegen expressions over the DISTINCT-word
+    vocab table (no Python evaluation anywhere in the plan), the
+    word->subwords map must broadcast into the corpus join (the build
+    side is the vocabulary, never the corpus), and the per-doc totals
+    partial-aggregate map-side."""
+    plan = _plan(spark, sf_dir, "text_bpe_encode_verified")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ann_recall_twin_probes_broadcast_ranks_bounded(spark, sf_dir):
+    """vec_ann_recall_verified (r10 oracle twin): the exact arm must be
+    a broadcast of the 3 probe rows under the corpus scan
+    (BroadcastNestedLoopJoin over the 1-row collected centroid struct +
+    broadcast probe join — never a data-sized product or shuffle join),
+    the approx arm's cell fanout must enter as a broadcast hash join,
+    and the hit-set aggregation partial-aggregates."""
+    plan = _plan(spark, sf_dir, "vec_ann_recall_verified")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

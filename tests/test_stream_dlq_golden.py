@@ -13,7 +13,9 @@ schema, tolerant transform wiring) can no longer hide behind rows-only.
 
 from __future__ import annotations
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def test_stream_dlq_accounting_equals_driver_green_batch_arm(spark):

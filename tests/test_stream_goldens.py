@@ -34,13 +34,14 @@ overclaim:
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pyspark.sql.functions as F
 
 from avro_topic_replication_spark.catalog import load_table
 from avro_topic_replication_spark.queries import all_queries
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 QS = all_queries()
 
 
