@@ -181,7 +181,15 @@ def _drift_check(prev: "dict | None", timings: "dict[str, float]",
     machine-separated from real plan regressions instead of judge-caught
     (r9: text_bpe_encode 0.22->1.98s and graph_common_neighbors
     4.97->6.67s were both in-suite artifacts). Sub-0.5s timings are
-    noise-dominated and never flagged. Writes BENCH_DRIFT.json."""
+    noise-dominated and never flagged.
+
+    Verdicts compare ISOLATED-to-ISOLATED (this recheck vs the query's
+    prior BENCH_ISOLATED.json entry) — fresh-JVM numbers sit well above
+    warm-suite numbers by protocol (PLANS.md), so comparing the recheck
+    against the in-suite prev would call every recheck "real". The
+    caller must terminate the suite JVM before invoking this (a resident
+    bench heap next to the recheck children inflated a 6.7s isolated
+    query to 46.6s, measured). Writes BENCH_DRIFT.json."""
     flagged: list[dict] = []
     for name, now in timings.items():
         old = (prev or {}).get(name)
@@ -195,22 +203,31 @@ def _drift_check(prev: "dict | None", timings: "dict[str, float]",
                 "direction": "regression" if now > old else "improvement",
             })
     flagged.sort(key=lambda d: -max(d["prev"], d["now"]))
+    iso_prior: dict = {}
+    try:
+        iso = json.load(open(os.path.join(script_dir, "BENCH_ISOLATED.json")))
+        if iso.get("sf") == sf:
+            iso_prior = iso.get("queries", {})
+    except Exception:
+        pass
     rechecked = 0
     if os.environ.get("SPARK_GRAFT_BENCH_NO_RECHECK") != "1":
         for d in [f for f in flagged if f["direction"] == "regression"][:4]:
             t, err = _isolated_min3(d["name"])
             d["isolated_min3"] = t
+            base = iso_prior.get(d["name"])
             if err:
                 d["isolated_err"] = err
-            elif t is not None:
-                # Isolated time near the PREVIOUS in-suite number means the
-                # in-suite regression is suite-context noise, not the plan.
+            elif t is not None and base:
+                d["isolated_prev"] = base
                 d["verdict"] = (
-                    "suite-noise" if t <= d["prev"] * 1.5 else "real"
+                    "real" if t > base * 1.5 else "isolated-stable"
                 )
+            elif t is not None:
+                d["verdict"] = "no-isolated-baseline"
             rechecked += 1
             print(f"drift recheck {d['name']}: in-suite {d['prev']}->"
-                  f"{d['now']}, isolated min3 = {t} "
+                  f"{d['now']}, isolated min3 = {t} vs prior {base} "
                   f"({d.get('verdict', 'n/a')})", file=sys.stderr)
     report = {"sf": sf, "threshold": 1.5, "min_sec": 0.5,
               "compared_against_prev_run": prev is not None,
@@ -226,6 +243,12 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from avro_topic_replication_spark.queries import all_queries
     from avro_topic_replication_spark.session import get_spark
+
+    script_dir = os.path.dirname(os.path.abspath(__file__))
+    # Previous same-sf run must be read BEFORE BENCH_FULL.json is replaced
+    # (it seeds the history on the first drift-tracked round) — and before
+    # the retry pass, which uses it to re-measure in-suite drift in place.
+    prev_run = _load_prev_run(script_dir, sf)
 
     spark = get_spark(app_name="bench")
     _warm(spark, sf_dir)
@@ -262,10 +285,25 @@ def main() -> int:
     # of a large expression tree, scratch-fixture staging, state-store
     # directory creation). Re-run those up to twice more and keep the min
     # (min-of-3) so the recorded number is the query's steady-state cost,
-    # not startup or GC noise.
-    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
-        if t < 2.0:
-            break
+    # not startup or GC noise. The same protection extends to any query
+    # whose first run drifted >1.5x over ITS OWN previous-run time
+    # (history-aware): sub-2s single-shot timings swing 2-4x on identical
+    # code (measured r10 — median run-over-run ratio 1.07 with two-sided
+    # 4x tails), so a noisy sample is re-measured in place instead of
+    # being recorded and flagged as drift.
+    retry = [
+        name
+        for name, t in timings.items()
+        if t >= 2.0
+        or (
+            t >= 0.5
+            and prev_run is not None
+            and name in prev_run
+            and prev_run[name] > 0
+            and t > 1.5 * prev_run[name]
+        )
+    ]
+    for name in sorted(retry, key=lambda n: -timings[n]):
         for _ in range(2):
             try:
                 timings[name] = min(timings[name], run_once(queries[name]))
@@ -276,10 +314,6 @@ def main() -> int:
 
     total = round(sum(timings.values()), 4)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    script_dir = os.path.dirname(os.path.abspath(__file__))
-    # Previous same-sf run must be read BEFORE BENCH_FULL.json is replaced
-    # (it seeds the history on the first drift-tracked round).
-    prev_run = _load_prev_run(script_dir, sf)
     result = {
         "metric": "total_query_wall_time",
         "value": total,
@@ -292,7 +326,23 @@ def main() -> int:
     full = {**result, "queries": timings, "failures": failures}
     with open(os.path.join(script_dir, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
+    gateway = getattr(getattr(spark, "_sc", None), "_gateway", None)
     spark.stop()
+    # spark.stop() leaves the gateway JVM resident with the whole bench
+    # heap; the fresh-JVM drift-recheck children must not share the box
+    # with it (measured: 6.7s isolated -> 46.6s next to the live heap).
+    try:
+        if gateway is not None:
+            gateway.shutdown()
+            proc = getattr(gateway, "proc", None)
+            if proc is not None:
+                proc.terminate()
+                try:
+                    proc.wait(timeout=10)
+                except Exception:
+                    proc.kill()
+    except Exception:
+        pass
     drift = _drift_check(prev_run, timings, script_dir, sf)
     _record_history(script_dir, sf, timings)
     result["drift_flagged"] = len(drift["flagged"])
