@@ -211,8 +211,17 @@ def _drift_check(prev: "dict | None", timings: "dict[str, float]",
     except Exception:
         pass
     rechecked = 0
+    # Rechecks ride the same invocation the round driver times: bound
+    # them by wall clock (not just count) so a slow flagged query can't
+    # push the whole bench past an external timeout.
+    recheck_deadline = time.monotonic() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_RECHECK_BUDGET_S", "240")
+    )
     if os.environ.get("SPARK_GRAFT_BENCH_NO_RECHECK") != "1":
         for d in [f for f in flagged if f["direction"] == "regression"][:4]:
+            if time.monotonic() > recheck_deadline:
+                d["isolated_err"] = "recheck budget exhausted"
+                break
             t, err = _isolated_min3(d["name"])
             d["isolated_min3"] = t
             base = iso_prior.get(d["name"])

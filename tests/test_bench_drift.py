@@ -87,3 +87,20 @@ def test_drift_verdict_uses_isolated_baseline(bench, tmp_path, monkeypatch):
     # compare isolated-to-isolated, never fresh-JVM-to-warm-suite
     assert f["verdict"] == "isolated-stable"
     assert f["isolated_prev"] == 8.0
+
+def test_recheck_wall_budget_bounds_the_bench(bench, tmp_path, monkeypatch):
+    """A zero recheck budget must stop before the first recheck — the
+    round driver times the whole bench invocation, so rechecks may never
+    push it unboundedly past the suite's own wall time."""
+    d = str(tmp_path)
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_NO_RECHECK", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_RECHECK_BUDGET_S", "-1")
+    calls = []
+    monkeypatch.setattr(
+        bench, "_isolated_min3", lambda n: calls.append(n) or (1.0, None)
+    )
+    rep = bench._drift_check({"q": 2.0}, {"q": 4.0}, d, 0.1)
+    assert calls == []
+    (f,) = rep["flagged"]
+    assert f["isolated_err"] == "recheck budget exhausted"
+    assert rep["rechecked"] == 0
