@@ -52,22 +52,19 @@ _MODULES = (
 # a fixed-size (50-row) prefix of the registry each round, so the prefix rotates
 # each round to the oracle-bearing queries that have never received a harness
 # CORRECTNESS row. ``_DRIVER_SAMPLED`` is the union of the keys of
-# CORRECTNESS_r01..r09.json (299 names): every oracle-bearing query in the
-# registry except the five r9 twins below has a green driver row.
+# CORRECTNESS_r01..r10.json (309 names): every oracle-bearing query in the
+# registry except ``vec_ann_recall_verified`` has a green driver row.
 #
-# r10 STATE: CORRECTNESS_r09.json landed 50/50 green (rows+schema+hash); its
-# keys are folded in below, and the five r9 hash-verified twins
-# (ml_als_fixed_point, ml_kmeans_fixed_point, vec_pq_adc_verified,
-# vec_mmr_fixed_steps, vec_ivf_verified) had their "defer-sample" tags
-# removed this round, so the r10 window samples them — the project's final
-# never-sampled rows. Once CORRECTNESS_r10.json lands green the registry is
-# 304/304 oracle-bearing queries driver-green. Queries added in r10 or later
-# arrive "defer-sample"-tagged so they cannot displace this window.
-#
-# r10 additions (both "defer-sample"-tagged, queued for the r11 window):
-# text_bpe_encode_verified (fixed-merge-table BPE encode twin) and
-# vec_ann_recall_verified (derandomized-IVF recall@10 eval twin) — the two
-# twin-able families the r9 verdict listed as the remaining stretch.
+# r11 STATE (the final rotation): CORRECTNESS_r10.json landed 50/50 green
+# (rows+schema+hash), closing out the five r9 twins plus
+# text_bpe_encode_verified; those six keys are folded in below and both r10
+# "defer-sample" tags are dropped. The r11 window therefore leads with
+# vec_ann_recall_verified — the registry's LAST never-sampled oracle-bearing
+# query — followed by 49 re-samples in family order. A green r11 row on it
+# means every oracle-bearing query in the registry (307/307) is
+# driver-green, the project's stated end state. Queries added in r11 or
+# later must arrive "defer-sample"-tagged so they cannot displace a pending
+# window.
 _DRIVER_SAMPLED = frozenset((
     "agg_approx_count_distinct", "agg_arg_minmax", "agg_collect_sorted",
     "agg_conditional", "agg_corr", "agg_count_distinct", "agg_cube",
@@ -186,6 +183,10 @@ _DRIVER_SAMPLED = frozenset((
     #  text_lm_perplexity, text_repetition_metrics,
     #  vec_label_centroid_classify, vec_random_projection — were re-sample
     #  slack already present in the r6-r8 blocks above.)
+    # --- CORRECTNESS_r10.json (50 keys, all green; the 6 first-sampled) ---
+    "ml_als_fixed_point", "ml_kmeans_fixed_point", "text_bpe_encode_verified",
+    "vec_ivf_verified", "vec_mmr_fixed_steps", "vec_pq_adc_verified",
+    # (the other 44 r10 keys were re-samples already present above.)
 ))
 _FAMILY_ORDER = (
     "replication_pipeline",

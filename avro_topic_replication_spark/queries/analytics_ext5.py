@@ -15,10 +15,10 @@ flooding, and degree-threshold peeling.
 
 All [EXT] surface beyond the reference's replication dataflow
 (``ReplicationApplication.java:71`` is its only transform). The r8 twins
-entered the driver window in r9 (all green); the five r9 twins
-(ml_als_fixed_point, ml_kmeans_fixed_point, vec_pq_adc_verified,
-vec_mmr_fixed_steps, vec_ivf_verified) had their "defer-sample" tags
-removed in r10 and enter the final rotation window there.
+entered the driver window in r9 (all green); the five r9 twins landed
+green in CORRECTNESS_r10.json. vec_ann_recall_verified — the registry's
+last never-sampled oracle-bearing query — had its "defer-sample" tag
+dropped in r11 and leads that round's window (the final rotation).
 """
 
 from __future__ import annotations
@@ -1800,7 +1800,7 @@ _ANNR_PROBES = (1, 2)
         LEFT JOIN ec ON ec.qid = b.qid
         LEFT JOIN hits h ON h.qid = b.qid AND h.n_probes = b.n_probes
     """,
-    tags=("vectors", "ann", "eval", "defer-sample"),
+    tags=("vectors", "ann", "eval"),
 )
 def vec_ann_recall_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall@10 evaluation, hash-verified: for each of the 3

@@ -162,21 +162,34 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rule, so the engines agree by construction).
 _DF_CAP = 100
 
+# Intersection sizes come from the inverted index (cand ⋈ inv ⋈ inv,
+# GROUP BY pair) rather than per-pair list_intersect: inv rows are
+# per-doc DISTINCT shingles, so count(*) == len(list_intersect) exactly,
+# and the hash-join shape is ~8x faster in DuckDB (r11: 37s -> 4s at
+# sf0.001, value-identical both SFs — the old list_intersect FILTER
+# evaluated two O(|s|) intersects per candidate over 99k candidates).
+# MATERIALIZED pins single evaluation where the clusters oracles
+# reference pairs from multiple recursive branches.
 _PAIRS_SQL = f"""
-    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents),
-    inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents),
+    inv AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
     rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= {_DF_CAP}),
     rinv AS (SELECT doc_id, g FROM inv JOIN rare USING (g)),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM rinv a JOIN rinv b ON a.g = b.g AND a.doc_id < b.doc_id
              WHERE a.doc_id < 300),
-    pairs AS (
-        SELECT doc_a, doc_b,
-               CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-                 / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
-        FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
-        WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-                 / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.5
+    isect AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b, count(*) AS ni
+        FROM cand c
+        JOIN inv a ON a.doc_id = c.doc_a
+        JOIN inv b ON b.doc_id = c.doc_b AND b.g = a.g
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS MATERIALIZED (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.ni AS DOUBLE) / (len(x.s) + len(y.s) - i.ni) AS jaccard
+        FROM isect i JOIN sh x ON x.doc_id = i.doc_a JOIN sh y ON y.doc_id = i.doc_b
+        WHERE CAST(i.ni AS DOUBLE) / (len(x.s) + len(y.s) - i.ni) >= 0.5
     )
 """
 

@@ -697,7 +697,7 @@ def _bpev_word_sql() -> str:
         FROM words w LEFT JOIN vocab v ON w.word = v.word
         GROUP BY w.doc_id
     """,
-    tags=("llm", "scoring", "defer-sample"),
+    tags=("llm", "scoring"),
 )
 def text_bpe_encode_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encode against a FIXED 9-merge table, hash-verified: every

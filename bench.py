@@ -67,18 +67,36 @@ def _isolated_child(name: str) -> int:
     return 0
 
 
-def _isolated_min3(name: str) -> "tuple[float | None, str | None]":
-    """min-of-3 fresh-JVM timings of one query: (min_sec, error)."""
+def _isolated_min3(
+    name: str, deadline: "float | None" = None
+) -> "tuple[float | None, str | None]":
+    """min-of-3 fresh-JVM timings of one query: (min_sec, error).
+
+    A partial min (child failed or deadline hit before 3 runs) is
+    DISCARDED — a min-of-fewer-than-3 is not protocol-comparable, so
+    returning it would poison BENCH_ISOLATED.json baselines and drift
+    verdicts (ADVICE r10). ``deadline`` (time.monotonic terms) bounds
+    each child via subprocess timeout AND gates starting the next one,
+    so one hung child can't stall the bench past its recheck budget."""
     script = os.path.abspath(__file__)
     runs: list[float] = []
     for _ in range(3):
-        r = subprocess.run(
-            [sys.executable, script, "--isolated-child", name],
-            capture_output=True,
-            text=True,
-        )
+        timeout = None
+        if deadline is not None:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                return None, "recheck budget exhausted mid-protocol"
+        try:
+            r = subprocess.run(
+                [sys.executable, script, "--isolated-child", name],
+                capture_output=True,
+                text=True,
+                timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            return None, "isolated child hit recheck-budget timeout"
         if r.returncode != 0:
-            return (min(runs) if runs else None), r.stderr.strip()[-200:]
+            return None, r.stderr.strip()[-200:]
         runs.append(json.loads(r.stdout.strip().splitlines()[-1])["sec"])
     return min(runs), None
 
@@ -151,10 +169,32 @@ def _load_prev_run(script_dir: str, sf: "float | None") -> "dict | None":
     return None
 
 
+def _control_factor(prev: "dict | None",
+                    timings: "dict[str, float]") -> "float | None":
+    """Per-run container-weather index: the MEDIAN now/prev ratio over
+    every query both runs timed at >=0.3s. PLANS.md r10 measured the
+    shuffle-heavy registry head running 15-25% slow on one round's host
+    while byte-identical control queries held — a whole-suite median is
+    that control, robust to any single query actually regressing (a real
+    regression moves its own ratio, not the median of ~200)."""
+    if not prev:
+        return None
+    ratios = sorted(
+        now / prev[name]
+        for name, now in timings.items()
+        if prev.get(name, 0) >= 0.3 and now >= 0.3
+    )
+    if len(ratios) < 10:  # too few shared slow queries to call weather
+        return None
+    return round(ratios[len(ratios) // 2], 4)
+
+
 def _record_history(script_dir: str, sf: "float | None",
-                    timings: "dict[str, float]") -> None:
-    """Append this run to BENCH_HISTORY.json (last 12 same-file runs kept
-    — enough for a cross-round trend without unbounded growth)."""
+                    timings: "dict[str, float]",
+                    control_factor: "float | None" = None) -> None:
+    """Append this run to BENCH_HISTORY.json. The last 12 runs PER SF are
+    kept (a global cap would let interleaved other-sf runs evict every
+    same-sf baseline and silently no-op the drift check — ADVICE r10)."""
     hist_path = os.path.join(script_dir, "BENCH_HISTORY.json")
     hist: dict = {"runs": []}
     try:
@@ -166,9 +206,17 @@ def _record_history(script_dir: str, sf: "float | None",
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "sf": sf,
         "total": round(sum(timings.values()), 4),
+        "control_factor": control_factor,
         "queries": timings,
     })
-    hist["runs"] = hist["runs"][-12:]
+    keep: list = []
+    seen_per_sf: dict = {}
+    for r in reversed(hist["runs"]):
+        k = r.get("sf")
+        if seen_per_sf.get(k, 0) < 12:
+            keep.append(r)
+            seen_per_sf[k] = seen_per_sf.get(k, 0) + 1
+    hist["runs"] = list(reversed(keep))
     with open(hist_path, "w") as f:
         json.dump(hist, f, indent=1, sort_keys=True)
 
@@ -189,18 +237,27 @@ def _drift_check(prev: "dict | None", timings: "dict[str, float]",
     against the in-suite prev would call every recheck "real". The
     caller must terminate the suite JVM before invoking this (a resident
     bench heap next to the recheck children inflated a 6.7s isolated
-    query to 46.6s, measured). Writes BENCH_DRIFT.json."""
+    query to 46.6s, measured). Writes BENCH_DRIFT.json.
+
+    The flag rule is CONTROL-NORMALIZED: each ratio is divided by the
+    run's container-weather median (``_control_factor``) before the 1.5x
+    test, so a uniformly 1.2x-slow host doesn't burn recheck budget on
+    phantom regressions (r10: the whole shuffle-heavy head read 15-25%
+    slow while controls held). Raw ratios are recorded alongside."""
+    cf = _control_factor(prev, timings)
     flagged: list[dict] = []
     for name, now in timings.items():
         old = (prev or {}).get(name)
         if old is None:
             continue
-        hi, lo = max(now, old), min(now, old)
+        adj = old * (cf if cf else 1.0)
+        hi, lo = max(now, adj), min(now, adj)
         if lo > 0 and hi / lo > 1.5 and hi >= 0.5:
             flagged.append({
                 "name": name, "prev": old, "now": now,
                 "ratio": round(now / old, 2),
-                "direction": "regression" if now > old else "improvement",
+                "ratio_normalized": round(now / adj, 2),
+                "direction": "regression" if now > adj else "improvement",
             })
     flagged.sort(key=lambda d: -max(d["prev"], d["now"]))
     iso_prior: dict = {}
@@ -218,11 +275,16 @@ def _drift_check(prev: "dict | None", timings: "dict[str, float]",
         os.environ.get("SPARK_GRAFT_BENCH_RECHECK_BUDGET_S", "240")
     )
     if os.environ.get("SPARK_GRAFT_BENCH_NO_RECHECK") != "1":
-        for d in [f for f in flagged if f["direction"] == "regression"][:4]:
+        regressions = [f for f in flagged if f["direction"] == "regression"]
+        for i, d in enumerate(regressions[:4]):
             if time.monotonic() > recheck_deadline:
-                d["isolated_err"] = "recheck budget exhausted"
+                # Mark EVERY remaining eligible regression, not just the
+                # first (ADVICE r10): an unmarked flagged row is
+                # indistinguishable from never-eligible.
+                for rest in regressions[i:4]:
+                    rest["isolated_err"] = "recheck budget exhausted"
                 break
-            t, err = _isolated_min3(d["name"])
+            t, err = _isolated_min3(d["name"], deadline=recheck_deadline)
             d["isolated_min3"] = t
             base = iso_prior.get(d["name"])
             if err:
@@ -239,6 +301,7 @@ def _drift_check(prev: "dict | None", timings: "dict[str, float]",
                   f"{d['now']}, isolated min3 = {t} vs prior {base} "
                   f"({d.get('verdict', 'n/a')})", file=sys.stderr)
     report = {"sf": sf, "threshold": 1.5, "min_sec": 0.5,
+              "control_factor": cf,
               "compared_against_prev_run": prev is not None,
               "flagged": flagged, "rechecked": rechecked}
     with open(os.path.join(script_dir, "BENCH_DRIFT.json"), "w") as f:
@@ -300,6 +363,7 @@ def main() -> int:
     # code (measured r10 — median run-over-run ratio 1.07 with two-sided
     # 4x tails), so a noisy sample is re-measured in place instead of
     # being recorded and flagged as drift.
+    _cf = _control_factor(prev_run, timings) or 1.0
     retry = [
         name
         for name, t in timings.items()
@@ -309,7 +373,7 @@ def main() -> int:
             and prev_run is not None
             and name in prev_run
             and prev_run[name] > 0
-            and t > 1.5 * prev_run[name]
+            and t > 1.5 * prev_run[name] * _cf
         )
     ]
     for name in sorted(retry, key=lambda n: -timings[n]):
@@ -353,7 +417,7 @@ def main() -> int:
     except Exception:
         pass
     drift = _drift_check(prev_run, timings, script_dir, sf)
-    _record_history(script_dir, sf, timings)
+    _record_history(script_dir, sf, timings, drift.get("control_factor"))
     result["drift_flagged"] = len(drift["flagged"])
     result["drift_rechecked"] = drift["rechecked"]
     line = json.dumps(result)

@@ -11,11 +11,43 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def pytest_sessionstart(session):
-    # Sweep tmp_-tagged fixture caches left by prior sessions' fuzz runs
-    # (their pytest tmp source dirs are gone; the caches are dead weight).
+    # Sweep stranded fixture caches left by prior sessions: tmp_-tagged
+    # dirs from dead pytest tmp sources, plus content-keyed dirs whose
+    # source fingerprint no longer matches (regenerated testdata).
     from avro_topic_replication_spark.streaming.replay import gc_scratch
 
     gc_scratch()
+
+
+# The fast core tier (`pytest -m quick`): registry oracle smoke, plan
+# lint, stream goldens, and the Spark-free unit suites — the checks that
+# gate every commit. The hypothesis fuzz tiers and deep integration
+# suites stay in the (~90 min) full run; this tier targets <=10 min so
+# "run it twice to check a flake" stays cheap (r10 verdict item 4).
+QUICK_MODULES = frozenset((
+    "test_registry",
+    "test_oracle_queries",
+    "test_plans",
+    "test_stream_goldens",
+    "test_stream_dlq_golden",
+    "test_bench_drift",
+    "test_scratch_gc",
+    "test_http_registry",
+))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "quick: fast core tier (registry smoke + plan lint + goldens;"
+        " `pytest -m quick`, <=10 min)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
 
 
 @pytest.fixture(scope="session")

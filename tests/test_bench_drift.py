@@ -75,7 +75,7 @@ def test_drift_verdict_uses_isolated_baseline(bench, tmp_path, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_BENCH_NO_RECHECK", raising=False)
     calls = []
 
-    def fake_min3(name):
+    def fake_min3(name, deadline=None):
         calls.append(name)
         return 9.0, None  # above in-suite prev*1.5, below isolated*1.5
 
@@ -97,10 +97,112 @@ def test_recheck_wall_budget_bounds_the_bench(bench, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_RECHECK_BUDGET_S", "-1")
     calls = []
     monkeypatch.setattr(
-        bench, "_isolated_min3", lambda n: calls.append(n) or (1.0, None)
+        bench,
+        "_isolated_min3",
+        lambda n, deadline=None: calls.append(n) or (1.0, None),
     )
-    rep = bench._drift_check({"q": 2.0}, {"q": 4.0}, d, 0.1)
+    rep = bench._drift_check({"q": 2.0, "r": 2.0}, {"q": 4.0, "r": 5.0}, d, 0.1)
     assert calls == []
-    (f,) = rep["flagged"]
-    assert f["isolated_err"] == "recheck budget exhausted"
+    # EVERY eligible-but-unrun regression is marked, not just the first
+    # (ADVICE r10): an unmarked flagged row reads as never-eligible.
+    assert len(rep["flagged"]) == 2
+    assert all(
+        f["isolated_err"] == "recheck budget exhausted" for f in rep["flagged"]
+    )
     assert rep["rechecked"] == 0
+
+
+def test_history_caps_per_sf_not_globally(bench, tmp_path):
+    """Interleaved other-sf runs must not evict same-sf baselines
+    (ADVICE r10: a global 12-run cap let sf0.01 runs silently no-op the
+    sf0.1 drift check)."""
+    d = str(tmp_path)
+    for i in range(10):
+        bench._record_history(d, 0.1, {"a": float(i)})
+        bench._record_history(d, 0.01, {"a": float(i) / 10})
+    runs = json.load(open(os.path.join(d, "BENCH_HISTORY.json")))["runs"]
+    assert sum(1 for r in runs if r["sf"] == 0.1) == 10
+    assert sum(1 for r in runs if r["sf"] == 0.01) == 10
+    assert bench._load_prev_run(d, 0.1) == {"a": 9.0}
+    assert bench._load_prev_run(d, 0.01) == {"a": 0.9}
+    for i in range(15):
+        bench._record_history(d, 0.1, {"a": 100.0 + i})
+    runs = json.load(open(os.path.join(d, "BENCH_HISTORY.json")))["runs"]
+    assert sum(1 for r in runs if r["sf"] == 0.1) == 12
+    assert sum(1 for r in runs if r["sf"] == 0.01) == 10  # survivors
+
+
+def test_control_factor_normalizes_flags(bench, tmp_path, no_recheck):
+    """A uniformly slow container (every query 2x) must flag NOTHING,
+    while a query that moved beyond the weather (ratio 3.5 on a 2x-slow
+    host = 1.75 normalized) still flags, with both ratios recorded."""
+    prev = {f"q{i}": 1.0 for i in range(14)}
+    now = {f"q{i}": 2.0 for i in range(14)}
+    now["q0"] = 3.5
+    assert bench._control_factor(prev, now) == 2.0
+    rep = bench._drift_check(prev, now, str(tmp_path), 0.1)
+    assert rep["control_factor"] == 2.0
+    (f,) = rep["flagged"]
+    assert f["name"] == "q0"
+    assert f["direction"] == "regression"
+    assert f["ratio"] == 3.5
+    assert f["ratio_normalized"] == 1.75
+
+
+def test_control_factor_needs_enough_samples(bench):
+    """Fewer than 10 shared >=0.3s queries cannot call container weather
+    — the factor must be None and flagging falls back to raw ratios."""
+    prev = {"a": 1.0, "b": 1.0, "tiny": 0.1}
+    assert bench._control_factor(prev, {"a": 2.0, "b": 2.0, "tiny": 0.2}) is None
+    assert bench._control_factor(None, {"a": 2.0}) is None
+
+
+def test_isolated_min3_discards_partial_runs(bench, monkeypatch):
+    """A child failure mid-protocol must DISCARD the partial min (ADVICE
+    r10: a min-of-fewer-than-3 masqueraded as protocol-valid in both
+    BENCH_ISOLATED.json maps and skipped the drift verdict)."""
+    import subprocess as sp
+
+    calls = []
+
+    def fake_run(cmd, capture_output, text, timeout=None):
+        calls.append(timeout)
+
+        class R:
+            returncode = 0 if len(calls) < 2 else 1
+            stdout = '{"name": "q", "sec": 1.0}'
+            stderr = "boom"
+
+        return R()
+
+    monkeypatch.setattr(sp, "run", fake_run)
+    t, err = bench._isolated_min3("q")
+    assert t is None and err == "boom"
+    assert len(calls) == 2
+
+
+def test_isolated_min3_deadline_bounds_children(bench, monkeypatch):
+    """The recheck deadline must reach subprocess.run as a timeout and
+    gate starting later children (ADVICE r10: an un-timeouted hung child
+    could stall the bench despite the wall-clock budget)."""
+    import subprocess as sp
+    import time as _time
+
+    seen = []
+
+    def fake_run(cmd, capture_output, text, timeout=None):
+        seen.append(timeout)
+
+        class R:
+            returncode = 0
+            stdout = '{"name": "q", "sec": 1.0}'
+            stderr = ""
+
+        return R()
+
+    monkeypatch.setattr(sp, "run", fake_run)
+    t, err = bench._isolated_min3("q", deadline=_time.monotonic() + 60)
+    assert t == 1.0 and err is None
+    assert len(seen) == 3 and all(0 < s <= 60 for s in seen)
+    t, err = bench._isolated_min3("q", deadline=_time.monotonic() - 1)
+    assert t is None and "budget exhausted" in err
