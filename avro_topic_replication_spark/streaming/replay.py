@@ -106,6 +106,12 @@ def _register_tag(tag: str, sf_dir: str, tables: "tuple[str, ...]") -> None:
     os.replace(tmp, path)
 
 
+# SCRATCH subdirs whose children are run-id-scoped (uuid checkpoint /
+# state / test dirs): garbage the moment their run ends, swept whole by
+# gc_scratch at session start.
+_EPHEMERAL_SUBDIRS = frozenset(("ckpt", "httpreg", "repltest", "upsert_state"))
+
+
 def _live_tags() -> "set[str]":
     """Tags whose manifest still recomputes to the same fingerprint
     against the live source — everything else is stranded cache."""
@@ -148,9 +154,16 @@ def gc_scratch() -> int:
       no manifest is itself stranded (pre-manifest legacy, or its
       manifest was removed as stale) and rebuilds on next use.
 
-    Non-tag-shaped dirs (checkpoint dirs, the static ``io/binfix`` /
-    ``io/badcsv`` fixtures) are never candidates for the staleness sweep
-    — only names ending in the 10-hex content fingerprint are tags.
+    Per-run ephemeral subdirs (streaming checkpoints and uuid-scoped test
+    scratch — ``_EPHEMERAL_SUBDIRS``) are swept whole: their children are
+    named by run id, never reused after the run that made them, and were
+    measured accumulating ~400 dirs across ten rounds. Only call this
+    between sessions — an ACTIVE streaming query's checkpoint must not be
+    swept from under it.
+
+    Other non-tag-shaped dirs (the static ``io/binfix`` / ``io/badcsv``
+    fixtures) are never candidates for the staleness sweep — only names
+    ending in the 10-hex content fingerprint are tags.
 
     Returns the number of dirs removed."""
     import shutil
@@ -165,8 +178,9 @@ def gc_scratch() -> int:
         if sub == "_tags" or not os.path.isdir(subdir):
             continue
         for tag in os.listdir(subdir):
+            ephemeral = sub in _EPHEMERAL_SUBDIRS
             stale = tag_shape.search(tag) and tag not in live
-            if tag.startswith("tmp_") or stale:
+            if tag.startswith("tmp_") or stale or ephemeral:
                 shutil.rmtree(os.path.join(subdir, tag), ignore_errors=True)
                 removed += 1
     return removed

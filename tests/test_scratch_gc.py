@@ -52,7 +52,6 @@ def test_gc_sweeps_stale_content_keyed_dirs(scratch, sf):
     tag1 = replay.scratch_tag(str(sf), ("events",))
     d1 = scratch / "replay" / tag1
     d1.mkdir(parents=True)
-    (scratch / "ckpt" / "some_query").mkdir(parents=True)
     (scratch / "io" / "binfix").mkdir(parents=True)
     # live fingerprint: nothing swept
     assert replay.gc_scratch() == 0
@@ -69,8 +68,7 @@ def test_gc_sweeps_stale_content_keyed_dirs(scratch, sf):
     assert d2.exists()
     assert not (scratch / "_tags" / f"{tag1}.json").exists()
     assert (scratch / "_tags" / f"{tag2}.json").exists()
-    # non-tag-shaped dirs are never staleness candidates
-    assert (scratch / "ckpt" / "some_query").exists()
+    # non-tag-shaped, non-ephemeral dirs are never staleness candidates
     assert (scratch / "io" / "binfix").exists()
 
 
@@ -99,3 +97,24 @@ def test_gc_sweeps_tag_of_deleted_source(scratch, sf):
     shutil.rmtree(sf)
     assert replay.gc_scratch() == 1
     assert not d.exists()
+
+
+def test_gc_sweeps_ephemeral_run_scoped_dirs(scratch, sf):
+    """Streaming checkpoints and uuid-scoped test scratch are garbage the
+    moment their run ends (measured: ~400 dirs accumulated over ten
+    rounds); gc sweeps those subdirs whole while live content-keyed
+    fixture caches stay."""
+    live = replay.scratch_tag(str(sf), ("events",))
+    for sub, name in [
+        ("ckpt", "mem_0051a0899230"),
+        ("ckpt", "upsert_abc123"),
+        ("httpreg", "05e293e8"),
+        ("repltest", "0470a2a7"),
+        ("upsert_state", live),  # even tag-named children: state is per-run
+        ("replay", live),  # live fixture cache: kept
+    ]:
+        (scratch / sub / name).mkdir(parents=True)
+    assert replay.gc_scratch() == 5
+    assert (scratch / "replay" / live).exists()
+    for sub in ("ckpt", "httpreg", "repltest", "upsert_state"):
+        assert not any((scratch / sub).iterdir())
