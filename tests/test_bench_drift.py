@@ -181,6 +181,41 @@ def test_isolated_min3_discards_partial_runs(bench, monkeypatch):
     assert len(calls) == 2
 
 
+def test_count_cap_regressions_get_explicit_disposition(bench, tmp_path, monkeypatch):
+    """Regressions ranked 5+ by the severity sort never enter the recheck
+    loop (count cap 4); they must still carry an explicit disposition
+    (ADVICE r11: unmarked rows read as never-regressions)."""
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_NO_RECHECK", raising=False)
+    monkeypatch.setattr(bench, "_isolated_min3", lambda n, deadline=None: (1.0, None))
+    prev = {f"q{i}": 1.0 for i in range(6)}
+    now = {f"q{i}": 2.0 + i for i in range(6)}  # all 2x+ regressions
+    rep = bench._drift_check(prev, now, str(tmp_path), 0.1)
+    assert len(rep["flagged"]) == 6
+    assert rep["rechecked"] == 4
+    capped = [f for f in rep["flagged"] if "isolated_min3" not in f]
+    assert len(capped) == 2
+    assert all(f["isolated_err"] == "recheck count cap" for f in capped)
+
+
+def test_isolated_min3_coalesces_empty_stderr(bench, monkeypatch):
+    """A SIGKILLed child (e.g. OOM) emits no stderr; the error string must
+    still be truthy so _drift_check records isolated_err (ADVICE r11)."""
+    import subprocess as sp
+
+    def fake_run(cmd, capture_output, text, timeout=None):
+        class R:
+            returncode = -9
+            stdout = ""
+            stderr = ""
+
+        return R()
+
+    monkeypatch.setattr(sp, "run", fake_run)
+    t, err = bench._isolated_min3("q")
+    assert t is None
+    assert err == "child exited -9"
+
+
 def test_isolated_min3_deadline_bounds_children(bench, monkeypatch):
     """The recheck deadline must reach subprocess.run as a timeout and
     gate starting later children (ADVICE r10: an un-timeouted hung child

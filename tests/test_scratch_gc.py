@@ -77,11 +77,11 @@ def test_gc_sweeps_manifestless_legacy_and_tmp_dirs(scratch, sf):
     for sub, name in [
         ("io", live),  # live: kept
         ("io", "sf0_001_0123456789"),  # tag-shaped, no manifest: swept
-        ("replay", "tmp_anything"),  # tmp-prefixed: swept
+        ("replay", "tmp_anything"),  # tmp-prefixed: swept once cold
         ("io", "badcsv"),  # not tag-shaped: kept
     ]:
         (scratch / sub / name).mkdir(parents=True)
-    assert replay.gc_scratch() == 2
+    assert replay.gc_scratch(ephemeral_ttl_s=0) == 2
     assert (scratch / "io" / live).exists()
     assert (scratch / "io" / "badcsv").exists()
     assert not (scratch / "io" / "sf0_001_0123456789").exists()
@@ -114,7 +114,39 @@ def test_gc_sweeps_ephemeral_run_scoped_dirs(scratch, sf):
         ("replay", live),  # live fixture cache: kept
     ]:
         (scratch / sub / name).mkdir(parents=True)
-    assert replay.gc_scratch() == 5
+    assert replay.gc_scratch(ephemeral_ttl_s=0) == 5
     assert (scratch / "replay" / live).exists()
     for sub in ("ckpt", "httpreg", "repltest", "upsert_state"):
         assert not any((scratch / sub).iterdir())
+
+
+def test_gc_spares_warm_ephemeral_dirs(scratch, sf):
+    """ADVICE r11: a second pytest session starting while another runs
+    must not sweep the first session's ACTIVE streaming checkpoints.
+    Warm ephemeral/tmp dirs (newest recursive mtime within the TTL) stay;
+    cold ones go. An active checkpoint commits files every micro-batch,
+    so a deep fresh file keeps the whole dir warm even when the top-level
+    dir mtime is old."""
+    import os
+    import time
+
+    warm_ckpt = scratch / "ckpt" / "mem_active123"
+    (warm_ckpt / "offsets").mkdir(parents=True)
+    old = time.time() - 7200
+    # top-level dir looks old, but a fresh offsets file marks it active
+    (warm_ckpt / "offsets" / "3").write_text("{}")
+    os.utime(warm_ckpt, (old, old))
+
+    cold_ckpt = scratch / "ckpt" / "mem_finished456"
+    (cold_ckpt / "offsets").mkdir(parents=True)
+    (cold_ckpt / "offsets" / "1").write_text("{}")
+    for p in (cold_ckpt / "offsets" / "1", cold_ckpt / "offsets", cold_ckpt):
+        os.utime(p, (old, old))
+
+    warm_tmp = scratch / "replay" / "tmp_live_fuzz"
+    warm_tmp.mkdir(parents=True)
+
+    assert replay.gc_scratch() == 1  # default 1h TTL
+    assert warm_ckpt.exists()
+    assert warm_tmp.exists()
+    assert not cold_ckpt.exists()
