@@ -48,146 +48,348 @@ _MODULES = (
     "analytics_ext5",
 )
 
-# Presentation order for the registry. The external correctness harness samples
-# a fixed-size (50-row) prefix of the registry each round, so the prefix rotates
-# each round to the oracle-bearing queries that have never received a harness
-# CORRECTNESS row. ``_DRIVER_SAMPLED`` is the union of the keys of
-# CORRECTNESS_r01..r10.json (309 names): every oracle-bearing query in the
-# registry except ``vec_ann_recall_verified`` has a green driver row.
+# Presentation order for the registry. The external correctness harness
+# samples a fixed-size (50-row) prefix of the registry each round, so the
+# prefix rotates to whatever most needs a fresh CORRECTNESS row:
 #
-# r11 STATE (the final rotation): CORRECTNESS_r10.json landed 50/50 green
-# (rows+schema+hash), closing out the five r9 twins plus
-# text_bpe_encode_verified; those six keys are folded in below and both r10
-# "defer-sample" tags are dropped. The r11 window therefore leads with
-# vec_ann_recall_verified — the registry's LAST never-sampled oracle-bearing
-# query — followed by 49 re-samples in family order. A green r11 row on it
-# means every oracle-bearing query in the registry (307/307) is
-# driver-green, the project's stated end state. Queries added in r11 or
-# later must arrive "defer-sample"-tagged so they cannot displace a pending
-# window.
-_DRIVER_SAMPLED = frozenset((
-    "agg_approx_count_distinct", "agg_arg_minmax", "agg_collect_sorted",
-    "agg_conditional", "agg_corr", "agg_count_distinct", "agg_cube",
-    "agg_distinct_rows", "agg_grouping_id", "agg_grouping_sets", "agg_minmax",
-    "agg_moment_stats", "agg_percentiles", "agg_pivot", "agg_pricing_summary",
-    "agg_rollup", "agg_skew_kurtosis", "agg_unpivot", "conditional_expressions",
-    "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_exact_keep_first", "dedup_ngram_jaccard", "dedup_simhash",
-    "events_funnel_conversion", "filter_predicates", "flagship_revenue_by_nation",
-    "fn_datetime", "fn_explode_posexplode", "fn_hash",
-    "fn_hash_spark_native", "fn_json",
-    # (fn_array / fn_json_from_json / fn_map / fn_math were held out of the
-    #  r1-r8 blocks for the r9 re-enqueue; they are listed in the r9 block
-    #  below with their green rows.)
-    "fn_string_basic", "fn_string_regex_split", "join_anti", "join_asof_click_view",
-    "join_bucketed_colocated", "join_cross", "join_full_outer", "join_left_outer",
-    "join_range_bands", "join_right_outer", "join_salted_skew", "join_semi",
-    "join_shuffle_hash", "join_theta_ship_after_order", "mm_binary_metadata",
-    "mm_decode_features", "mm_frame_sample", "mm_resize_batch",
-    "pipeline_corpus_curation", "proj_computed_columns",
-    "replication_batch_roundtrip", "replication_evolved_consumer",
-    "sample_hash_fraction", "sample_stratified_rates", "setop_except",
-    "setop_except_all", "setop_intersect", "setop_intersect_all", "setop_union_all",
-    "setop_union_distinct", "sink_parquet_clustered", "sink_parquet_partitioned",
-    "sink_upsert_merge", "sort_partition_local", "sort_topk_global",
-    "source_binaryfile", "source_csv_roundtrip", "source_json_roundtrip",
-    "source_orc_roundtrip", "source_text_lines", "split_train_val_test",
-    "sql_cte_text_entry", "sql_exists_subquery", "sql_lateral_topn",
-    "sql_scalar_subquery", "stream_dedup_keyed", "stream_session_window",
-    "stream_sliding_window", "stream_tumbling_window", "text_bpe_token_count",
-    "text_fingerprint", "text_lang_id", "text_langid_eval", "text_pii_redaction",
-    "text_quality_score", "text_shingle_stats", "text_tfidf", "text_tokenize_stats",
-    "tpch_q10_returned_items", "tpch_q12_late_shipments",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customer", "tpch_q19_discounted_revenue",
-    "tpch_q22_idle_customers", "tpch_q3_shipping_priority", "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "ts_resample_gapfill", "ts_rollup_hierarchy", "udf_apply_in_pandas",
-    "udf_grouped_agg_pandas", "udf_pandas_cosine", "udf_scalar_python",
-    "udf_udtf_words", "vec_cosine_pairs_exact", "vec_knn_query", "vec_norms",
-    "win_distribution", "win_first_last_value", "win_lag_lead", "win_moving_avg",
-    "win_range_frame", "win_rank_customers", "win_running_sum", "win_topk_per_group",
-    # --- CORRECTNESS_r06.json (50 keys, all green) ---
-    "agg_boolean_median", "agg_entropy", "agg_histogram_buckets",
-    "agg_histogram_equidepth", "agg_observe_metrics", "agg_regression",
-    "agg_winsorized_mean", "dedup_contamination_check", "dedup_incremental_batch",
-    "dedup_span_rewrite", "events_activity_streaks", "events_cohort_retention",
-    "events_markov_transitions", "events_rfm_segmentation", "events_time_to_convert",
-    "fn_collation_lcase", "fn_lateral_column_alias", "fn_variant_json",
-    "join_runtime_bloom_filter", "mm_audio_downsample", "mm_audio_features",
-    "mm_frame_dedup", "mm_video_frame_stats", "pack_sequences_chunks",
-    "pipeline_filter_funnel", "pipeline_pretraining_batch",
-    "replication_stream_roundtrip", "sample_language_temperature",
-    "sample_token_budget", "shuffle_shard_assign", "sort_global_range",
-    "sql_group_by_all_offset", "sql_language_udf", "sql_parameterized_identifier",
-    "sql_pipe_syntax", "sql_recursive_month_series", "sql_session_variables",
-    "text_boilerplate_coverage", "text_lm_perplexity", "text_repetition_metrics",
-    "tpch_q11_important_stock", "tpch_q16_part_supplier_relationship",
-    "tpch_q20_potential_promotion", "tpch_q21_waiting_suppliers",
-    "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
-    "udf_udtf_table_arg", "vec_label_centroid_classify", "vec_random_projection",
-    "win_nth_value",
-    # --- CORRECTNESS_r07.json (50 keys, all green) ---
-    "agg_bitmap_distinct", "agg_mode_deterministic", "dedup_cluster_representatives",
-    "dedup_line_rewrite", "dedup_url_canonical", "events_attribution_last_touch",
-    "events_dau_wau_mau", "events_pattern_regex", "events_sessionize_batch",
-    "fn_aes_roundtrip", "fn_array_setops", "fn_bitwise", "fn_datetime_extra",
-    "fn_datetime_make", "fn_encode_decode", "fn_json_tuple", "fn_map_explode",
-    "fn_map_higher_order", "fn_null_semantics", "fn_string_extra", "fn_struct_ops",
-    "fn_to_json", "fn_try_arithmetic", "fn_url_parse", "graph_clustering_coefficient",
-    "graph_degree_stats", "graph_triangle_count", "join_fuzzy_name_match",
-    "rag_chunk_overlap", "replication_dlq_routing", "sample_domain_mixture",
-    "sample_reservoir_per_group", "sink_scd2_dimension", "sink_zorder_layout",
-    "source_parquet_merge_schema", "source_python_datasource", "source_xml_roundtrip",
-    "stat_crosstab", "text_char_entropy", "text_collocations_pmi",
-    "text_gopher_quality_gate", "text_rare_token_ratio", "ts_ewma_per_user",
-    "ts_zscore_anomaly", "udf_apply_in_arrow", "udf_map_in_arrow", "vec_lsh_pairs",
-    "vec_matryoshka_recall", "vec_quantize_int8", "vec_two_stage_rerank",
-    # --- CORRECTNESS_r08.json (50 keys, all green) ---
-    "agg_approx_top_k", "agg_generalized_means", "agg_incremental_refresh",
-    "agg_listagg_top_names", "agg_multiple_regression", "agg_weighted_median",
-    "events_ab_test_lift", "events_cumulative_users", "events_dow_hour_heatmap",
-    "events_funnel_windowed", "events_inter_arrival_stats", "events_top_paths",
-    "graph_bipartite_copurchase", "graph_common_neighbors",
-    "join_asof_tolerance", "join_interval_overlap", "join_null_safe_eq",
-    "join_scd2_point_in_time", "mm_image_phash_dedup", "sample_weighted_priority",
-    "setop_union_by_name", "source_avro_container", "sql_cache_table",
-    "sql_distribute_sort_by", "sql_not_in_null_aware", "sql_order_by_all",
-    "sql_pivot_clause", "sql_unpivot_clause", "stat_bootstrap_poisson_ci",
-    "stat_chi2_independence", "stat_ks_test", "stat_welch_ttest",
-    "stream_dynamic_session_window", "text_keyword_topk", "text_length_gini",
-    "text_ngram_topk", "text_readability", "text_zipf_fit", "ts_autocorrelation",
-    "ts_cusum_drift", "ts_hampel_outliers", "ts_holt_linear",
-    "ts_linear_interpolate", "ts_mad_anomaly", "ts_max_drawdown",
-    "ts_rolling_median", "ts_seasonal_baseline", "vec_hamming_topk",
-    "vec_pair_distance_histogram", "win_time_range_frame",
-    # --- CORRECTNESS_r09.json (50 keys, all green) ---
-    "cdc_snapshot_diff", "dedup_minhash_banded", "dq_expectations",
-    "dq_k_anonymity", "events_survival_km", "fn_array", "fn_json_from_json",
-    "fn_map", "fn_math", "graph_kcore_peel_rounds",
-    "graph_labelprop_min_rounds", "graph_pagerank_fixed_point",
-    "mba_association_rules", "mm_audio_vad_segments",
-    "mm_image_histogram_dedup", "pareto_frontier_parts",
-    "profile_table_columns", "sample_weighted_reservoir",
-    "sketch_bottomk_verified", "sketch_cms_verified", "sketch_hll_verified",
-    "source_time_travel", "stat_benford_law", "stat_cuped_adjusted",
-    "stat_diff_in_diff", "stat_mannwhitney_u", "stat_psi_drift",
-    "stat_qq_deciles", "stat_theil_sen_trend", "ts_snaive_backtest",
-    # (The other 20 r9 keys — dedup_contamination_check,
-    #  dedup_incremental_batch, dedup_span_rewrite, dedup_url_canonical,
-    #  pack_sequences_chunks, pipeline_filter_funnel,
-    #  pipeline_pretraining_batch, replication_* ×4, sample_language_
-    #  temperature, sample_token_budget, shuffle_shard_assign,
-    #  sql_recursive_month_series, text_boilerplate_coverage,
-    #  text_lm_perplexity, text_repetition_metrics,
-    #  vec_label_centroid_classify, vec_random_projection — were re-sample
-    #  slack already present in the r6-r8 blocks above.)
-    # --- CORRECTNESS_r10.json (50 keys, all green; the 6 first-sampled) ---
-    "ml_als_fixed_point", "ml_kmeans_fixed_point", "text_bpe_encode_verified",
-    "vec_ivf_verified", "vec_mmr_fixed_steps", "vec_pq_adc_verified",
-    # (the other 44 r10 keys were re-samples already present above.)
-))
+#   1. never-sampled oracle-bearing queries (none remain as of r11 —
+#      CORRECTNESS_r11.json landed 50/50 green including
+#      vec_ann_recall_verified, so every oracle-bearing query in the
+#      registry, 307/307, has a green driver row: the project's stated
+#      end state, reached in round 11);
+#   2. re-samples, STALEST FIRST — ordered by the round in which each
+#      query last received a driver row (``_LAST_SAMPLED_ROUND``, the
+#      union of CORRECTNESS_r01..r11.json), then family order. A static
+#      prefix would re-verify the same 50 queries forever while r1-era
+#      rows age; stalest-first keeps every row's latest verification
+#      recent as rounds accumulate.
+#
+# Queries added in r12 or later must arrive "defer-sample"-tagged for one
+# round (they sort to the very back until the tag is dropped, after which
+# they lead the window as never-sampled).
+_LAST_SAMPLED_ROUND: "dict[str, int]" = {
+    # --- last sampled in round 1 ---
+    "fn_datetime": 1,
+    "fn_explode_posexplode": 1,
+    "fn_hash": 1,
+    "fn_hash_spark_native": 1,
+    "fn_json": 1,
+    "fn_string_basic": 1,
+    "fn_string_regex_split": 1,
+    "setop_except_all": 1,
+    # --- last sampled in round 3 ---
+    "setop_except": 3,
+    "setop_intersect": 3,
+    "setop_intersect_all": 3,
+    "setop_union_all": 3,
+    "setop_union_distinct": 3,
+    "sort_partition_local": 3,
+    "sort_topk_global": 3,
+    "win_distribution": 3,
+    "win_first_last_value": 3,
+    "win_lag_lead": 3,
+    "win_moving_avg": 3,
+    "win_range_frame": 3,
+    "win_rank_customers": 3,
+    "win_running_sum": 3,
+    "win_topk_per_group": 3,
+    # --- last sampled in round 4 ---
+    "agg_approx_count_distinct": 4,
+    "agg_arg_minmax": 4,
+    "agg_collect_sorted": 4,
+    "agg_conditional": 4,
+    "agg_corr": 4,
+    "agg_count_distinct": 4,
+    "agg_cube": 4,
+    "agg_distinct_rows": 4,
+    "agg_grouping_id": 4,
+    "agg_grouping_sets": 4,
+    "agg_minmax": 4,
+    "agg_moment_stats": 4,
+    "agg_percentiles": 4,
+    "agg_pivot": 4,
+    "agg_pricing_summary": 4,
+    "agg_rollup": 4,
+    "agg_skew_kurtosis": 4,
+    "agg_unpivot": 4,
+    "conditional_expressions": 4,
+    "filter_predicates": 4,
+    "flagship_revenue_by_nation": 4,
+    "join_anti": 4,
+    "join_asof_click_view": 4,
+    "join_cross": 4,
+    "join_full_outer": 4,
+    "join_left_outer": 4,
+    "join_range_bands": 4,
+    "join_right_outer": 4,
+    "join_salted_skew": 4,
+    "join_semi": 4,
+    "join_shuffle_hash": 4,
+    "join_theta_ship_after_order": 4,
+    "proj_computed_columns": 4,
+    "sql_exists_subquery": 4,
+    "sql_lateral_topn": 4,
+    "sql_scalar_subquery": 4,
+    "tpch_q10_returned_items": 4,
+    "tpch_q12_late_shipments": 4,
+    "tpch_q13_customer_distribution": 4,
+    "tpch_q14_promo_revenue": 4,
+    "tpch_q15_top_supplier": 4,
+    "tpch_q17_small_quantity_revenue": 4,
+    "tpch_q18_large_volume_customer": 4,
+    "tpch_q19_discounted_revenue": 4,
+    "tpch_q22_idle_customers": 4,
+    "tpch_q4_order_priority": 4,
+    "tpch_q6_forecast_revenue": 4,
+    "tpch_q7_volume_shipping": 4,
+    "tpch_q8_market_share": 4,
+    # --- last sampled in round 5 ---
+    "dedup_clusters": 5,
+    "dedup_embedding_cosine": 5,
+    "dedup_exact": 5,
+    "dedup_exact_keep_first": 5,
+    "dedup_ngram_jaccard": 5,
+    "dedup_simhash": 5,
+    "join_bucketed_colocated": 5,
+    "mm_binary_metadata": 5,
+    "mm_decode_features": 5,
+    "mm_frame_sample": 5,
+    "mm_resize_batch": 5,
+    "pipeline_corpus_curation": 5,
+    "sample_hash_fraction": 5,
+    "sample_stratified_rates": 5,
+    "sink_parquet_clustered": 5,
+    "sink_parquet_partitioned": 5,
+    "sink_upsert_merge": 5,
+    "source_binaryfile": 5,
+    "source_csv_roundtrip": 5,
+    "source_json_roundtrip": 5,
+    "source_orc_roundtrip": 5,
+    "source_text_lines": 5,
+    "split_train_val_test": 5,
+    "sql_cte_text_entry": 5,
+    "text_bpe_token_count": 5,
+    "text_fingerprint": 5,
+    "text_lang_id": 5,
+    "text_langid_eval": 5,
+    "text_pii_redaction": 5,
+    "text_quality_score": 5,
+    "text_shingle_stats": 5,
+    "text_tfidf": 5,
+    "text_tokenize_stats": 5,
+    "udf_apply_in_pandas": 5,
+    "udf_grouped_agg_pandas": 5,
+    "udf_pandas_cosine": 5,
+    "udf_scalar_python": 5,
+    "udf_udtf_words": 5,
+    "vec_cosine_pairs_exact": 5,
+    "vec_knn_query": 5,
+    "vec_norms": 5,
+    # --- last sampled in round 6 ---
+    "agg_boolean_median": 6,
+    "agg_entropy": 6,
+    "agg_histogram_buckets": 6,
+    "agg_histogram_equidepth": 6,
+    "agg_regression": 6,
+    "agg_winsorized_mean": 6,
+    "mm_audio_downsample": 6,
+    "mm_audio_features": 6,
+    "mm_frame_dedup": 6,
+    "mm_video_frame_stats": 6,
+    "sort_global_range": 6,
+    "tpch_q11_important_stock": 6,
+    "tpch_q16_part_supplier_relationship": 6,
+    "tpch_q20_potential_promotion": 6,
+    "tpch_q21_waiting_suppliers": 6,
+    "tpch_q2_min_cost_supplier": 6,
+    "tpch_q9_product_type_profit": 6,
+    "win_nth_value": 6,
+    # --- last sampled in round 7 ---
+    "agg_bitmap_distinct": 7,
+    "agg_mode_deterministic": 7,
+    "dedup_cluster_representatives": 7,
+    "dedup_line_rewrite": 7,
+    "fn_aes_roundtrip": 7,
+    "fn_array_setops": 7,
+    "fn_bitwise": 7,
+    "fn_datetime_extra": 7,
+    "fn_datetime_make": 7,
+    "fn_encode_decode": 7,
+    "fn_json_tuple": 7,
+    "fn_map_explode": 7,
+    "fn_map_higher_order": 7,
+    "fn_null_semantics": 7,
+    "fn_string_extra": 7,
+    "fn_struct_ops": 7,
+    "fn_to_json": 7,
+    "fn_try_arithmetic": 7,
+    "fn_url_parse": 7,
+    "graph_clustering_coefficient": 7,
+    "graph_degree_stats": 7,
+    "graph_triangle_count": 7,
+    "join_fuzzy_name_match": 7,
+    "rag_chunk_overlap": 7,
+    "sample_domain_mixture": 7,
+    "sample_reservoir_per_group": 7,
+    "sink_scd2_dimension": 7,
+    "sink_zorder_layout": 7,
+    "source_parquet_merge_schema": 7,
+    "source_python_datasource": 7,
+    "source_xml_roundtrip": 7,
+    "stat_crosstab": 7,
+    "text_char_entropy": 7,
+    "text_collocations_pmi": 7,
+    "text_gopher_quality_gate": 7,
+    "text_rare_token_ratio": 7,
+    "ts_ewma_per_user": 7,
+    "ts_zscore_anomaly": 7,
+    "udf_apply_in_arrow": 7,
+    "udf_map_in_arrow": 7,
+    "vec_lsh_pairs": 7,
+    "vec_matryoshka_recall": 7,
+    "vec_quantize_int8": 7,
+    "vec_two_stage_rerank": 7,
+    # --- last sampled in round 8 ---
+    "agg_approx_top_k": 8,
+    "agg_generalized_means": 8,
+    "agg_incremental_refresh": 8,
+    "agg_listagg_top_names": 8,
+    "agg_multiple_regression": 8,
+    "agg_weighted_median": 8,
+    "events_ab_test_lift": 8,
+    "events_cumulative_users": 8,
+    "events_dow_hour_heatmap": 8,
+    "events_funnel_windowed": 8,
+    "events_inter_arrival_stats": 8,
+    "events_top_paths": 8,
+    "graph_bipartite_copurchase": 8,
+    "graph_common_neighbors": 8,
+    "join_asof_tolerance": 8,
+    "join_interval_overlap": 8,
+    "join_null_safe_eq": 8,
+    "join_scd2_point_in_time": 8,
+    "mm_image_phash_dedup": 8,
+    "sample_weighted_priority": 8,
+    "setop_union_by_name": 8,
+    "source_avro_container": 8,
+    "sql_cache_table": 8,
+    "sql_distribute_sort_by": 8,
+    "sql_not_in_null_aware": 8,
+    "sql_order_by_all": 8,
+    "sql_pivot_clause": 8,
+    "sql_unpivot_clause": 8,
+    "stat_bootstrap_poisson_ci": 8,
+    "stat_chi2_independence": 8,
+    "stat_ks_test": 8,
+    "stat_welch_ttest": 8,
+    "stream_dynamic_session_window": 8,
+    "text_keyword_topk": 8,
+    "text_length_gini": 8,
+    "text_ngram_topk": 8,
+    "text_readability": 8,
+    "text_zipf_fit": 8,
+    "ts_autocorrelation": 8,
+    "ts_cusum_drift": 8,
+    "ts_hampel_outliers": 8,
+    "ts_holt_linear": 8,
+    "ts_linear_interpolate": 8,
+    "ts_mad_anomaly": 8,
+    "ts_max_drawdown": 8,
+    "ts_rolling_median": 8,
+    "ts_seasonal_baseline": 8,
+    "vec_hamming_topk": 8,
+    "vec_pair_distance_histogram": 8,
+    "win_time_range_frame": 8,
+    # --- last sampled in round 9 ---
+    "cdc_snapshot_diff": 9,
+    "dedup_minhash_banded": 9,
+    "dq_expectations": 9,
+    "dq_k_anonymity": 9,
+    "events_survival_km": 9,
+    "fn_array": 9,
+    "fn_json_from_json": 9,
+    "fn_map": 9,
+    "fn_math": 9,
+    "graph_kcore_peel_rounds": 9,
+    "graph_labelprop_min_rounds": 9,
+    "graph_pagerank_fixed_point": 9,
+    "mba_association_rules": 9,
+    "mm_audio_vad_segments": 9,
+    "mm_image_histogram_dedup": 9,
+    "pareto_frontier_parts": 9,
+    "profile_table_columns": 9,
+    "sample_weighted_reservoir": 9,
+    "sketch_bottomk_verified": 9,
+    "sketch_cms_verified": 9,
+    "sketch_hll_verified": 9,
+    "source_time_travel": 9,
+    "stat_benford_law": 9,
+    "stat_cuped_adjusted": 9,
+    "stat_diff_in_diff": 9,
+    "stat_mannwhitney_u": 9,
+    "stat_psi_drift": 9,
+    "stat_qq_deciles": 9,
+    "stat_theil_sen_trend": 9,
+    "ts_snaive_backtest": 9,
+    # --- last sampled in round 10 ---
+    "ml_als_fixed_point": 10,
+    "ml_kmeans_fixed_point": 10,
+    "vec_ivf_verified": 10,
+    "vec_mmr_fixed_steps": 10,
+    "vec_pq_adc_verified": 10,
+    # --- last sampled in round 11 ---
+    "agg_observe_metrics": 11,
+    "dedup_contamination_check": 11,
+    "dedup_incremental_batch": 11,
+    "dedup_span_rewrite": 11,
+    "dedup_url_canonical": 11,
+    "events_activity_streaks": 11,
+    "events_attribution_last_touch": 11,
+    "events_cohort_retention": 11,
+    "events_dau_wau_mau": 11,
+    "events_funnel_conversion": 11,
+    "events_markov_transitions": 11,
+    "events_pattern_regex": 11,
+    "events_rfm_segmentation": 11,
+    "events_sessionize_batch": 11,
+    "events_time_to_convert": 11,
+    "fn_collation_lcase": 11,
+    "fn_lateral_column_alias": 11,
+    "fn_variant_json": 11,
+    "join_runtime_bloom_filter": 11,
+    "pack_sequences_chunks": 11,
+    "pipeline_filter_funnel": 11,
+    "pipeline_pretraining_batch": 11,
+    "replication_batch_roundtrip": 11,
+    "replication_dlq_routing": 11,
+    "replication_evolved_consumer": 11,
+    "replication_stream_roundtrip": 11,
+    "sample_language_temperature": 11,
+    "sample_token_budget": 11,
+    "shuffle_shard_assign": 11,
+    "sql_group_by_all_offset": 11,
+    "sql_language_udf": 11,
+    "sql_parameterized_identifier": 11,
+    "sql_pipe_syntax": 11,
+    "sql_recursive_month_series": 11,
+    "sql_session_variables": 11,
+    "stream_dedup_keyed": 11,
+    "stream_session_window": 11,
+    "stream_sliding_window": 11,
+    "stream_tumbling_window": 11,
+    "text_boilerplate_coverage": 11,
+    "text_bpe_encode_verified": 11,
+    "text_lm_perplexity": 11,
+    "text_repetition_metrics": 11,
+    "tpch_q3_shipping_priority": 11,
+    "ts_resample_gapfill": 11,
+    "ts_rollup_hierarchy": 11,
+    "udf_udtf_table_arg": 11,
+    "vec_ann_recall_verified": 11,
+    "vec_label_centroid_classify": 11,
+    "vec_random_projection": 11,
+}
+_DRIVER_SAMPLED = frozenset(_LAST_SAMPLED_ROUND)
 _FAMILY_ORDER = (
     "replication_pipeline",
     "llm_curation",
@@ -257,13 +459,17 @@ def _presentation_order(registry: "dict[str, Query]") -> "dict[str, Query]":
     def key(item: "tuple[str, Query]"):
         name, q = item
         family = q.fn.__module__.removeprefix(prefix)
+        # defer-sample additions sort to the very back (they must not
+        # displace anything until their tag is dropped next round);
+        # sampled queries rotate stalest-first; never-sampled lead.
+        last_round = (
+            999 if "defer-sample" in q.tags
+            else _LAST_SAMPLED_ROUND.get(name, 0)
+        )
         return (
             q.oracle is None,  # oracle-bearing first
-            # Backlog first: oracle queries that already have a driver
-            # CORRECTNESS row (union r1-r6) sort after the never-sampled
-            # set, as do brand-new additions tagged "defer-sample"
-            # (they must not displace the backlog from the 50-row window).
             name in _DRIVER_SAMPLED or "defer-sample" in q.tags,
+            last_round,
             family_rank.get(family, len(family_rank)),
             reg_index[name],
         )

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from avro_topic_replication_spark.queries import (
     _DRIVER_SAMPLED,
+    _LAST_SAMPLED_ROUND,
     all_queries,
 )
 
@@ -31,6 +32,26 @@ def test_sample_window_drains_the_backlog():
     for n in window:
         assert reg[n].oracle is not None, f"rows-only query in window: {n}"
         assert n not in _DRIVER_SAMPLED, f"already-sampled query in window: {n}"
+
+
+def test_resamples_rotate_stalest_first():
+    """With the backlog drained (r11: 307/307 oracle-bearing queries
+    driver-green), each round's 50-row window must re-verify the STALEST
+    rows — the window's newest last-sampled round may not exceed the
+    oldest last-sampled round outside it (defer-tagged additions excepted;
+    they sort to the back until their tag drops)."""
+    reg = all_queries()
+    oracle = [
+        n for n, q in reg.items()
+        if q.oracle is not None and "defer-sample" not in q.tags
+    ]
+    in_window = oracle[:WINDOW]
+    rest = oracle[WINDOW:]
+    if not rest:
+        return
+    newest_in = max(_LAST_SAMPLED_ROUND.get(n, 0) for n in in_window)
+    oldest_out = min(_LAST_SAMPLED_ROUND.get(n, 0) for n in rest)
+    assert newest_in <= oldest_out, (newest_in, oldest_out)
 
 
 def test_driver_sampled_names_exist():
