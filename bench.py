@@ -153,15 +153,28 @@ def _isolated_parent(names: "list[str]") -> int:
 
 
 def _load_prev_run(script_dir: str, sf: "float | None") -> "dict | None":
-    """The most recent same-sf per-query timing map to drift against:
-    the last BENCH_HISTORY.json run, else the prior round's
-    BENCH_FULL.json (seeds the history the first time this runs)."""
+    """The same-sf per-query baseline to drift against: the PER-QUERY
+    MEDIAN over the last (up to) 5 BENCH_HISTORY.json runs, else the
+    prior round's BENCH_FULL.json (seeds the history the first time).
+
+    A single-run baseline ping-pongs: sub-2s min-of-3 timings still swing
+    ~2x across runs on identical code (r12 measured 69 flags against the
+    single r11 run, most of them r11's own flags mirrored back as
+    "improvements"). A short median absorbs one outlier run in either
+    direction while a real plan regression — which persists — still
+    drifts every subsequent run against it."""
     hist_path = os.path.join(script_dir, "BENCH_HISTORY.json")
     try:
         runs = json.load(open(hist_path)).get("runs", [])
-        for r in reversed(runs):
-            if r.get("sf") == sf and r.get("queries"):
-                return r["queries"]
+        recent = [r["queries"] for r in runs
+                  if r.get("sf") == sf and r.get("queries")][-5:]
+        if recent:
+            names = set().union(*recent)
+            return {
+                n: round(statistics.median(
+                    [q[n] for q in recent if n in q]), 4)
+                for n in names
+            }
     except Exception:
         pass
     try:
@@ -193,9 +206,70 @@ def _control_factor(prev: "dict | None",
     return round(statistics.median(ratios), 4)
 
 
+# Physical-plan markers of the Python/Arrow worker path. PLANS.md r11
+# measured container weather hitting the two execution paths UNEQUALLY:
+# every big raw regression that round was an Arrow/Python-worker query
+# (3-3.8x) while JVM codegen queries held or improved — one suite-wide
+# median can't normalize a path-specific slowdown, so each path gets its
+# own control cohort.
+_PY_PLAN_MARKERS = (
+    "EvalPython",       # BatchEvalPython / ArrowEvalPython (scalar UDFs)
+    "InPandas",         # MapInPandas / FlatMapGroupsInPandas / CoGroup
+    "InArrow",          # PythonMapInArrow / FlatMapGroupsInArrow
+    "AggregatePython",  # ArrowAggregatePython (pandas grouped-agg, Spark 4)
+    "(Python)",         # BatchScan <name>[...] (Python) — Python datasource
+)
+# Nodes that mean "the work happened BEFORE this plan" (localCheckpoint
+# in an iterative JVM loop, or rows materialized Python-side and handed
+# to createDataFrame) — the final plan is silent about which path did
+# that work, so classification falls back to the query's tags.
+_PY_ORIGIN_MARKERS = ("ExistingRDD", "MapPartitions")
+_PY_FALLBACK_TAGS = frozenset(
+    ("udf", "multimodal", "avro", "replication", "scoring", "ml", "live")
+)
+
+
+def _query_path(df, tags: "tuple[str, ...]") -> str:
+    """Classify one query's dominant execution path: "py" if its physical
+    plan crosses the Python/Arrow worker boundary (or it is a live
+    streaming query, whose real work — often applyInPandasWithState —
+    happens in a separate streaming plan the returned batch result does
+    not expose), else "jvm". Plans that only show pre-materialized input
+    (ExistingRDD from a localCheckpointed JVM loop vs. a Python-built
+    result look identical) defer to the query's tags."""
+    if "live" in tags:
+        return "py"
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return "jvm"
+    if any(m in plan for m in _PY_PLAN_MARKERS):
+        return "py"
+    if any(m in plan for m in _PY_ORIGIN_MARKERS):
+        return "py" if _PY_FALLBACK_TAGS.intersection(tags) else "jvm"
+    return "jvm"
+
+
+def _control_factors(prev: "dict | None", timings: "dict[str, float]",
+                     paths: "dict[str, str] | None") -> "dict":
+    """Container-weather medians per execution-path cohort, with the
+    suite-wide median as both the "all" entry and the fallback for a
+    cohort too small to call (<10 shared >=0.3s queries)."""
+    allf = _control_factor(prev, timings)
+    out = {"all": allf, "py": allf, "jvm": allf}
+    for cohort in ("py", "jvm"):
+        sub = {n: t for n, t in timings.items()
+               if (paths or {}).get(n) == cohort}
+        f = _control_factor(prev, sub)
+        if f is not None:
+            out[cohort] = f
+    return out
+
+
 def _record_history(script_dir: str, sf: "float | None",
                     timings: "dict[str, float]",
-                    control_factor: "float | None" = None) -> None:
+                    control_factor: "float | dict | None" = None,
+                    paths: "dict[str, str] | None" = None) -> None:
     """Append this run to BENCH_HISTORY.json. The last 12 runs PER SF are
     kept (a global cap would let interleaved other-sf runs evict every
     same-sf baseline and silently no-op the drift check — ADVICE r10)."""
@@ -206,13 +280,16 @@ def _record_history(script_dir: str, sf: "float | None",
         hist.setdefault("runs", [])
     except Exception:
         pass
-    hist["runs"].append({
+    run: dict = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "sf": sf,
         "total": round(sum(timings.values()), 4),
         "control_factor": control_factor,
         "queries": timings,
-    })
+    }
+    if paths:
+        run["paths"] = paths
+    hist["runs"].append(run)
     keep: list = []
     seen_per_sf: dict = {}
     for r in reversed(hist["runs"]):
@@ -226,7 +303,8 @@ def _record_history(script_dir: str, sf: "float | None",
 
 
 def _drift_check(prev: "dict | None", timings: "dict[str, float]",
-                 script_dir: str, sf: "float | None") -> "dict":
+                 script_dir: str, sf: "float | None",
+                 paths: "dict[str, str] | None" = None) -> "dict":
     """Flag >1.5x in-suite moves vs the previous same-sf run and re-check
     the regressions under the isolated fresh-JVM min-of-3 protocol, so
     suite-context noise (GC state, accumulated broadcasts, run order) is
@@ -247,18 +325,33 @@ def _drift_check(prev: "dict | None", timings: "dict[str, float]",
     run's container-weather median (``_control_factor``) before the 1.5x
     test, so a uniformly 1.2x-slow host doesn't burn recheck budget on
     phantom regressions (r10: the whole shuffle-heavy head read 15-25%
-    slow while controls held). Raw ratios are recorded alongside."""
-    cf = _control_factor(prev, timings)
+    slow while controls held). Normalization is PER EXECUTION-PATH
+    COHORT when ``paths`` is given (PLANS.md r11: one container ran the
+    Python-worker path ~1.7x slow while JVM codegen held — the suite
+    median mis-flagged byte-identical Arrow queries as "real"). Raw
+    ratios are recorded alongside."""
+    cfs = _control_factors(prev, timings, paths)
     flagged: list[dict] = []
     for name, now in timings.items():
         old = (prev or {}).get(name)
         if old is None:
             continue
+        path = (paths or {}).get(name, "all")
+        cf = cfs.get(path) or cfs["all"]
         adj = old * (cf if cf else 1.0)
         hi, lo = max(now, adj), min(now, adj)
-        if lo > 0 and hi / lo > 1.5 and hi >= 0.5:
+        # Size-tiered threshold: >=2s queries are run-to-run stable to
+        # ~1.2x, so 1.5x is signal there; sub-2s min-of-3 timings swing
+        # ~2x two-sided on identical code (r10 measured 4x tails; r12: a
+        # flat 1.5x flagged 69 queries, nearly all last round's flags
+        # mirrored back), so small queries only flag past 2.5x.
+        if lo > 0 and (
+            (hi >= 2.0 and hi / lo > 1.5)
+            or (hi >= 0.5 and hi / lo > 2.5)
+        ):
             flagged.append({
                 "name": name, "prev": old, "now": now,
+                "path": path,
                 "ratio": round(now / old, 2),
                 "ratio_normalized": round(now / adj, 2),
                 "direction": "regression" if now > adj else "improvement",
@@ -309,8 +402,9 @@ def _drift_check(prev: "dict | None", timings: "dict[str, float]",
             print(f"drift recheck {d['name']}: in-suite {d['prev']}->"
                   f"{d['now']}, isolated min3 = {t} vs prior {base} "
                   f"({d.get('verdict', 'n/a')})", file=sys.stderr)
-    report = {"sf": sf, "threshold": 1.5, "min_sec": 0.5,
-              "control_factor": cf,
+    report = {"sf": sf, "threshold": 1.5, "min_sec": 2.0,
+              "small_threshold": 2.5, "small_min_sec": 0.5,
+              "control_factor": cfs["all"], "control_factors": cfs,
               "compared_against_prev_run": prev is not None,
               "flagged": flagged, "rechecked": rechecked}
     with open(os.path.join(script_dir, "BENCH_DRIFT.json"), "w") as f:
@@ -334,11 +428,16 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     _warm(spark, sf_dir)
 
+    paths: dict[str, str] = {}
+
     def run_once(q) -> float:
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 4)
+        sec = round(time.perf_counter() - t0, 4)
+        if q.name not in paths:  # classification is outside the timing
+            paths[q.name] = _query_path(df, q.tags)
+        return sec
 
     queries = {n: q for n, q in sorted(all_queries().items()) if "bench_skip" not in q.tags}
     timings: dict[str, float] = {}
@@ -372,7 +471,7 @@ def main() -> int:
     # code (measured r10 — median run-over-run ratio 1.07 with two-sided
     # 4x tails), so a noisy sample is re-measured in place instead of
     # being recorded and flagged as drift.
-    _cf = _control_factor(prev_run, timings) or 1.0
+    _cfs = _control_factors(prev_run, timings, paths)
     retry = [
         name
         for name, t in timings.items()
@@ -382,7 +481,8 @@ def main() -> int:
             and prev_run is not None
             and name in prev_run
             and prev_run[name] > 0
-            and t > 1.5 * prev_run[name] * _cf
+            and t > 1.5 * prev_run[name]
+            * (_cfs.get(paths.get(name, "all")) or _cfs["all"] or 1.0)
         )
     ]
     for name in sorted(retry, key=lambda n: -timings[n]):
@@ -405,7 +505,8 @@ def main() -> int:
         "failures": {k: v[:80] for k, v in list(failures.items())[:5]},
         "queries": slowest,
     }
-    full = {**result, "queries": timings, "failures": failures}
+    full = {**result, "queries": timings, "failures": failures,
+            "paths": paths}
     with open(os.path.join(script_dir, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     gateway = getattr(getattr(spark, "_sc", None), "_gateway", None)
@@ -425,8 +526,9 @@ def main() -> int:
                     proc.kill()
     except Exception:
         pass
-    drift = _drift_check(prev_run, timings, script_dir, sf)
-    _record_history(script_dir, sf, timings, drift.get("control_factor"))
+    drift = _drift_check(prev_run, timings, script_dir, sf, paths)
+    _record_history(script_dir, sf, timings,
+                    drift.get("control_factors"), paths)
     result["drift_flagged"] = len(drift["flagged"])
     result["drift_rechecked"] = drift["rechecked"]
     line = json.dumps(result)

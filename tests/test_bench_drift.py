@@ -44,6 +44,20 @@ def test_prev_run_prefers_history_then_bench_full(bench, tmp_path, no_recheck):
     assert bench._load_prev_run(d, 0.1) == {"a": 2.0}
 
 
+def test_prev_run_is_median_of_recent_history(bench, tmp_path):
+    """The drift baseline is the per-query median over the last 5 same-sf
+    runs — one outlier run (fast OR slow) must not move it (r12: a
+    single-run baseline mirrored every noisy flag back the next round).
+    Queries present in only some runs take the median of their runs."""
+    d = str(tmp_path)
+    for v in [1.0, 1.0, 9.0, 1.0, 1.0]:  # one 9x outlier run
+        bench._record_history(d, 0.1, {"a": v})
+    bench._record_history(d, 0.1, {"a": 1.0, "b": 3.0})  # b: one run only
+    base = bench._load_prev_run(d, 0.1)
+    assert base["a"] == 1.0  # median over (9,1,1,1... last5) ignores outlier
+    assert base["b"] == 3.0
+
+
 def test_history_caps_at_12_runs(bench, tmp_path):
     d = str(tmp_path)
     for i in range(15):
@@ -55,14 +69,19 @@ def test_history_caps_at_12_runs(bench, tmp_path):
 
 def test_drift_flag_rule(bench, tmp_path, no_recheck):
     d = str(tmp_path)
-    prev = {"reg": 1.0, "imp": 2.0, "tiny": 0.1, "steady": 1.0}
-    now = {"reg": 1.8, "imp": 0.9, "tiny": 0.3, "steady": 1.2, "new": 9.0}
+    prev = {"reg": 2.0, "imp": 2.0, "small_reg": 0.6, "small_noise": 1.0,
+            "tiny": 0.1, "steady": 1.0}
+    now = {"reg": 3.8, "imp": 0.9, "small_reg": 1.8, "small_noise": 1.8,
+           "tiny": 0.3, "steady": 1.2, "new": 9.0}
     rep = bench._drift_check(prev, now, d, 0.1)
     by = {f["name"]: f for f in rep["flagged"]}
-    # >1.5x both directions flag; sub-0.5s and steady and no-prev don't
-    assert set(by) == {"reg", "imp"}
+    # size-tiered: >=2s flags at 1.5x both directions; sub-2s needs 2.5x
+    # (small_reg 3.0x flags, small_noise 1.8x is within sub-2s noise);
+    # sub-0.5s and steady and no-prev never flag
+    assert set(by) == {"reg", "imp", "small_reg"}
     assert by["reg"]["direction"] == "regression"
     assert by["imp"]["direction"] == "improvement"
+    assert by["small_reg"]["direction"] == "regression"
     assert os.path.exists(os.path.join(d, "BENCH_DRIFT.json"))
 
 
@@ -123,8 +142,9 @@ def test_history_caps_per_sf_not_globally(bench, tmp_path):
     runs = json.load(open(os.path.join(d, "BENCH_HISTORY.json")))["runs"]
     assert sum(1 for r in runs if r["sf"] == 0.1) == 10
     assert sum(1 for r in runs if r["sf"] == 0.01) == 10
-    assert bench._load_prev_run(d, 0.1) == {"a": 9.0}
-    assert bench._load_prev_run(d, 0.01) == {"a": 0.9}
+    # baseline = per-query median over the last 5 same-sf runs (5..9 -> 7)
+    assert bench._load_prev_run(d, 0.1) == {"a": 7.0}
+    assert bench._load_prev_run(d, 0.01) == {"a": 0.7}
     for i in range(15):
         bench._record_history(d, 0.1, {"a": 100.0 + i})
     runs = json.load(open(os.path.join(d, "BENCH_HISTORY.json")))["runs"]
@@ -147,6 +167,41 @@ def test_control_factor_normalizes_flags(bench, tmp_path, no_recheck):
     assert f["direction"] == "regression"
     assert f["ratio"] == 3.5
     assert f["ratio_normalized"] == 1.75
+
+
+def test_cohort_control_factors_separate_python_from_jvm(bench, tmp_path, no_recheck):
+    """PLANS.md r11: one container ran the Python-worker path ~1.7x slow
+    while JVM codegen held — the suite median mis-flagged byte-identical
+    Arrow queries. With per-path cohorts, a uniform py-path slowdown
+    flags NOTHING in the py cohort, a jvm query that moved beyond its own
+    cohort's weather still flags, and the report carries both factors."""
+    prev, now, paths = {}, {}, {}
+    for i in range(12):
+        prev[f"py{i}"], now[f"py{i}"], paths[f"py{i}"] = 1.0, 1.7, "py"
+        prev[f"jvm{i}"], now[f"jvm{i}"], paths[f"jvm{i}"] = 1.0, 1.0, "jvm"
+    now["jvm0"] = 2.0  # real move: 2.0 vs jvm cohort factor 1.0
+    cfs = bench._control_factors(prev, now, paths)
+    assert cfs["py"] == 1.7 and cfs["jvm"] == 1.0
+    rep = bench._drift_check(prev, now, str(tmp_path), 0.1, paths)
+    assert rep["control_factors"]["py"] == 1.7
+    (f,) = rep["flagged"]
+    assert f["name"] == "jvm0" and f["path"] == "jvm"
+    # without cohorts the same data flags every py query as improvement-
+    # vs-weather or misses jvm0 (suite median sits between the paths)
+    rep_flat = bench._drift_check(prev, now, str(tmp_path), 0.1, None)
+    assert len(rep_flat["flagged"]) != 1
+
+
+def test_cohort_factor_falls_back_to_suite_median(bench):
+    """A cohort with <10 shared >=0.3s queries cannot call its own
+    weather — it inherits the suite-wide median."""
+    prev = {f"q{i}": 1.0 for i in range(14)}
+    now = {f"q{i}": 2.0 for i in range(14)}
+    paths = {f"q{i}": ("py" if i < 3 else "jvm") for i in range(14)}
+    cfs = bench._control_factors(prev, now, paths)
+    assert cfs["all"] == 2.0
+    assert cfs["py"] == 2.0  # fallback: only 3 py samples
+    assert cfs["jvm"] == 2.0  # own cohort (11 samples) agrees here
 
 
 def test_control_factor_needs_enough_samples(bench):
