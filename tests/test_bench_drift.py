@@ -1,9 +1,12 @@
-"""Unit tests for bench.py's cross-round drift tracking (r10): history
-persistence, previous-run resolution (history first, then the prior
-BENCH_FULL.json as the seeding fallback), the >1.5x/>=0.5s flag rule,
-and the isolated-to-isolated verdict baseline. No Spark involved — the
-recheck subprocess path is disabled via SPARK_GRAFT_BENCH_NO_RECHECK so
-the tests run in milliseconds."""
+"""Unit tests for bench.py's cross-round drift tracking (r10-r12):
+history persistence, median-of-history baseline resolution (then the
+prior BENCH_FULL.json as the seeding fallback), the size-tiered flag
+rule, per-path-cohort control factors, and the isolated-to-isolated
+verdict baseline. Spark-free except the final plan-marker classification
+test (which pins the physical node names `_query_path` greps for, so a
+Spark upgrade renaming them fails loudly here instead of silently
+merging the cohorts) — the recheck subprocess path is disabled via
+SPARK_GRAFT_BENCH_NO_RECHECK so the rest runs in milliseconds."""
 
 from __future__ import annotations
 
@@ -296,3 +299,48 @@ def test_isolated_min3_deadline_bounds_children(bench, monkeypatch):
     assert len(seen) == 3 and all(0 < s <= 60 for s in seen)
     t, err = bench._isolated_min3("q", deadline=_time.monotonic() - 1)
     assert t is None and "budget exhausted" in err
+
+
+def test_query_path_classification_markers(bench, spark):
+    """Pin the physical-plan node names the py/jvm cohort classifier
+    greps for against a live Spark session: a Spark upgrade that renames
+    ArrowEvalPython / MapInPandas / etc. must fail here loudly, not
+    silently classify every query jvm and merge the weather cohorts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    base = spark.range(100).select(F.col("id").cast("double").alias("x"))
+
+    # pure JVM codegen
+    assert bench._query_path(base.groupBy().sum("x"), ()) == "jvm"
+
+    # scalar pandas UDF -> ArrowEvalPython
+    double_it = pandas_udf(lambda s: s * 2.0, "double")
+    assert bench._query_path(base.select(double_it("x")), ()) == "py"
+
+    # mapInPandas -> MapInPandas
+    def ident(it):
+        yield from it
+
+    assert bench._query_path(base.mapInPandas(ident, "x double"), ()) == "py"
+
+    # grouped-agg pandas UDF -> ArrowAggregatePython (Spark 4 name)
+    from pyspark.sql.functions import PandasUDFType
+
+    mean_udf = pandas_udf(lambda s: float(s.mean()), "double",
+                          PandasUDFType.GROUPED_AGG)
+    grouped = base.withColumn("g", F.col("x") % 2).groupBy("g").agg(
+        mean_udf("x")
+    )
+    assert bench._query_path(grouped, ()) == "py"
+
+    # pre-materialized input -> Scan ExistingRDD (a localCheckpointed
+    # JVM loop and a Python-built result are string-identical here):
+    # ambiguous, tags decide
+    ck = base.limit(5).localCheckpoint()
+    assert "ExistingRDD" in ck._jdf.queryExecution().executedPlan().toString()
+    assert bench._query_path(ck, ("ml",)) == "py"
+    assert bench._query_path(ck, ("graph", "iterative")) == "jvm"
+
+    # live streaming queries classify py regardless of the batch plan
+    assert bench._query_path(base, ("live",)) == "py"
