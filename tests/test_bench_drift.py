@@ -239,6 +239,37 @@ def test_isolated_min3_discards_partial_runs(bench, monkeypatch):
     assert len(calls) == 2
 
 
+def test_no_baseline_recheck_seeds_the_baseline(bench, tmp_path, monkeypatch):
+    """A recheck that renders no-isolated-baseline just paid for a
+    protocol-valid min-of-3 — it must be persisted into
+    BENCH_ISOLATED.json so the next flag on that query concludes."""
+    d = str(tmp_path)
+    json.dump(
+        {"sf": 0.1, "queries": {"other": 5.0}, "failures": {"q": "old"}},
+        open(os.path.join(d, "BENCH_ISOLATED.json"), "w"),
+    )
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_NO_RECHECK", raising=False)
+    monkeypatch.setattr(bench, "_isolated_min3", lambda n, deadline=None: (6.0, None))
+    rep = bench._drift_check({"q": 2.0}, {"q": 4.0}, d, 0.1)
+    (f,) = rep["flagged"]
+    assert f["verdict"] == "no-isolated-baseline"
+    iso = json.load(open(os.path.join(d, "BENCH_ISOLATED.json")))
+    assert iso["queries"] == {"other": 5.0, "q": 6.0}
+    assert iso["failures"] == {}  # a valid min supersedes a prior failure
+    # second flag on the same query now concludes against the seeded value
+    rep2 = bench._drift_check({"q": 2.0}, {"q": 4.0}, d, 0.1)
+    (f2,) = rep2["flagged"]
+    assert f2["verdict"] == "isolated-stable"
+    # a different-sf baseline file is never clobbered
+    json.dump(
+        {"sf": 0.01, "queries": {"w": 1.0}},
+        open(os.path.join(d, "BENCH_ISOLATED.json"), "w"),
+    )
+    bench._drift_check({"q": 2.0}, {"q": 4.0}, d, 0.1)
+    iso = json.load(open(os.path.join(d, "BENCH_ISOLATED.json")))
+    assert iso == {"sf": 0.01, "queries": {"w": 1.0}}
+
+
 def test_count_cap_regressions_get_explicit_disposition(bench, tmp_path, monkeypatch):
     """Regressions ranked 5+ by the severity sort never enter the recheck
     loop (count cap 4); they must still carry an explicit disposition
