@@ -461,14 +461,17 @@ def _presentation_order(registry: "dict[str, Query]") -> "dict[str, Query]":
         family = q.fn.__module__.removeprefix(prefix)
         # defer-sample additions sort to the very back (they must not
         # displace anything until their tag is dropped next round);
-        # sampled queries rotate stalest-first; never-sampled lead.
+        # sampled queries rotate stalest-first; never-sampled lead
+        # (last_round 0 — which is also exactly the "unsampled,
+        # non-deferred" set, so last_round alone orders all three
+        # classes and no separate boolean key can drift out of sync
+        # with it).
         last_round = (
             999 if "defer-sample" in q.tags
             else _LAST_SAMPLED_ROUND.get(name, 0)
         )
         return (
             q.oracle is None,  # oracle-bearing first
-            name in _DRIVER_SAMPLED or "defer-sample" in q.tags,
             last_round,
             family_rank.get(family, len(family_rank)),
             reg_index[name],

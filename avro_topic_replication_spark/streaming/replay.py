@@ -141,11 +141,17 @@ def _live_tags() -> "set[str]":
     return live
 
 
-def _newest_mtime(path: str) -> float:
+def _newest_mtime(path: str, warm_cutoff: "float | None" = None) -> float:
     """Newest mtime anywhere under ``path`` (the path itself included).
     An ACTIVE streaming checkpoint keeps writing offsets/commits files,
     so its newest mtime tracks "now" — this is the liveness signal the
-    ephemeral sweep uses to spare a concurrent session's dirs."""
+    ephemeral sweep uses to spare a concurrent session's dirs.
+
+    With ``warm_cutoff``, returns as soon as any stat proves the dir
+    warm (>= cutoff): the sweep only needs the boolean, and a live
+    checkpoint's newest files make the early exit near-immediate, so
+    session start doesn't fully walk every warm dir's offsets/commits
+    tree."""
     newest = 0.0
     for root, _dirs, files in os.walk(path):
         for p in (root, *(os.path.join(root, f) for f in files)):
@@ -153,6 +159,8 @@ def _newest_mtime(path: str) -> float:
                 newest = max(newest, os.stat(p).st_mtime)
             except OSError:
                 pass
+            if warm_cutoff is not None and newest >= warm_cutoff:
+                return newest
     return newest
 
 
@@ -209,12 +217,21 @@ def gc_scratch(ephemeral_ttl_s: "float | None" = None) -> int:
             continue
         for tag in os.listdir(subdir):
             full = os.path.join(subdir, tag)
-            ephemeral = sub in _EPHEMERAL_SUBDIRS
-            stale = tag_shape.search(tag) and tag not in live
-            if (tag.startswith("tmp_") or ephemeral) and not stale:
-                if _newest_mtime(full) >= cutoff:
-                    continue  # warm: possibly another session's live dir
-            if tag.startswith("tmp_") or stale or ephemeral:
+            if tag.startswith("tmp_") or sub in _EPHEMERAL_SUBDIRS:
+                # Staleness can never vouch for these: tmp_ tags never
+                # register a manifest (so they'd always read as stale),
+                # and ephemeral children are run-id-named. Liveness is
+                # mtime only — spare anything warm, a concurrent
+                # session may be mid-stream on it.
+                if _newest_mtime(full, cutoff) >= cutoff:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+            elif tag_shape.search(tag) and tag not in live:
+                # Stranded persistent-root cache: its manifest no longer
+                # recomputes to the live source fingerprint. A live
+                # fixture recomputes to the LIVE tag, so this is safe
+                # concurrently and needs no TTL.
                 shutil.rmtree(full, ignore_errors=True)
                 removed += 1
     return removed

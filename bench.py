@@ -119,35 +119,8 @@ def _isolated_parent(names: "list[str]") -> int:
         if t is not None:
             timings[name] = t
             print(f"isolated {name}: min = {t}", file=sys.stderr)
-    out_path = os.path.join(os.path.dirname(script), "BENCH_ISOLATED.json")
-    # merge with prior runs (same sf) so chunked invocations accumulate.
-    # A query run THIS invocation fully supersedes its prior entry in BOTH
-    # maps — otherwise a now-green query keeps a phantom prior failure, and
-    # a now-failing query keeps its stale timing counted in the total.
-    if os.path.exists(out_path):
-        try:
-            prior = json.load(open(out_path))
-            if prior.get("sf") == sf:
-                ran = set(names)
-                prior_t = {k: v for k, v in prior.get("queries", {}).items()
-                           if k not in ran}
-                prior_f = {k: v for k, v in prior.get("failures", {}).items()
-                           if k not in ran}
-                timings = {**prior_t, **timings}
-                failures = {**prior_f, **failures}
-        except Exception:
-            pass
-    result = {
-        "metric": "isolated_min_of_3",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
-        "sf": sf,
-        "n_queries": len(timings),
-        "failures": failures,
-        "queries": timings,
-    }
-    with open(out_path, "w") as f:
-        json.dump(result, f, indent=1, sort_keys=True)
+    result = _write_isolated(os.path.dirname(script), sf, timings, failures,
+                             clobber_other_sf=True)
     print(json.dumps(result))
     return 0 if not failures else 1
 
@@ -284,9 +257,16 @@ def _record_history(script_dir: str, sf: "float | None",
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "sf": sf,
         "total": round(sum(timings.values()), 4),
-        "control_factor": control_factor,
+        # 'control_factor' stays a FLOAT across the whole file (older
+        # entries predate cohort factors); the per-cohort map gets its
+        # own plural key, mirroring BENCH_DRIFT.json.
+        "control_factor": (control_factor.get("all")
+                           if isinstance(control_factor, dict)
+                           else control_factor),
         "queries": timings,
     }
+    if isinstance(control_factor, dict):
+        run["control_factors"] = control_factor
     if paths:
         run["paths"] = paths
     hist["runs"].append(run)
@@ -302,30 +282,47 @@ def _record_history(script_dir: str, sf: "float | None",
         json.dump(hist, f, indent=1, sort_keys=True)
 
 
-def _merge_isolated_baseline(script_dir: str, sf: "float | None",
-                             name: str, t: float) -> None:
-    """Record one protocol-valid isolated min-of-3 into
-    BENCH_ISOLATED.json without disturbing the other entries (or the
-    file's sf, if it tracks a different scale factor)."""
+def _write_isolated(script_dir: str, sf: "float | None",
+                    timings: "dict[str, float]",
+                    failures: "dict[str, str]", *,
+                    clobber_other_sf: bool) -> "dict | None":
+    """Merge (timings, failures) into BENCH_ISOLATED.json for ``sf`` —
+    the ONE writer of that file (--isolated re-baselining and the
+    drift-recheck seeding both go through here, so the supersede/totals
+    rules can't diverge). An entry run this invocation fully supersedes
+    its prior entry in BOTH maps: a now-green query must not keep a
+    phantom prior failure, a now-failing one must not keep a stale
+    timing in the total. A prior file tracking a DIFFERENT sf is
+    replaced whole only under ``clobber_other_sf`` (explicit --isolated
+    re-baselining at a new scale factor); the recheck-seeding path
+    passes False so it can never destroy another sf's baselines.
+    Returns the written dict, or None if the write was refused."""
     path = os.path.join(script_dir, "BENCH_ISOLATED.json")
-    data: dict = {"metric": "isolated_min_of_3", "unit": "sec", "sf": sf,
-                  "failures": {}, "queries": {}}
+    prior = None
     try:
         prior = json.load(open(path))
     except Exception:
-        prior = None
-    if prior is not None:
-        if prior.get("sf") != sf:
-            return  # don't clobber a different-sf baseline file
-        data = prior
-        data.setdefault("queries", {})
-        data.setdefault("failures", {})
-    data["queries"][name] = t
-    data["failures"].pop(name, None)
-    data["value"] = round(sum(data["queries"].values()), 4)
-    data["n_queries"] = len(data["queries"])
+        pass
+    if prior is not None and prior.get("sf") == sf:
+        ran = set(timings) | set(failures)
+        timings = {**{k: v for k, v in prior.get("queries", {}).items()
+                      if k not in ran}, **timings}
+        failures = {**{k: v for k, v in prior.get("failures", {}).items()
+                       if k not in ran}, **failures}
+    elif prior is not None and not clobber_other_sf:
+        return None
+    result = {
+        "metric": "isolated_min_of_3",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "failures": failures,
+        "queries": timings,
+    }
     with open(path, "w") as f:
-        json.dump(data, f, indent=1, sort_keys=True)
+        json.dump(result, f, indent=1, sort_keys=True)
+    return result
 
 
 def _drift_check(prev: "dict | None", timings: "dict[str, float]",
@@ -366,14 +363,21 @@ def _drift_check(prev: "dict | None", timings: "dict[str, float]",
         cf = cfs.get(path) or cfs["all"]
         adj = old * (cf if cf else 1.0)
         hi, lo = max(now, adj), min(now, adj)
-        # Size-tiered threshold: >=2s queries are run-to-run stable to
-        # ~1.2x, so 1.5x is signal there; sub-2s min-of-3 timings swing
-        # ~2x two-sided on identical code (r10 measured 4x tails; r12: a
+        # Size-tiered threshold keyed on the BASELINE (adj), not the
+        # noisy run: >=2s queries are run-to-run stable to ~1.2x, so
+        # 1.5x is signal there; sub-2s min-of-3 timings swing ~2x
+        # two-sided on identical code (r10 measured 4x tails; r12: a
         # flat 1.5x flagged 69 queries, nearly all last round's flags
-        # mirrored back), so small queries only flag past 2.5x.
-        if lo > 0 and (
-            (hi >= 2.0 and hi / lo > 1.5)
-            or (hi >= 0.5 and hi / lo > 2.5)
+        # mirrored back), so small-BASELINE queries only flag past 2.5x
+        # — a 1.2-1.9s query spiking over 2s is exactly the noise class
+        # the small tier exists for and must not leak into the 1.5x rule
+        # (r12 live run: 2 of 3 rechecks burned on that leak, both came
+        # back not-real).
+        # (hi >= 0.5 keeps sub-half-second noise out entirely, and keeps
+        # a tiny-baseline query that spikes large eligible for the 2.5x
+        # small tier.)
+        if lo > 0 and hi >= 0.5 and (
+            hi / lo > (1.5 if adj >= 2.0 else 2.5)
         ):
             flagged.append({
                 "name": name, "prev": old, "now": now,
@@ -430,7 +434,8 @@ def _drift_check(prev: "dict | None", timings: "dict[str, float]",
                 # r10 rechecks and one per round since burned budget on
                 # queries outside the seeded set).
                 iso_prior[d["name"]] = t
-                _merge_isolated_baseline(script_dir, sf, d["name"], t)
+                _write_isolated(script_dir, sf, {d["name"]: t}, {},
+                                clobber_other_sf=False)
             rechecked += 1
             print(f"drift recheck {d['name']}: in-suite {d['prev']}->"
                   f"{d['now']}, isolated min3 = {t} vs prior {base} "

@@ -88,6 +88,26 @@ def test_drift_flag_rule(bench, tmp_path, no_recheck):
     assert os.path.exists(os.path.join(d, "BENCH_DRIFT.json"))
 
 
+def test_tier_keys_on_baseline_not_noisy_run(bench, tmp_path, no_recheck):
+    """The size tier must be chosen by the BASELINE, not max(now, adj):
+    a sub-2s query whose noisy run spikes past 2s is exactly the class
+    the 2.5x tier exists for — keying on the spike leaked it into the
+    1.5x rule (r12 live run: text_quality_classifier 1.60->2.89 and
+    profile_table_columns 1.18->2.43 burned 2 of 3 rechecks, both
+    not-real). A tiny baseline spiking LARGE must still flag via the
+    small tier."""
+    prev = {"leak": 1.6, "leak2": 1.18, "real_small": 1.0, "tiny_spike": 0.2,
+            "big": 2.5}
+    now = {"leak": 2.89, "leak2": 2.43, "real_small": 2.6, "tiny_spike": 5.0,
+           "big": 4.0}
+    rep = bench._drift_check(prev, now, str(tmp_path), 0.1)
+    by = {f["name"]: f for f in rep["flagged"]}
+    # leak/leak2 (1.8x/2.06x on sub-2s baselines) stay unflagged even
+    # though the spike crosses 2s; >=2.5x on small baselines and >=1.5x
+    # on >=2s baselines still flag.
+    assert set(by) == {"real_small", "tiny_spike", "big"}
+
+
 def test_drift_verdict_uses_isolated_baseline(bench, tmp_path, monkeypatch):
     d = str(tmp_path)
     json.dump(
@@ -182,7 +202,9 @@ def test_cohort_control_factors_separate_python_from_jvm(bench, tmp_path, no_rec
     for i in range(12):
         prev[f"py{i}"], now[f"py{i}"], paths[f"py{i}"] = 1.0, 1.7, "py"
         prev[f"jvm{i}"], now[f"jvm{i}"], paths[f"jvm{i}"] = 1.0, 1.0, "jvm"
-    now["jvm0"] = 2.0  # real move: 2.0 vs jvm cohort factor 1.0
+    # real move: 2.6x vs jvm cohort factor 1.0 — past the 2.5x small-
+    # baseline tier (the 1.5x tier needs a >=2s baseline)
+    now["jvm0"] = 2.6
     cfs = bench._control_factors(prev, now, paths)
     assert cfs["py"] == 1.7 and cfs["jvm"] == 1.0
     rep = bench._drift_check(prev, now, str(tmp_path), 0.1, paths)
@@ -277,7 +299,9 @@ def test_count_cap_regressions_get_explicit_disposition(bench, tmp_path, monkeyp
     monkeypatch.delenv("SPARK_GRAFT_BENCH_NO_RECHECK", raising=False)
     monkeypatch.setattr(bench, "_isolated_min3", lambda n, deadline=None: (1.0, None))
     prev = {f"q{i}": 1.0 for i in range(6)}
-    now = {f"q{i}": 2.0 + i for i in range(6)}  # all 2x+ regressions
+    now = {f"q{i}": 3.0 + i for i in range(6)}  # all 3x+ regressions
+    # (3x+: past the 2.5x small-baseline tier — these 1.0s baselines
+    # never qualify for the 1.5x large-query rule)
     rep = bench._drift_check(prev, now, str(tmp_path), 0.1)
     assert len(rep["flagged"]) == 6
     assert rep["rechecked"] == 4

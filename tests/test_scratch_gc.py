@@ -143,10 +143,19 @@ def test_gc_spares_warm_ephemeral_dirs(scratch, sf):
     for p in (cold_ckpt / "offsets" / "1", cold_ckpt / "offsets", cold_ckpt):
         os.utime(p, (old, old))
 
-    warm_tmp = scratch / "replay" / "tmp_live_fuzz"
+    # REAL tmp-tag shape (tmp_{base}_{10hex}) — these never register a
+    # manifest, so they always read as "stale"; the warm guard must
+    # still spare them (the original fix only guarded non-stale names,
+    # which no real tmp tag ever is — a warm fuzz session's staged
+    # replay source was swept from under its in-flight query).
+    warm_tmp = scratch / "replay" / "tmp_ttfuzz0_5a1364101d"
     warm_tmp.mkdir(parents=True)
+    cold_tmp = scratch / "replay" / "tmp_ttfuzz1_0123456789"
+    cold_tmp.mkdir(parents=True)
+    os.utime(cold_tmp, (old, old))
 
-    assert replay.gc_scratch() == 1  # default 1h TTL
+    assert replay.gc_scratch() == 2  # default 1h TTL
     assert warm_ckpt.exists()
     assert warm_tmp.exists()
     assert not cold_ckpt.exists()
+    assert not cold_tmp.exists()
