@@ -33,6 +33,7 @@ QUICK_MODULES = frozenset((
     "test_bench_drift",
     "test_scratch_gc",
     "test_http_registry",
+    "test_scaling_tool",
 ))
 
 
