@@ -20,6 +20,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from .session import ensure_runtime_conf
 
@@ -38,11 +39,32 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# In-process schema cache — the engine's one-table metastore. A bare
+# spark.read.parquet() re-infers the schema from the footer on EVERY call
+# (measured 90-165 ms per call on this testdata vs ~45 ms with an explicit
+# schema, r12 profile), and the registry's ~350 queries issue 500+
+# load_table calls per bench sweep. Keyed on (realpath, mtime_ns, size) so
+# a regenerated table re-infers; holds metadata only (a StructType), never
+# data or results, exactly like a catalog/metastore would at 100 TB.
+_SCHEMA_CACHE: dict[tuple[str, int, int], StructType] = {}
+
+
+def table_schema(spark: SparkSession, path: str) -> StructType:
+    """The parquet file's schema, inferred once per (path, mtime, size)."""
+    st = os.stat(path)
+    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalized (see module docstring)."""
     ensure_runtime_conf(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(table_schema(spark, path)).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns-long -> µs -> NTZ anchored at the epoch; timestampadd on an NTZ
         # literal is timezone-independent, matching DuckDB's truncating read.

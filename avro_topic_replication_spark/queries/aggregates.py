@@ -1078,7 +1078,15 @@ def _exact_percentiles_grouped(
         F.min(col).cast("double").alias("_mn"),
         F.max(col).cast("double").alias("_mx"),
         F.count("*").alias("_n"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ group-sized (one row per group). Spark re-executes a referenced
+    # subplan per reference, and stats feeds FIVE branches (p_df, spec_df,
+    # ranks twice via the union, long) — uncheckpointed, each branch
+    # re-ran the full min/max/count scan of the fact table: the r12 plan
+    # audit showed agg_percentiles (two helper calls) at 34 FileScans /
+    # 62 Exchanges. Materializing the tiny table once cuts that to the
+    # honest 3 scans per call (stats + the two bucket passes) — guide
+    # §3.3 "materialise an intermediate to truncate the plan".
     p_df = stats.select(
         g,
         "_mn",
@@ -1147,7 +1155,11 @@ def _exact_percentiles_grouped(
             [group_col, "_rn"],
         )
         .select(group_col, "_rn", "_v")
+        .localCheckpoint(eager=True)
     )
+    # ^ ≤ 2·|quantiles| rows per group, but each of its two references
+    # (s1, s2) would otherwise re-run the target-bucket window sort AND
+    # its fact-table scan — the expensive phase-2 pass, twice.
     s1 = sel.select(
         group_col, F.col("_rn").alias("_k1"), F.col("_v").alias("_v1")
     )

@@ -43,13 +43,23 @@ def default_parallelism() -> int:
 
 
 def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
-    """Apply the engine's dynamic confs to an existing session (idempotent)."""
+    """Apply the engine's dynamic confs to an existing session (idempotent).
+
+    Guarded once per session object: each conf.set is a py4j round-trip
+    (~1 ms measured), and load_table calls this on every table load —
+    500+ times per bench sweep. Queries that temporarily override a conf
+    (loop-narrowed shuffle partitions, AQE-off iterations) restore the
+    previous value themselves, so re-asserting here was never load-bearing.
+    """
+    if getattr(spark, "_atrs_runtime_conf_done", False):
+        return spark
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # Static conf on this build — leave whatever the session has.
             pass
+    spark._atrs_runtime_conf_done = True
     return spark
 
 

@@ -255,7 +255,9 @@ def _stage_replay(
     if not os.path.exists(staged):
         os.makedirs(replay_dir, exist_ok=True)
         shutil.copyfile(path, staged)
-    schema = spark.read.parquet(path).schema
+    from ..catalog import table_schema
+
+    schema = table_schema(spark, path)
     return spark.readStream.schema(schema).format("parquet").load(replay_dir)
 
 
