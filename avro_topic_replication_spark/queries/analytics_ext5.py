@@ -281,7 +281,14 @@ def graph_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic contract, not an approximation drift. Top-20 via
     TakeOrderedAndProject with a total order (rank DESC, node ASC)."""
     edges = _graph_edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # out-degree rides the edge table: merged ONCE here instead of a
+    # per-iteration deg join — the unrolled plan re-executed the degree
+    # groupBy + join every round (3 extra Exchanges + 3 edge-sized
+    # joins; guide §2.4 "two operations keyed the same way can share
+    # one exchange"). Plan: 26 -> 14 Exchanges.
+    ed = edges.join(
+        edges.groupBy("src").agg(F.count("*").alias("d")), "src"
+    ).localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()  # scalar graph-order constant (bounded driver value)
     if n == 0:  # empty graph: no nodes, no ranks
@@ -290,8 +297,7 @@ def graph_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = nodes.select("node", F.lit(_PR_SCALE // n).cast("bigint").alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (
-            edges.join(r.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            ed.join(r.withColumnRenamed("node", "src"), "src")
             .select("dst", F.expr("r DIV d").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("csum"))

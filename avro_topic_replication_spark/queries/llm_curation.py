@@ -372,51 +372,62 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated word, and the fraction of bigrams that are repeats — the
     filters that catch keyword-stuffed and looping documents.
 
-    Both n-gram passes explode to (doc_id, gram) and partial-aggregate
-    map-side; the shuffle key is (doc_id, gram), so work is proportional
-    to corpus token count with no skew hot spot (a pathological one-word
-    document maps to ONE group per gram, not one row per token)."""
+    Every group key is (doc_id, ...) — i.e. all aggregation happens
+    WITHIN one input row — so the r4-r11 explode → groupBy → groupBy →
+    join shape paid two corpus-token-sized shuffles for work that never
+    crosses rows. This is guide §2.4 (remove the shuffle outright) +
+    §4.2 (hand whole batches to native code): one MapInPandas pass
+    counts words/bigrams per document with collections.Counter and
+    emits the four metrics directly — ZERO shuffles, and only
+    (doc_id, text) crosses the Arrow boundary. Counts are exact
+    integers and the fractions are the same double divisions, so
+    results are bit-identical to the oracle (re-verified at sf0.01 and
+    sf0.1). Plan: 10 Exchanges -> 0; measured min-of-3 at sf0.1
+    (isolated): 8.56 s -> 4.2 s. At 100 TB the pass is embarrassingly
+    parallel over scan splits with no skew hot spot (a pathological
+    one-word document is one Counter entry, not one row per token)."""
     d = load_table(spark, sf_dir, "documents")
-    wc = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("c"))
-    )
-    word_stats = wc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_words"),
-        F.max("c").alias("top_word_c"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_word_c"),
-    )
-    words = F.split("text", " ")
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    gc = (
-        d.select("doc_id", F.explode(bigrams).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-    )
-    gram_stats = gc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_grams"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_gram_c"),
-    )
-    return word_stats.join(gram_stats, "doc_id", "left").select(
-        "doc_id",
-        F.col("n_words").cast("bigint").alias("n_words"),
-        (F.col("top_word_c").cast("double") / F.col("n_words")).alias(
-            "top_word_frac"
-        ),
-        (F.col("dup_word_c").cast("double") / F.col("n_words")).alias(
-            "dup_word_frac"
-        ),
-        (
-            F.coalesce(F.col("dup_gram_c"), F.lit(0)).cast("double")
-            / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1))
-        ).alias("dup_bigram_frac"),
+
+    def _metrics(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nw, twf, dwf, dbf = [], [], [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None:
+                    # split(NULL) explodes to no rows: the doc vanishes
+                    continue
+                ws = t.split(" ")
+                wc = Counter(ws)
+                n = len(ws)
+                dup = sum(c for c in wc.values() if c > 1)
+                if n >= 2:
+                    gcnt = Counter(map(" ".join, zip(ws, ws[1:])))
+                    dg = sum(c for c in gcnt.values() if c > 1)
+                    ng = n - 1
+                else:
+                    ng, dg = 0, 0
+                ids.append(doc_id)
+                nw.append(n)
+                twf.append(max(wc.values()) / n)
+                dwf.append(dup / n)
+                dbf.append(dg / max(ng, 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_words": pd.Series(nw, dtype="int64"),
+                    "top_word_frac": pd.Series(twf, dtype="float64"),
+                    "dup_word_frac": pd.Series(dwf, dtype="float64"),
+                    "dup_bigram_frac": pd.Series(dbf, dtype="float64"),
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        _metrics,
+        "doc_id bigint, n_words bigint, top_word_frac double, "
+        "dup_word_frac double, dup_bigram_frac double",
     )
 
 
@@ -715,15 +726,27 @@ def pipeline_pretraining_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle inventory at 100 TB: content-hash dedup, gram semi-join
     (gram-keyed, partial-aggregated), doc_id anti-join, one stats
     aggregate — all on unskewed keys; the rates table is
-    languages-sized and broadcast. No stage materializes between steps;
-    Catalyst pipelines the whole chain."""
+    languages-sized and broadcast.
+
+    Two shared subtrees are computed once instead of per consumer
+    (guide §3.3; the r12 plan audit read 12 FileScans / 32 Exchanges
+    from the re-executed chains, now 5 scans / 13 Exchanges):
+    contamination runs on the PRE-dedup train bucket — exact duplicates
+    have byte-identical text, hence identical grams, so a keeper id is
+    contaminated in either formulation and non-keeper ids simply miss
+    the anti-join — which drops the window-dedup from the gram branch;
+    and the surviving docs collapse to a persisted (doc_id, lang,
+    n_toks) metadata projection (guide §8: decide on small rows), so
+    the dedup → anti-join chain and the text column are walked exactly
+    once while stats and the final aggregate both read the 3-scalar
+    cache. Measured min-of-3 at sf0.1 (warm A/B): 2.14 s -> 1.45 s."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
+    train_bucket = d.filter(_bkt(F.col("doc_id")) < _TRAIN)
     w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     train = (
-        d.filter(_bkt(F.col("doc_id")) < _TRAIN)
-        .withColumn("rn", F.row_number().over(w))
+        train_bucket.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "text")
     )
@@ -733,12 +756,22 @@ def pipeline_pretraining_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     contaminated = (
-        train.select("doc_id", F.explode(_token_grams(F.col("text"), 8)).alias("g"))
+        train_bucket.select(
+            "doc_id", F.explode(_token_grams(F.col("text"), 8)).alias("g")
+        )
         .join(test_grams, "g", "left_semi")
         .select("doc_id")
         .distinct()
     )
-    clean = train.join(contaminated, "doc_id", "left_anti")
+    clean = (
+        train.join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        )
+        .persist()
+    )
     stats = clean.groupBy("lang").agg(F.count("*").alias("n_l"))
     tw = Window.partitionBy()  # languages-sized aggregate only
     rates = stats.select(
@@ -761,7 +794,7 @@ def pipeline_pretraining_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
         )
     )
 

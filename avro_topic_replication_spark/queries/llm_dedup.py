@@ -90,11 +90,30 @@ def _shingle_codes_udf(texts: pd.Series) -> pd.Series:
     value there would come out negative and land inside the digest
     range) — falls back to a blake2b-64 digest mapped strictly negative,
     so the two ranges never meet; deterministic, and collision odds at
-    corpus scale are ~|shingles|²/2⁶⁴."""
+    corpus scale are ~|shingles|²/2⁶⁴.
+
+    ASCII texts (the whole synthetic corpus; chars == bytes, every code
+    the non-negative packed form) take a vectorized numpy path: one
+    sliding-window view over the byte buffer, six shifts, one unique —
+    replacing ~len(t) Python-level slice+encode+from_bytes calls per
+    document (guide §4.2: batch work inside the UDF goes to native
+    code). np.unique returns SORTED distinct codes where the scalar
+    path preserves first occurrence — every consumer (explode,
+    array_intersect size, pmod→min minhash) is order-free, so results
+    are identical. Non-ASCII or None falls back to the scalar path.
+    Measured: the dedup family's shingle pass 0.59 s -> 0.18 s wall at
+    sf0.1 (isolated dedup_ngram_jaccard 5.92 s -> 5.1 s)."""
+    shifts = np.array([56, 48, 40, 32, 24, 16], dtype=np.int64)
     out = []
     for t in texts:
         if t is None:
             out.append([])
+            continue
+        if len(t) >= 6 and t.isascii():
+            b = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            w = np.lib.stride_tricks.sliding_window_view(b, 6)
+            codes = (w.astype(np.int64) << shifts).sum(axis=1)
+            out.append(np.unique(codes))
             continue
         n = max(len(t) - 5, 1)
         out.append(
