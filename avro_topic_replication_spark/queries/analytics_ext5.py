@@ -136,6 +136,11 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_P31),
         ).alias("h"),
     )
+    # sig feeds BOTH sides of the band self-join; without materialization
+    # each side re-ran the corpus-sized explode + md5 + min aggregate
+    # (no exchange reuse — one side plans as a BroadcastExchange, r12
+    # plan audit). The signature table is 8 longs per doc — checkpoint
+    # it once, the production twin's (dedup_minhash_lsh) exact idiom.
     sig = inv.groupBy("doc_id").agg(
         *[
             F.min(
@@ -143,7 +148,7 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"s{i}")
             for i, (a, b) in enumerate(_PERMS)
         ]
-    )
+    ).localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -969,10 +974,18 @@ def ml_als_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             _als_hash(F.col("it"), ":v2").alias("f2"),
         )
     )
-    ufac = _als_solve(
-        ratings.join(F.broadcast(vinit), "it").select("u", "r", "f1", "f2"),
-        "u",
-    ).withColumnsRenamed({"x1": "u1", "x2": "u2"})
+    # ufac has TWO consumers (the item half-sweep's join and the sampled
+    # recommend step); uncached, each re-ran the ratings⋈vinit join plus
+    # the user-keyed solve aggregate (guide §3.3 reuse-beats-recompute).
+    # persist, not localCheckpoint: the bench evicts it right after.
+    ufac = (
+        _als_solve(
+            ratings.join(F.broadcast(vinit), "it").select("u", "r", "f1", "f2"),
+            "u",
+        )
+        .withColumnsRenamed({"x1": "u1", "x2": "u2"})
+        .persist()
+    )
     ifac = _als_solve(
         ratings.join(ufac, "u").select(
             "it", "r", F.col("u1").alias("f1"), F.col("u2").alias("f2")

@@ -294,7 +294,7 @@ def run_to_memory(
     sdf: DataFrame,
     output_mode: str = "append",
     timeout_sec: int = 120,
-    state_partitions: int = 8,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink; return
     the sink contents as a batch DataFrame.
@@ -302,9 +302,19 @@ def run_to_memory(
     Stateful operators create one state store per shuffle partition; the
     partition count is pinned into the checkpoint at first start. For
     these bounded local replays 8 stores beat 32 (store open/commit
-    overhead dominates tiny state); a real deployment sizes this to
-    cluster cores × keys instead. The session conf is restored after
-    start so batch queries in the same session are unaffected."""
+    overhead dominates tiny state; r10 A/B), and the r12 re-measure
+    kept 8: a single stream-stream join in isolation timed 2.95/2.32 s
+    at 8/2 partitions, but across the full 14-query live family the
+    8→2 move was a net wash — and applyInPandasWithState REGRESSED
+    1.49→2.77 s because 2 partitions serialize the per-key Python work.
+    Overridable via ``SPARK_GRAFT_STREAM_STATE_PARTITIONS``; a real
+    deployment sizes this to cluster cores × key cardinality instead.
+    The session conf is restored after start so batch queries in the
+    same session are unaffected."""
+    if state_partitions is None:
+        state_partitions = int(
+            os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+        )
     spark = sdf.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(SCRATCH, "ckpt", name)
