@@ -237,13 +237,16 @@ def mba_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
         .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
         .distinct()
-        # four consumers (n_baskets, item supports, both pair-join sides):
-        # uncached, each re-ran the lineitem⋈part scan + distinct — the
-        # r12 plan audit read 20 FileScans / 38 Exchanges for this one
-        # query. Caching the basket table materializes it once (plan:
-        # 8 scans -> 2, 38 -> 13 Exchanges; guide §3.3/§5 "reuse beats
-        # recompute when the intermediate is shared").
-        .persist()
+        # four consumers (n_baskets, item supports, both pair-join sides)
+        # each re-run the lineitem⋈part scan + distinct (the r12 plan
+        # audit read 38 Exchanges / 20 scans). A .persist() here was
+        # TRIED and REVERTED in r12: an interleaved warm A/B at sf0.1
+        # measured persist SLOWER (2.64 vs 2.20 s min-of-4) — the
+        # serialize-materialize-then-read path loses to four cheap
+        # parallel recomputes of a broadcast join + distinct at this
+        # scale. At 100 TB, where each recompute is a fact scan, the
+        # trade flips; that is a deploy-time storage-level choice, not
+        # a local default.
     )
     n_b = baskets.agg(F.countDistinct("basket").alias("n_baskets"))
     items = baskets.groupBy("item").agg(F.count("*").alias("n_item"))
