@@ -139,8 +139,12 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sig feeds BOTH sides of the band self-join; without materialization
     # each side re-ran the corpus-sized explode + md5 + min aggregate
     # (no exchange reuse — one side plans as a BroadcastExchange, r12
-    # plan audit). The signature table is 8 longs per doc — checkpoint
-    # it once, the production twin's (dedup_minhash_lsh) exact idiom.
+    # plan audit). The signature table is 8 longs per doc — persist it
+    # (the production twin dedup_minhash_lsh materializes the same
+    # table; persist rather than localCheckpoint here so the aggregate
+    # stays visible in the executed plan for the r8 partial-agg pin in
+    # tests/test_plans.py, and the bench's per-query clearCache sweeps
+    # the blocks).
     sig = inv.groupBy("doc_id").agg(
         *[
             F.min(
@@ -148,7 +152,7 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"s{i}")
             for i, (a, b) in enumerate(_PERMS)
         ]
-    ).localCheckpoint(eager=True)
+    ).persist()
     bands = sig.select(
         "doc_id",
         F.posexplode(

@@ -34,6 +34,7 @@ QUICK_MODULES = frozenset((
     "test_scratch_gc",
     "test_http_registry",
     "test_scaling_tool",
+    "test_r12_optimizations",
 ))
 
 
