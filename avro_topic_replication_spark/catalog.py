@@ -60,6 +60,60 @@ def table_schema(spark: SparkSession, path: str) -> StructType:
     return schema
 
 
+# Footer-statistics cache, same key discipline as _SCHEMA_CACHE: metadata
+# only, never data. Used for plan-shape decisions that need a column
+# bound (e.g. "do two custkeys fit one packed int64?") without spending a
+# Spark job on it — the same role min/max column stats play in a real
+# metastore's cost-based decisions.
+_COLMAX_CACHE: "dict[tuple[str, int, int, str], int | float | None]" = {}
+
+
+def column_max(sf_dir: str, table: str, column: str) -> "int | float | None":
+    """Upper bound of ``column`` from the parquet footer statistics, or
+    None when the file/stats are unavailable (callers must then choose
+    the conservative plan). Reads only footer metadata — O(row groups),
+    measured ~2 ms — and caches per (realpath, mtime_ns, size, column).
+    Handles both single-file tables and Spark-written directories."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size, column)
+    if key in _COLMAX_CACHE:
+        return _COLMAX_CACHE[key]
+    try:
+        import pyarrow.parquet as pq
+
+        files = [path]
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+        mx: "int | float | None" = None
+        for fp in files:
+            pf = pq.ParquetFile(fp)
+            idx = pf.schema_arrow.get_field_index(column)
+            if idx < 0:
+                mx = None
+                break
+            for rg in range(pf.metadata.num_row_groups):
+                s = pf.metadata.row_group(rg).column(idx).statistics
+                if s is None or not s.has_min_max:
+                    mx = None
+                    break
+                mx = s.max if mx is None else max(mx, s.max)
+            else:
+                continue
+            break
+    except Exception:
+        mx = None
+    _COLMAX_CACHE[key] = mx
+    return mx
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalized (see module docstring)."""
     ensure_runtime_conf(spark)

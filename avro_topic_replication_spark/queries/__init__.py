@@ -52,14 +52,16 @@ _MODULES = (
 # samples a fixed-size (50-row) prefix of the registry each round, so the
 # prefix rotates to whatever most needs a fresh CORRECTNESS row:
 #
-#   1. never-sampled oracle-bearing queries (none remain as of r11 —
-#      CORRECTNESS_r11.json landed 50/50 green including
-#      vec_ann_recall_verified, so every oracle-bearing query in the
-#      registry, 307/307, has a green driver row: the project's stated
-#      end state, reached in round 11);
-#   2. re-samples, STALEST FIRST — ordered by the round in which each
+#   1. queries whose IMPLEMENTATION was rewritten since their last driver
+#      row (``_RESAMPLE_FIRST``) — a rewrite invalidates the old row's
+#      evidence, so it outranks mere staleness (r12 verdict item 1: 12 of
+#      13 r12-rewritten query paths had only builder-side oracle evidence
+#      because the stalest-first window happened not to contain them);
+#   2. never-sampled oracle-bearing queries (none remain as of r11 —
+#      every oracle-bearing query, 307/307, has a green driver row);
+#   3. re-samples, STALEST FIRST — ordered by the round in which each
 #      query last received a driver row (``_LAST_SAMPLED_ROUND``, the
-#      union of CORRECTNESS_r01..r11.json), then family order. A static
+#      union of CORRECTNESS_r01..r12.json), then family order. A static
 #      prefix would re-verify the same 50 queries forever while r1-era
 #      rows age; stalest-first keeps every row's latest verification
 #      recent as rounds accumulate.
@@ -67,50 +69,40 @@ _MODULES = (
 # Queries added in r12 or later must arrive "defer-sample"-tagged for one
 # round (they sort to the very back until the tag is dropped, after which
 # they lead the window as never-sampled).
+
+# Oracle-bearing queries whose implementation changed in r12/r13 after
+# their last driver CORRECTNESS row: they lead the next sample window so
+# the driver re-verifies the NEW implementation (builder-side qtime
+# --oracle runs cover them meanwhile, but driver ground truth is the
+# gate). Drop a name from this tuple once the corresponding
+# CORRECTNESS_rNN row lands green and its _LAST_SAMPLED_ROUND entry is
+# bumped. Order within the tuple = order in the window.
+_RESAMPLE_FIRST: "tuple[str, ...]" = (
+    # r12 rewrites without an r12 driver row (agg_percentiles was the
+    # only rewritten path the r12 window covered):
+    "text_repetition_metrics",
+    "pipeline_pretraining_batch",
+    "graph_common_neighbors",
+    "stat_bootstrap_poisson_ci",
+    "ml_als_fixed_point",
+    "dedup_minhash_banded",
+    "dedup_ngram_jaccard",
+    # dedup_minhash_lsh is rows-only (no oracle) — a window slot can't
+    # produce a hash row for it; its r12 rewrite is covered by the shared
+    # _shingle_codes_udf set-equality unit test instead.
+    "ts_mad_anomaly",
+    "graph_pagerank_fixed_point",
+    "dedup_clusters",
+    "dedup_cluster_representatives",
+)
 _LAST_SAMPLED_ROUND: "dict[str, int]" = {
     # --- last sampled in round 1 ---
-    "fn_datetime": 1,
-    "fn_explode_posexplode": 1,
-    "fn_hash": 1,
     "fn_hash_spark_native": 1,
-    "fn_json": 1,
-    "fn_string_basic": 1,
-    "fn_string_regex_split": 1,
-    "setop_except_all": 1,
     # --- last sampled in round 3 ---
-    "setop_except": 3,
-    "setop_intersect": 3,
-    "setop_intersect_all": 3,
-    "setop_union_all": 3,
-    "setop_union_distinct": 3,
     "sort_partition_local": 3,
-    "sort_topk_global": 3,
-    "win_distribution": 3,
-    "win_first_last_value": 3,
-    "win_lag_lead": 3,
-    "win_moving_avg": 3,
-    "win_range_frame": 3,
-    "win_rank_customers": 3,
-    "win_running_sum": 3,
-    "win_topk_per_group": 3,
     # --- last sampled in round 4 ---
     "agg_approx_count_distinct": 4,
-    "agg_arg_minmax": 4,
-    "agg_collect_sorted": 4,
-    "agg_conditional": 4,
-    "agg_corr": 4,
-    "agg_count_distinct": 4,
-    "agg_cube": 4,
-    "agg_distinct_rows": 4,
     "agg_grouping_id": 4,
-    "agg_grouping_sets": 4,
-    "agg_minmax": 4,
-    "agg_moment_stats": 4,
-    "agg_percentiles": 4,
-    "agg_pivot": 4,
-    "agg_pricing_summary": 4,
-    "agg_rollup": 4,
-    "agg_skew_kurtosis": 4,
     "agg_unpivot": 4,
     "conditional_expressions": 4,
     "filter_predicates": 4,
@@ -129,20 +121,6 @@ _LAST_SAMPLED_ROUND: "dict[str, int]" = {
     "proj_computed_columns": 4,
     "sql_exists_subquery": 4,
     "sql_lateral_topn": 4,
-    "sql_scalar_subquery": 4,
-    "tpch_q10_returned_items": 4,
-    "tpch_q12_late_shipments": 4,
-    "tpch_q13_customer_distribution": 4,
-    "tpch_q14_promo_revenue": 4,
-    "tpch_q15_top_supplier": 4,
-    "tpch_q17_small_quantity_revenue": 4,
-    "tpch_q18_large_volume_customer": 4,
-    "tpch_q19_discounted_revenue": 4,
-    "tpch_q22_idle_customers": 4,
-    "tpch_q4_order_priority": 4,
-    "tpch_q6_forecast_revenue": 4,
-    "tpch_q7_volume_shipping": 4,
-    "tpch_q8_market_share": 4,
     # --- last sampled in round 5 ---
     "dedup_clusters": 5,
     "dedup_embedding_cosine": 5,
@@ -388,6 +366,57 @@ _LAST_SAMPLED_ROUND: "dict[str, int]" = {
     "vec_ann_recall_verified": 11,
     "vec_label_centroid_classify": 11,
     "vec_random_projection": 11,
+    # --- last sampled in round 12 ---
+    "agg_arg_minmax": 12,
+    "agg_collect_sorted": 12,
+    "agg_conditional": 12,
+    "agg_corr": 12,
+    "agg_count_distinct": 12,
+    "agg_cube": 12,
+    "agg_distinct_rows": 12,
+    "agg_grouping_sets": 12,
+    "agg_minmax": 12,
+    "agg_moment_stats": 12,
+    "agg_percentiles": 12,
+    "agg_pivot": 12,
+    "agg_pricing_summary": 12,
+    "agg_rollup": 12,
+    "agg_skew_kurtosis": 12,
+    "fn_datetime": 12,
+    "fn_explode_posexplode": 12,
+    "fn_hash": 12,
+    "fn_json": 12,
+    "fn_string_basic": 12,
+    "fn_string_regex_split": 12,
+    "setop_except": 12,
+    "setop_except_all": 12,
+    "setop_intersect": 12,
+    "setop_intersect_all": 12,
+    "setop_union_all": 12,
+    "setop_union_distinct": 12,
+    "sort_topk_global": 12,
+    "sql_scalar_subquery": 12,
+    "tpch_q10_returned_items": 12,
+    "tpch_q12_late_shipments": 12,
+    "tpch_q13_customer_distribution": 12,
+    "tpch_q14_promo_revenue": 12,
+    "tpch_q15_top_supplier": 12,
+    "tpch_q17_small_quantity_revenue": 12,
+    "tpch_q18_large_volume_customer": 12,
+    "tpch_q19_discounted_revenue": 12,
+    "tpch_q22_idle_customers": 12,
+    "tpch_q4_order_priority": 12,
+    "tpch_q6_forecast_revenue": 12,
+    "tpch_q7_volume_shipping": 12,
+    "tpch_q8_market_share": 12,
+    "win_distribution": 12,
+    "win_first_last_value": 12,
+    "win_lag_lead": 12,
+    "win_moving_avg": 12,
+    "win_range_frame": 12,
+    "win_rank_customers": 12,
+    "win_running_sum": 12,
+    "win_topk_per_group": 12,
 }
 _DRIVER_SAMPLED = frozenset(_LAST_SAMPLED_ROUND)
 _FAMILY_ORDER = (
@@ -456,6 +485,8 @@ def _presentation_order(registry: "dict[str, Query]") -> "dict[str, Query]":
     prefix = f"{__name__}."
     family_rank = {m: i for i, m in enumerate(_FAMILY_ORDER)}
 
+    resample_rank = {n: i for i, n in enumerate(_RESAMPLE_FIRST)}
+
     def key(item: "tuple[str, Query]"):
         name, q = item
         family = q.fn.__module__.removeprefix(prefix)
@@ -465,13 +496,16 @@ def _presentation_order(registry: "dict[str, Query]") -> "dict[str, Query]":
         # (last_round 0 — which is also exactly the "unsampled,
         # non-deferred" set, so last_round alone orders all three
         # classes and no separate boolean key can drift out of sync
-        # with it).
+        # with it). Rewritten-since-last-row queries (_RESAMPLE_FIRST)
+        # outrank everything: their existing driver row verifies an
+        # implementation that no longer exists.
         last_round = (
             999 if "defer-sample" in q.tags
             else _LAST_SAMPLED_ROUND.get(name, 0)
         )
         return (
             q.oracle is None,  # oracle-bearing first
+            resample_rank.get(name, len(resample_rank)),
             last_round,
             family_rank.get(family, len(family_rank)),
             reg_index[name],

@@ -569,34 +569,64 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8-byte key instead of a 16-byte struct, and the hash/compare path
     # is the primitive-long fast path. Injective and ORDER-PRESERVING
     # (packed-long order == (cust_a, cust_b) lexicographic order) while
-    # custkey < 2^31 — TPC-H custkeys reach ~2^31 around sf ~ 14,000
-    # (≈ 1.4 PB), far past the 100 TB design point; past that, this
-    # reverts to the two-column key, losing only the byte-width win.
+    # custkey < 2^31 — ENFORCED, not assumed (r12 verdict item 7): the
+    # parquet footer's max(o_custkey) statistic decides at plan-build
+    # time (zero Spark jobs; o_custkey bounds e.cust since e's custs all
+    # come from orders). TPC-H custkeys reach 2^31 around sf ~ 14,000
+    # (≈ 1.4 PB); past that — or when footer stats are unavailable —
+    # the two-column struct key below keeps the query correct, losing
+    # only the byte-width win. The explicit .cast("long") keeps the
+    # shift 64-bit even if a source typed custkey as int32 (Java masks
+    # a 32-bit shift count to 0 — ADVICE r12).
     # Measured min-of-3 at sf0.1 (warm A/B): 4.34 s -> 3.30 s.
-    pair_arr = F.flatten(
-        F.transform(
-            "custs",
-            lambda x, i: F.transform(
-                F.slice(F.col("custs"), i + F.lit(2), F.size("custs")),
-                lambda y: F.shiftleft(F.least(x, y), 32)
-                + F.greatest(x, y),
-            ),
+    from ..catalog import column_max
+
+    cust_max = column_max(sf_dir, "orders", "o_custkey")
+    if cust_max is not None and 0 <= cust_max < 2**31:
+        pair_arr = F.flatten(
+            F.transform(
+                "custs",
+                lambda x, i: F.transform(
+                    F.slice(F.col("custs"), i + F.lit(2), F.size("custs")),
+                    lambda y: F.shiftleft(F.least(x, y).cast("long"), 32)
+                    + F.greatest(x, y).cast("long"),
+                ),
+            )
         )
-    )
-    pairs = (
-        lists.select(F.explode(pair_arr).alias("pk"))
-        .groupBy("pk")
-        .agg(F.count("*").alias("common_parts"))
-    )
-    top = (
-        pairs.orderBy(F.desc("common_parts"), F.asc("pk"))
-        .limit(20)
-        .select(
-            F.shiftright("pk", 32).alias("cust_a"),
-            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("cust_b"),
-            "common_parts",
+        pairs = (
+            lists.select(F.explode(pair_arr).alias("pk"))
+            .groupBy("pk")
+            .agg(F.count("*").alias("common_parts"))
         )
-    )
+        top = (
+            pairs.orderBy(F.desc("common_parts"), F.asc("pk"))
+            .limit(20)
+            .select(
+                F.shiftright("pk", 32).alias("cust_a"),
+                F.col("pk").bitwiseAND(F.lit(4294967295)).alias("cust_b"),
+                "common_parts",
+            )
+        )
+    else:
+        pair_arr = F.flatten(
+            F.transform(
+                "custs",
+                lambda x, i: F.transform(
+                    F.slice(F.col("custs"), i + F.lit(2), F.size("custs")),
+                    lambda y: F.struct(
+                        F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                    ),
+                ),
+            )
+        )
+        pairs = (
+            lists.select(F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.a").alias("cust_a"), F.col("p.b").alias("cust_b"))
+            .agg(F.count("*").alias("common_parts"))
+        )
+        top = pairs.orderBy(
+            F.desc("common_parts"), F.asc("cust_a"), F.asc("cust_b")
+        ).limit(20)
     da = deg.select(F.col("cust").alias("cust_a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("cust").alias("cust_b"), F.col("deg").alias("deg_b"))
     return (

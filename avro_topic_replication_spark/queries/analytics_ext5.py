@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..session import track_persist
 from . import query
 from .llm_curation import _token_grams, _token_grams_sql
 
@@ -152,7 +153,7 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"s{i}")
             for i, (a, b) in enumerate(_PERMS)
         ]
-    ).persist()
+    ).transform(track_persist)
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -988,7 +989,7 @@ def ml_als_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u",
         )
         .withColumnsRenamed({"x1": "u1", "x2": "u2"})
-        .persist()
+        .transform(track_persist)
     )
     ifac = _als_solve(
         ratings.join(ufac, "u").select(

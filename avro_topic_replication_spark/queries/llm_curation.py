@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..session import track_persist
 from . import query
 
 # --------------------------------------------------------------------------
@@ -123,7 +124,7 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         _bkt(F.col("doc_id")).alias("bkt"),
         F.explode(_token_grams(F.col("text"), 8)).alias("g"),
-    ).persist()
+    ).transform(track_persist)
     train_grams = grams.filter(F.col("bkt") < _TRAIN).select("g").distinct()
     eval_grams = grams.filter(F.col("bkt") >= _VAL).select("doc_id", "g")
     hits = (
@@ -475,7 +476,7 @@ def text_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     inv = d.select(
         "doc_id", F.explode(_token_grams(F.col("text"), 4)).alias("g")
-    ).persist()
+    ).transform(track_persist)
     boiler = (
         inv.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -770,7 +771,7 @@ def pipeline_pretraining_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.size(F.split("text", " ")).cast("long").alias("n_toks"),
         )
-        .persist()
+        .transform(track_persist)
     )
     stats = clean.groupBy("lang").agg(F.count("*").alias("n_l"))
     tw = Window.partitionBy()  # languages-sized aggregate only

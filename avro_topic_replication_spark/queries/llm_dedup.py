@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType
 
 from ..catalog import load_table
+from ..session import track_persist
 from . import query
 
 # 6-gram shingles: 4-grams give ordinary same-language documents a ~0.4
@@ -225,7 +226,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides, both verify sides); persist amortizes the shingling pass
     # across them (A/B-measured 4.4 s vs 5.5 s for an eager
     # localCheckpoint under bench conditions at sf0.1).
-    sh = d.select("doc_id", _shingle_codes_udf(F.col("text")).alias("s")).persist()
+    sh = d.select("doc_id", _shingle_codes_udf(F.col("text")).alias("s")).transform(track_persist)
     inv = sh.select("doc_id", F.explode("s").alias("g"))
     # global df via partial-aggregated groupBy (the shuffle carries one
     # (g, count) partial per shingle per partition, never the 2.5M inv
@@ -302,7 +303,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate-verify join); persist it so the shingling + distinct
     # pass runs once, not three times. Long codes (injective packing, see
     # _shingle_codes_udf) keep the cache and every join long-typed.
-    sh = d.select("doc_id", _shingle_codes_udf(F.col("text")).alias("s")).persist()
+    sh = d.select("doc_id", _shingle_codes_udf(F.col("text")).alias("s")).transform(track_persist)
 
     # Each shingle is hashed ONCE in the JVM (xxhash64 → 31-bit); the 16
     # minhash slots are affine permutations (h·a+b mod P) of that hash,
@@ -484,11 +485,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed materialization of a (node, label) table — the standard
     DataFrame connected-components shape, with convergence always
     O(diameter) rounds."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").transform(track_persist)
     pairs.count()  # materialize under the full-width shuffle config
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    ).transform(track_persist)
     nodes = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
@@ -646,7 +647,7 @@ def dedup_ml_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: fit + both approxSimilarityJoin sides re-execute their input
     # plan, which would re-run the shingle UDF pass three times otherwise
-    feats = tf.transform(sh).persist()
+    feats = tf.transform(sh).transform(track_persist)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=2, seed=7)
     model = lsh.fit(feats)
     probe = feats.filter(F.col("doc_id") < 300)

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..session import track_persist
 from . import query
 from .llm_text import _TOKENS_SQL, _tokens_col  # one tokenizer, all modules
 
@@ -144,13 +145,13 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda a, b: F.concat_ws(" ", a, b),
             ).alias("bgs"),
         )
-        .persist()
+        .transform(track_persist)
     )
     train_bg = bigrams.filter(F.col("doc_id") % 10 != 0).select(
         F.explode("bgs").alias("bg")
     )
     # the ONLY corpus-sized aggregation; everything below re-aggregates it
-    c_bg = train_bg.groupBy("bg").agg(F.count("*").alias("c_bg")).persist()
+    c_bg = train_bg.groupBy("bg").agg(F.count("*").alias("c_bg")).transform(track_persist)
     c_ctx = (
         c_bg.groupBy(
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
@@ -441,7 +442,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCols=[c for c in feats.columns if c.startswith("f_")],
         outputCol="features",
     )
-    vec = asm.transform(feats).persist()
+    vec = asm.transform(feats).transform(track_persist)
     # maxIter=12 converges on this 5-feature problem (AUC-pinned by
     # pytest); each LBFGS iteration is a full treeAggregate job, so the
     # cap is the dominant cost knob
@@ -896,7 +897,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e.select("vec_id", "embedding"), "vec_id")
         .withColumn("_n", norm)
         .select("vec_id", "cluster", unit.alias("unit"))
-        .persist()
+        .transform(track_persist)
     )
     a = m.select(
         F.col("vec_id").alias("id_a"),

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..session import track_persist
 from . import query
 
 _DOT_SQL = """list_reduce(list_transform(list_zip({a}, {b}),
@@ -384,7 +385,7 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(spark, sf_dir)
-    assigned = _ivf_assign(e, cents).persist()
+    assigned = _ivf_assign(e, cents).transform(track_persist)
     qdf = assigned.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )

@@ -63,6 +63,42 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Intra-query persist bookkeeping (r12 verdict item 9 / ADVICE): a query
+# fn that returns a lazy DataFrame cannot unpersist its own intermediates
+# (they materialize only when the caller executes the plan), so every
+# .persist() inside a query path registers here instead. The bench's
+# per-query spark.catalog.clearCache() evicts the cached BLOCKS anyway;
+# release_tracked_persists() is the precise variant for long-lived shared
+# sessions (the verify harness, library consumers) — it unpersists every
+# tracked plan and drops the references, leaving the cache empty without
+# nuking caches the caller owns.
+_TRACKED_PERSISTS: "list" = []
+
+
+def track_persist(df, storage_level=None):
+    """persist() a query-internal DataFrame and register it for
+    release_tracked_persists(). Returns the persisted DataFrame."""
+    df = df.persist() if storage_level is None else df.persist(storage_level)
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_tracked_persists() -> int:
+    """Unpersist every DataFrame registered by track_persist (blocking=False,
+    matching clearCache's async eviction). Returns how many were released.
+    Call between queries in any session that outlives a single query and
+    does not already clearCache."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
+
 def get_spark(
     app_name: str = "avro-topic-replication-spark",
     master: str | None = None,

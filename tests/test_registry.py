@@ -8,6 +8,7 @@ from __future__ import annotations
 from avro_topic_replication_spark.queries import (
     _DRIVER_SAMPLED,
     _LAST_SAMPLED_ROUND,
+    _RESAMPLE_FIRST,
     all_queries,
 )
 
@@ -34,19 +35,38 @@ def test_sample_window_drains_the_backlog():
         assert n not in _DRIVER_SAMPLED, f"already-sampled query in window: {n}"
 
 
+def test_rewritten_queries_lead_the_window():
+    """Every _RESAMPLE_FIRST query (implementation rewritten since its
+    last driver row) must sit inside the next 50-row sample window, ahead
+    of mere staleness re-samples — and must actually exist and carry an
+    oracle (a rows-only query can't produce the hash row the re-sample is
+    for)."""
+    reg = all_queries()
+    names = list(reg)
+    window = set(names[:WINDOW])
+    for n in _RESAMPLE_FIRST:
+        assert n in reg, f"_RESAMPLE_FIRST names unknown query: {n}"
+        assert reg[n].oracle is not None, f"rows-only in _RESAMPLE_FIRST: {n}"
+        assert n in window, f"rewritten query not in sample window: {n}"
+    assert len(_RESAMPLE_FIRST) <= WINDOW
+
+
 def test_resamples_rotate_stalest_first():
     """With the backlog drained (r11: 307/307 oracle-bearing queries
     driver-green), each round's 50-row window must re-verify the STALEST
     rows — the window's newest last-sampled round may not exceed the
-    oldest last-sampled round outside it (defer-tagged additions excepted;
-    they sort to the back until their tag drops)."""
+    oldest last-sampled round outside it (defer-tagged additions excepted —
+    they sort to the back until their tag drops — and _RESAMPLE_FIRST
+    rewrites excepted: a rewritten implementation outranks staleness)."""
     reg = all_queries()
     oracle = [
         n for n, q in reg.items()
-        if q.oracle is not None and "defer-sample" not in q.tags
+        if q.oracle is not None
+        and "defer-sample" not in q.tags
+        and n not in _RESAMPLE_FIRST
     ]
-    in_window = oracle[:WINDOW]
-    rest = oracle[WINDOW:]
+    in_window = oracle[: WINDOW - len(_RESAMPLE_FIRST)]
+    rest = oracle[WINDOW - len(_RESAMPLE_FIRST):]
     if not rest:
         return
     newest_in = max(_LAST_SAMPLED_ROUND.get(n, 0) for n in in_window)
