@@ -114,8 +114,68 @@ def column_max(sf_dir: str, table: str, column: str) -> "int | float | None":
     return mx
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table, normalized (see module docstring)."""
+# Row-group count per parquet table (footer metadata, cached like the
+# schema cache): the unit of Spark's scan parallelism. A row group is
+# unsplittable — the task whose byte range holds its midpoint reads ALL
+# of it — so a one-row-group file executes its whole scan stage, plus
+# everything codegen fuses into it (partial aggregates, explodes, UDF
+# projections), on ONE task no matter how many cores the session has.
+_ROWGROUPS_CACHE: "dict[tuple[str, int, int], int | None]" = {}
+
+
+def table_row_groups(path: str) -> "int | None":
+    """Total parquet row groups under ``path`` (file or directory), or
+    None when unknown. Footer metadata only; cached per (realpath,
+    mtime_ns, size)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    if key in _ROWGROUPS_CACHE:
+        return _ROWGROUPS_CACHE[key]
+    try:
+        import pyarrow.parquet as pq
+
+        files = [path]
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+        n = sum(pq.ParquetFile(fp).metadata.num_row_groups for fp in files)
+    except Exception:
+        n = None
+    _ROWGROUPS_CACHE[key] = n
+    return n
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    rebalance_on: "str | None" = None,
+) -> DataFrame:
+    """Load one testdata table, normalized (see module docstring).
+
+    ``rebalance_on``: opt-in scan rebalancing for queries whose heavy
+    per-row work is FUSED into the scan stage (decimal power sums, n-gram
+    explosion, vector folds, batched Python UDFs). Parquet row groups are
+    unsplittable, so a source laid out with fewer row groups than the
+    session has cores serializes that work (guide §2.5 "one huge
+    unsplittable file": repartition immediately after the read). When —
+    and only when — the footer metadata shows such a deficit, the scan is
+    hash-repartitioned on the given near-unique column to the session's
+    shuffle width; a production-scale source (thousands of row groups)
+    makes this a structural no-op, so nothing here is tuned to local
+    mode. Hash, not round-robin: round-robin pays a per-task local sort
+    (spark.sql.execution.sortBeforeRepartition) and is slower (measured
+    1.28 vs 0.68 s on the agg_corr shape), while a near-unique hash key
+    spreads evenly and stays deterministic under task retries.
+    NOT applied by default: for scans feeding only light work the extra
+    exchange is a net loss (measured: +0.2-0.4 s on events/orders
+    groupBys) — call sites opt in per measured query."""
     ensure_runtime_conf(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.schema(table_schema(spark, path)).parquet(path)
@@ -126,6 +186,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts",
             F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
         )
+    if rebalance_on is not None:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        rgs = table_row_groups(path)
+        if rgs is not None and rgs < max(2, width // 2):
+            df = df.repartition(width, rebalance_on)
     return df
 
 

@@ -44,7 +44,7 @@ from . import query
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the canonical partial-agg pipeline."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = load_table(spark, sf_dir, "lineitem", rebalance_on="l_orderkey").filter(
         F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz")
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -88,7 +88,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple COUNT DISTINCT in one agg (expand + two-phase under the hood)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", rebalance_on="l_orderkey")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
         F.countDistinct("l_partkey").alias("n_parts"),
@@ -158,7 +158,7 @@ def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-value decimal width 18 (see agg_corr's docstring for the r5
     narrowing rationale and the accumulator-headroom math at scale).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", rebalance_on="l_orderkey")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     sums = li.groupBy("l_linestatus").agg(
         F.count("*").alias("n"),
@@ -457,7 +457,7 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-execution whole-stage-codegen compilation (~1.5-2 s for a
     6-aggregate plan, measured; steady-state re-execution is 50-90 ms),
     a fixed per-plan cost the bench pays once per query, not data work."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", rebalance_on="l_orderkey")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     sums = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
@@ -511,7 +511,7 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent, a fixed IEEE expression over exact sums is bit-exact
     and keeps the identical partial-aggregation scalability (the
     shuffle carries six power sums per group, never rows)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", rebalance_on="l_orderkey")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     sums = li.groupBy("l_linestatus").agg(
         F.count("*").alias("n"),
@@ -631,7 +631,7 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_quantity is integral and ≤ 50, so q²..q⁴ are exact doubles before
     the decimal cast and every power sum is exact. Partial-agg scalable:
     the shuffle carries 4 decimal partials per group."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", rebalance_on="l_orderkey")
     q = F.col("l_quantity")
     sums = li.groupBy("l_linestatus").agg(
         F.count("*").alias("n"),

@@ -1797,7 +1797,7 @@ def agg_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyspark.ml path (text_quality_classifier's LR), this query is the
     exact low-dimension fast path.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", rebalance_on="l_orderkey")
     d = lambda c, p, s: F.sum(c.cast(f"decimal({p},{s})")).cast("string").cast("double")  # noqa: E731
     x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(

@@ -1159,7 +1159,7 @@ def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     not. Replicate means divide exact decimal sums once. 100-TB shape:
     a 32× map-side expansion feeding one 32-group partial aggregate; the
     driver sees 32 numbers."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", rebalance_on="o_orderkey")
     draws = (
         o.select(
             "o_orderkey",

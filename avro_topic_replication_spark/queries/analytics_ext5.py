@@ -122,7 +122,7 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram arrays re-join only for the candidate set. No stage ever
     holds more than (doc_id, 8 longs) per row except the final bounded
     verify. Jaccard is a single correctly-rounded IEEE division."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance_on="doc_id")
     # localCheckpoint (repo idiom), not persist(): the shingle arrays are
     # this query's largest intermediate, and a persist() with no unpersist
     # would stay pinned in executor memory for the rest of a shared-session

@@ -117,7 +117,7 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc×doc pairs. The left join back to the eval split restores
     zero-hit docs. At 100 TB the distinct-train-gram table is the only
     large state and it partial-aggregates map-side."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance_on="doc_id")
     # one gram pass feeds both the train and eval sides (A/B at sf0.1:
     # 2.3 s → 1.6 s min-of-3 with the persist)
     grams = d.select(
@@ -473,7 +473,7 @@ def text_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index feeds two consumers (the df groupBy and the coverage
     join); persisting it saves a second shingling pass over the corpus
     (A/B at sf0.1: 4.0 s → 1.2 s min-of-3)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance_on="doc_id")
     inv = d.select(
         "doc_id", F.explode(_token_grams(F.col("text"), 4)).alias("g")
     ).transform(track_persist)
@@ -580,7 +580,7 @@ def vec_label_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-join expansion, the per-vector norm shuffle, and the
     ranking window — A/B at sf0.1: 2.9 s → map-only scoring + one tiny
     confusion aggregate."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", rebalance_on="vec_id")
     ex = e.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos0", "v32")
     ).select(
@@ -743,7 +743,7 @@ def pipeline_pretraining_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache. Measured min-of-3 at sf0.1 (warm A/B): 2.14 s -> 1.45 s."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance_on="doc_id")
     train_bucket = d.filter(_bkt(F.col("doc_id")) < _TRAIN)
     w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     train = (

@@ -298,7 +298,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.types import ArrayType, LongType
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance_on="doc_id")
     # The shingle table feeds three consumers (signatures + both sides of
     # the candidate-verify join); persist it so the shingling + distinct
     # pass runs once, not three times. Long codes (injective packing, see

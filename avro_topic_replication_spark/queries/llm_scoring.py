@@ -875,7 +875,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import kmeans
     from .llm_vectors import _dot
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", rebalance_on="vec_id")
     assigned, _, _ = kmeans(spark, e, k=_SEM_K, iters=2)
     # assignments carry (vec_id, cluster, dist2); rejoin the vectors and
     # unit-normalize ONCE per row — pair scoring is then a single dot

@@ -266,7 +266,7 @@ def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 4-gram shingling (the MinHash substrate) + diversity
     ratio. sequence+transform keeps it in codegen; the shingle arrays
     never leave the executor — only the counts come back."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance_on="doc_id")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length("text") - 3, F.lit(1))),
         lambda i: F.col("text").substr(i, F.lit(4)),
