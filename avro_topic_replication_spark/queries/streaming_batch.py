@@ -353,7 +353,16 @@ def stream_live_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR")),
         "inner",
     ).select("click_id", "view_id", "c_user", "click_ts", "view_ts")
-    return run_to_memory(joined, output_mode="append")
+    # A stream-stream join opens FOUR state stores per partition
+    # (keyToNumValues/keyWithIndex × left/right), so per-partition store
+    # open+commit dominates bounded replay state: interleaved A/B at
+    # sf0.1 reads 1.65/1.73/2.20/3.6 s at 2/4/8/16 partitions. 4 keeps
+    # half the session's stateful parallelism while shedding the store
+    # overhead; a real deployment sizes this to state volume instead
+    # (the SPARK_GRAFT_STREAM_STATE_PARTITIONS knob covers the rest of
+    # the family — this explicit value documents the join-specific
+    # 4-stores trade, r13 measured).
+    return run_to_memory(joined, output_mode="append", state_partitions=4)
 
 
 @query("stream_live_stream_outer_join", oracle=None, tags=("streaming", "live"))
@@ -400,7 +409,9 @@ def stream_live_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "view_id",
         F.col("view_id").isNull().alias("unmatched"),
     )
-    return run_to_memory(joined, output_mode="append")
+    # state_partitions=4: same 4-stores-per-partition trade as
+    # stream_live_stream_join (see the comment there; measured r13).
+    return run_to_memory(joined, output_mode="append", state_partitions=4)
 
 
 @query("stream_live_chained_stateful", oracle=None, tags=("streaming", "live"))
