@@ -58,28 +58,35 @@ def test_shingle_vectorized_matches_scalar_path():
 
 
 def _expected_repetition(rows):
-    """Independent plain-Python replay of the declared metric semantics."""
+    """Brute-force positional replay of the DECLARED (r11 explode/groupBy)
+    semantics — deliberately a different algorithm from the production
+    Counter pass (ADVICE r12 item 4: expected values derived with the
+    same Counter code could cancel out a shared misunderstanding of the
+    contract). A token/bigram is 'duplicated' when any OTHER index holds
+    the same value; the top-word fraction is the max positional
+    occurrence count — O(n²) index scans, no Counter, no groupBy."""
     exp = {}
     for doc_id, text in rows:
         if text is None:
             continue
         ws = text.split(" ")
         n = len(ws)
-        from collections import Counter
-
-        wc = Counter(ws)
-        dup = sum(c for c in wc.values() if c > 1)
-        if n >= 2:
-            gc = Counter(" ".join(p) for p in zip(ws, ws[1:]))
-            ng, dg = n - 1, sum(c for c in gc.values() if c > 1)
-        else:
-            ng, dg = 0, 0
-        exp[doc_id] = (
-            n,
-            max(wc.values()) / n,
-            dup / n,
-            dg / max(ng, 1),
+        dup = sum(
+            1
+            for i in range(n)
+            if any(ws[j] == ws[i] for j in range(n) if j != i)
         )
+        top = max(
+            sum(1 for w in ws if w == ws[i]) for i in range(n)
+        ) / n
+        bgs = [f"{ws[i]} {ws[i + 1]}" for i in range(n - 1)]
+        ng = len(bgs)
+        dg = sum(
+            1
+            for i in range(ng)
+            if any(bgs[j] == bgs[i] for j in range(ng) if j != i)
+        )
+        exp[doc_id] = (n, top, dup / n, dg / max(ng, 1))
     return exp
 
 
